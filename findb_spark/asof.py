@@ -1,0 +1,142 @@
+"""Bitemporal as-of query operators — the reference's entire query surface.
+
+Semantics (reference ``src/btree/file.rs:37-43`` + ``file.rs:508-570``): for
+one asset and effective dates in ``[start_date, end_date]``, return at most
+one row per date — the row with the largest ``ts <= asof_ts`` — in descending
+date order. ``date`` is the effective/observation axis, ``ts`` the
+knowledge/transaction axis; rows sharing ``(asset_id, date)`` are revisions.
+Golden semantics pinned by the reference tests at ``file.rs:621-696``.
+
+Spark-first design notes (100 TB posture):
+
+- The single-query path (`asof_range`) is filter + ``max_by`` aggregation.
+  The filters (asset equi + date range + ts bound) are plain column
+  predicates, so Catalyst pushes them into the Parquet scan: on a layout
+  produced by :mod:`findb_spark.layout` the scan prunes to the handful of
+  files/row-groups covering that asset's date range — the moral equivalent of
+  the reference's B+tree descent (file.rs:425-452) at cluster scale.
+- ``max_by(struct(ts, value), ts)`` gives a *partial-aggregatable* plan: the
+  per-(asset,date) "latest revision" combines map-side, so the shuffle moves
+  at most one row per (asset, date) per map partition, not every revision.
+  A window/``row_number`` formulation would instead shuffle every revision.
+- The batched path (`asof_batch`) joins a (small) query table against the
+  prices table. The query side is explicitly broadcast: N queries x full
+  scan-once of the pruned price range, no shuffle of the big side at all for
+  the join itself; the only exchange is the final per-(query_id, asset,
+  date) aggregation, which is again map-side combined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: canonical column order of a bitemporal prices table (FIXTURES.md §A1)
+PRICE_COLUMNS = ("asset_id", "date", "ts", "value")
+
+
+def _latest_revision(grouped_keys: list[str], df: DataFrame) -> DataFrame:
+    """Per group, pick (ts, value) of the max-ts row via map-side-combinable
+    ``max_by``. Ties on ts (not possible in well-formed data — (asset_id,
+    date, ts) is unique, FIXTURES.md §A1) break by max value for determinism.
+    """
+    return df.groupBy(*grouped_keys).agg(
+        F.max_by(F.struct(F.col("ts"), F.col("value")), F.struct(F.col("ts"), F.col("value"))).alias("_r")
+    ).select(*grouped_keys, F.col("_r.ts").alias("ts"), F.col("_r.value").alias("value"))
+
+
+def asof_filter(
+    prices: DataFrame,
+    asset_id: int | Column,
+    start_date: int | Column,
+    end_date: int | Column,
+    asof_ts: int | Column,
+) -> DataFrame:
+    """The pushdown-able predicate of the as-of query (file.rs:543-556)."""
+    return prices.where(
+        (F.col("asset_id") == asset_id)
+        & F.col("date").between(start_date, end_date)
+        & (F.col("ts") <= asof_ts)
+    )
+
+
+def asof_range(
+    prices: DataFrame,
+    asset_id: int,
+    start_date: int,
+    end_date: int,
+    asof_ts: int,
+) -> DataFrame:
+    """The flagship operator: bitemporal as-of range query (file.rs:425-570).
+
+    Returns columns (asset_id, date, ts, value), descending date order,
+    at most one row per date.
+    """
+    filtered = asof_filter(prices, asset_id, start_date, end_date, asof_ts)
+    return (
+        _latest_revision(["asset_id", "date"], filtered)
+        .orderBy(F.desc("date"))
+    )
+
+
+def asof_point(prices: DataFrame, asset_id: int, date: int, asof_ts: int) -> DataFrame:
+    """Degenerate single-date as-of query (golden tests file.rs:649-672)."""
+    return asof_range(prices, asset_id, date, date, asof_ts)
+
+
+def asof_batch(prices: DataFrame, queries: DataFrame) -> DataFrame:
+    """Batched as-of evaluation — the reference's stubbed ``bulk_query``
+    (file.rs:466-468; ``Query.id`` tagging at file.rs:561-565).
+
+    ``queries`` schema: (query_id, asset_id, start_date, end_date, asof_ts).
+    Result: (query_id, asset_id, date, ts, value), <=1 row per
+    (query_id, date).
+
+    Scale: the query table is the bounded side (thousands of rows, not TB) —
+    broadcast it so the price table never shuffles for the join. Catalyst
+    additionally derives a pushable range on the big side from the join
+    predicate only when the bounds are literals, so callers with a *static*
+    query list should prefer `asof_range` per query or pre-filter; for the
+    general dynamic case the scan is bounded by the layout's partition
+    pruning on ``asset_id`` via DPP when the query side is small.
+    """
+    q = F.broadcast(queries)
+    joined = prices.join(
+        q,
+        on=(
+            (prices["asset_id"] == q["asset_id"])
+            & (prices["date"] >= q["start_date"])
+            & (prices["date"] <= q["end_date"])
+            & (prices["ts"] <= q["asof_ts"])
+        ),
+        how="inner",
+    ).select(
+        q["query_id"],
+        prices["asset_id"],
+        prices["date"],
+        prices["ts"],
+        prices["value"],
+    )
+    return (
+        _latest_revision(["query_id", "asset_id", "date"], joined)
+        .orderBy("query_id", F.desc("date"))
+    )
+
+
+def point_lookup(df: DataFrame, key_col: str, key: int) -> DataFrame:
+    """Exact-key lookup (reference mem.rs:387-393). On clustered Parquet this
+    prunes to one file / row group via min-max stats."""
+    return df.where(F.col(key_col) == F.lit(key))
+
+
+def range_scan(df: DataFrame, key_col: str, from_key: int, to_key: int) -> DataFrame:
+    """Inclusive ascending range scan (reference mem.rs:395-404)."""
+    return df.where(F.col(key_col).between(from_key, to_key)).orderBy(key_col)
+
+
+def add_revisions(prices: DataFrame, revisions: DataFrame) -> DataFrame:
+    """Revision-aware append (reference insert/update semantics, mem.rs:406-437,
+    re-expressed bitemporally): appending a later-ts row for an existing
+    (asset_id, date) *revises* the fact without destroying history; as-of
+    queries with an earlier asof_ts still see the old value. Pure union —
+    immutability is the feature, not a limitation."""
+    return prices.select(*PRICE_COLUMNS).unionByName(revisions.select(*PRICE_COLUMNS))

