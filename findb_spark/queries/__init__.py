@@ -1,0 +1,12 @@
+"""Query-spec modules; importing this package registers every spec."""
+
+from findb_spark.queries import (  # noqa: F401
+    asof_queries,
+    relational,
+    timeseries,
+    events_queries,
+    text_queries,
+    dedup_queries,
+    vector_queries,
+    multimodal_queries,
+)

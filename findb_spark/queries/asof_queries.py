@@ -1,0 +1,171 @@
+"""Bitemporal as-of query specs — the reference's query surface (SURVEY §2.1
+O5-O9) evaluated over the lineitem-derived prices table at driver scale.
+
+Oracle formulation: window ``ROW_NUMBER() ORDER BY ts DESC, value DESC``
+matches Spark's ``max_by(struct(ts, value))`` tie-breaking exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from findb_spark.asof import asof_batch, asof_point, asof_range, point_lookup, range_scan
+from findb_spark.prices import PRICES_ORACLE_CTE, prices_from_lineitem
+from findb_spark.registry import register
+
+# epoch('2000-01-01') — an asof instant inside the lineitem shipdate range
+ASOF_2000 = 946684800
+
+_ASOF_RANGE_SQL = f"""
+WITH {PRICES_ORACLE_CTE},
+f AS (
+  SELECT asset_id, date, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY asset_id, date
+                            ORDER BY ts DESC, value DESC) AS rn
+  FROM prices_v
+  WHERE asset_id = {{asset}} AND date BETWEEN {{start}} AND {{end}}
+    AND ts <= {{asof}}
+)
+SELECT asset_id, date, ts, value FROM f WHERE rn = 1
+"""
+
+
+@register(
+    "asof_range",
+    _ASOF_RANGE_SQL.format(asset=1, start=19950101, end=20001231, asof=ASOF_2000),
+    category="asof",
+    description="Flagship bitemporal as-of range query (reference file.rs:425-570)",
+    bench=True,
+)
+def q_asof_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prices = prices_from_lineitem(spark, sf_dir)
+    return asof_range(prices, 1, 19950101, 20001231, ASOF_2000)
+
+
+@register(
+    "asof_point",
+    _ASOF_RANGE_SQL.format(asset=3, start=19950101, end=19991231, asof=ASOF_2000),
+    category="asof",
+    description="Single-date degenerate as-of query (file.rs:649-672)",
+)
+def q_asof_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # a range formulated as point queries per date: use range form for
+    # deterministic multi-date coverage at every sf
+    prices = prices_from_lineitem(spark, sf_dir)
+    return asof_range(prices, 3, 19950101, 19991231, ASOF_2000)
+
+
+@register(
+    "asof_batch",
+    f"""
+WITH {PRICES_ORACLE_CTE},
+q AS (
+  SELECT i AS query_id, i + 1 AS asset_id,
+         19950101 AS start_date, 19981231 AS end_date,
+         {ASOF_2000} + i AS asof_ts
+  FROM generate_series(0, 19) t(i)
+),
+j AS (
+  SELECT q.query_id, p.asset_id, p.date, p.ts, p.value,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id, p.asset_id, p.date
+                            ORDER BY p.ts DESC, p.value DESC) AS rn
+  FROM prices_v p JOIN q ON p.asset_id = q.asset_id
+   AND p.date BETWEEN q.start_date AND q.end_date AND p.ts <= q.asof_ts
+)
+SELECT query_id, asset_id, date, ts, value FROM j WHERE rn = 1
+""",
+    category="asof",
+    description="Batched as-of evaluation — reference's stubbed bulk_query (file.rs:466-468)",
+    bench=True,
+)
+def q_asof_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prices = prices_from_lineitem(spark, sf_dir)
+    queries = spark.range(20).select(
+        F.col("id").alias("query_id"),
+        (F.col("id") + 1).alias("asset_id"),
+        F.lit(19950101).alias("start_date"),
+        F.lit(19981231).alias("end_date"),
+        (F.lit(ASOF_2000) + F.col("id")).alias("asof_ts"),
+    )
+    return asof_batch(prices, queries)
+
+
+@register(
+    "asof_snapshot_all_assets",
+    f"""
+WITH {PRICES_ORACLE_CTE},
+f AS (
+  SELECT asset_id, date, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY asset_id, date
+                            ORDER BY ts DESC, value DESC) AS rn
+  FROM prices_v
+  WHERE date BETWEEN 19960101 AND 19961231 AND ts <= {ASOF_2000}
+)
+SELECT asset_id, date, ts, value FROM f WHERE rn = 1
+""",
+    category="asof",
+    description="Cross-sectional as-of snapshot: latest revision per (asset, date) for all assets in a window",
+    bench=True,
+)
+def q_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prices = prices_from_lineitem(spark, sf_dir)
+    filtered = prices.where(
+        F.col("date").between(19960101, 19961231) & (F.col("ts") <= ASOF_2000)
+    )
+    return (
+        filtered.groupBy("asset_id", "date")
+        .agg(
+            F.max_by(
+                F.struct(F.col("ts"), F.col("value")),
+                F.struct(F.col("ts"), F.col("value")),
+            ).alias("_r")
+        )
+        .select("asset_id", "date", F.col("_r.ts").alias("ts"), F.col("_r.value").alias("value"))
+    )
+
+
+@register(
+    "point_lookup",
+    f"WITH {PRICES_ORACLE_CTE} SELECT asset_id, date, ts, value FROM prices_v WHERE asset_id = 7",
+    category="asof",
+    description="Exact-key lookup (reference mem.rs:387-393); prunes to one file on clustered layout",
+)
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return point_lookup(prices_from_lineitem(spark, sf_dir), "asset_id", 7)
+
+
+@register(
+    "range_scan",
+    f"WITH {PRICES_ORACLE_CTE} SELECT asset_id, date, ts, value FROM prices_v WHERE asset_id BETWEEN 10 AND 20",
+    category="asof",
+    description="Inclusive ascending key-range scan (reference mem.rs:395-404)",
+)
+def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return range_scan(prices_from_lineitem(spark, sf_dir), "asset_id", 10, 20)
+
+
+@register(
+    "revision_stats",
+    f"""
+WITH {PRICES_ORACLE_CTE}
+SELECT asset_id,
+       COUNT(*) AS n_revisions,
+       COUNT(DISTINCT date) AS n_dates,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM prices_v GROUP BY asset_id
+""",
+    category="asof",
+    description="Revision-history profile per asset (bitemporal storage observability)",
+)
+def q_revision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        prices_from_lineitem(spark, sf_dir)
+        .groupBy("asset_id")
+        .agg(
+            F.count("*").alias("n_revisions"),
+            F.countDistinct("date").alias("n_dates"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
