@@ -51,12 +51,21 @@ def asof_filter(
     end_date: int | Column,
     asof_ts: int | Column,
 ) -> DataFrame:
-    """The pushdown-able predicate of the as-of query (file.rs:543-556)."""
-    return prices.where(
+    """The pushdown-able predicate of the as-of query (file.rs:543-556).
+
+    When the table carries a hive ``date_month`` partition column (see
+    findb_spark.layout.write_prices), the date range is also expressed as a
+    partition predicate so Catalyst prunes whole directories before file
+    stats are consulted — at 100 TB this is the B+tree-descent analog: the
+    scan touches only the months covering the range."""
+    cond = (
         (F.col("asset_id") == asset_id)
         & F.col("date").between(start_date, end_date)
         & (F.col("ts") <= asof_ts)
     )
+    if "date_month" in prices.columns and isinstance(start_date, int) and isinstance(end_date, int):
+        cond = cond & F.col("date_month").between(start_date // 100, end_date // 100)
+    return prices.where(cond)
 
 
 def asof_range(

@@ -66,12 +66,54 @@ def write_prices(
 
 
 def read_prices(spark: SparkSession, path: str) -> DataFrame:
-    """Open a clustered prices table."""
-    return spark.read.parquet(path).select(*PRICE_COLUMNS)
+    """Open a clustered prices table (keeps the ``date_month`` partition
+    column when present — findb_spark.asof derives partition predicates
+    from it)."""
+    df = spark.read.parquet(path)
+    cols = list(PRICE_COLUMNS) + (
+        ["date_month"] if "date_month" in df.columns else []
+    )
+    return df.select(*cols)
 
 
 def files_scanned(df: DataFrame) -> int:
-    """Pruning observability — the analog of the reference's ``pages_read``
-    counter (file.rs:477,504,534): number of files the plan will touch after
-    partition pruning. Tests assert this shrinks when predicates bind."""
+    """Number of files backing the relation (NOT filter-aware —
+    ``Dataset.inputFiles`` lists the whole FileIndex). Use `scan_metrics`
+    for pruning evidence."""
     return len(df.inputFiles())
+
+
+def scan_metrics(df: DataFrame) -> list[dict[str, int]]:
+    """Pruning observability — the analog of the reference's ``pages_read``
+    counter (file.rs:477,504,534). Executes the plan and returns the runtime
+    metrics of every file-scan node (numFiles, numPartitions, numOutputRows,
+    filesSize...). Tests assert these shrink when predicates bind — the
+    cluster-scale equivalent of the reference's golden leaf-page counts
+    (file.rs:709)."""
+    # fresh Dataset -> fresh physical plan: listing-phase metrics (numFiles,
+    # numPartitions) are only populated on a plan's first execution
+    df = df.select(df.columns)
+    df.collect()
+    out: list[dict[str, int]] = []
+
+    def walk(node) -> None:
+        cn = node.getClass().getSimpleName()
+        if "AdaptiveSparkPlan" in cn:
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in cn:
+            walk(node.plan())
+            return
+        if "FileSourceScan" in cn or "BatchScan" in cn:
+            m = node.metrics()
+            it = m.iterator()
+            vals: dict[str, int] = {}
+            while it.hasNext():
+                kv = it.next()
+                vals[kv._1()] = kv._2().value()
+            out.append(vals)
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

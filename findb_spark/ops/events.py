@@ -1,0 +1,72 @@
+"""Event-stream operators (batch form). The streaming twins live in
+findb_spark.streaming; these batch versions define the semantics and give
+the oracle something SQL-expressible to check.
+
+All time arithmetic is in epoch *microseconds* (``unix_micros`` /
+DuckDB ``epoch_us``) — the events table carries sub-second timestamps and
+second-truncation would silently merge distinct instants.
+
+Scale: sessionization is one exchange on user_id then two windows over it;
+tumbling aggregation is a plain groupBy on the truncated bucket (map-side
+combinable). Both survive 100 TB: no per-user collect, no skew beyond what
+AQE splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def with_micros(events: DataFrame) -> DataFrame:
+    return events.withColumn("tus", F.unix_micros("ts"))
+
+
+def tumbling_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Tumbling-window aggregation; bucket exposed as epoch-micros of the
+    window start for engine-neutral comparison."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5))
+    return (
+        events.groupBy(
+            F.unix_micros(F.window("ts", duration).start).alias("bucket_start_us"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.sum(cents).cast("double") / 100).alias("sum_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Gap-based sessionization: a session breaks after `gap_us` of
+    inactivity per user. Returns per-session stats."""
+    e = with_micros(events)
+    order = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    prev = F.lag("tus").over(order)
+    flagged = e.withColumn(
+        "is_start",
+        F.when(prev.isNull() | ((F.col("tus") - prev) > gap_us), 1).otherwise(0),
+    )
+    running = order.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = flagged.withColumn("session_num", F.sum("is_start").over(running))
+    return (
+        sessions.groupBy("user_id", "session_num")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("tus").alias("session_start_us"),
+            F.max("tus").alias("session_end_us"),
+            ((F.max("tus") - F.min("tus")) / 1_000_000.0).alias("duration_sec"),
+        )
+    )
+
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """Per-user conditional counts of each event type (funnel counts)."""
+    agg = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ("view", "click", "purchase", "signup", "error")
+    ]
+    return events.groupBy("user_id").agg(*agg, F.count("*").alias("n_total"))

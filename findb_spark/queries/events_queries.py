@@ -1,1 +1,104 @@
-"""(filled in incrementally)"""
+"""Event-table query specs: JSON extraction, tumbling windows,
+sessionization, funnel pivots (SURVEY §2.2 scalar-JSON + streaming rows;
+batch semantics here, streaming twins in findb_spark.streaming)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from findb_spark.ops.events import event_type_pivot, sessionize, tumbling_agg
+from findb_spark.registry import register
+from findb_spark.session import load_table
+
+
+@register(
+    "events_json_extract",
+    """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+""",
+    category="events",
+    description="JSON property extraction (props.k) + grouped integer aggregates",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "events_tumbling_hourly",
+    """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    category="events",
+    description="Tumbling 1-hour window aggregation (batch twin of the streaming op)",
+    bench=True,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "events_sessionize",
+    """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+s AS (
+  SELECT user_id, tus,
+         CASE WHEN LAG(tus) OVER w IS NULL
+                OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_start
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+g AS (
+  SELECT user_id, tus,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY tus
+                             ROWS UNBOUNDED PRECEDING) AS session_num
+  FROM s
+)
+SELECT user_id, session_num,
+       COUNT(*) AS n_events,
+       MIN(tus) AS session_start_us,
+       MAX(tus) AS session_end_us,
+       (MAX(tus) - MIN(tus)) / 1000000.0 AS duration_sec
+FROM g GROUP BY user_id, session_num
+""",
+    category="events",
+    description="Gap-based sessionization (30-min inactivity) via lag + running sum",
+    bench=True,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_funnel_pivot",
+    """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       COUNT(*) AS n_total
+FROM events GROUP BY user_id
+""",
+    category="events",
+    description="Per-user funnel pivot via conditional aggregation",
+)
+def events_funnel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_type_pivot(load_table(spark, sf_dir, "events"))

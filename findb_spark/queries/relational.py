@@ -1,1 +1,448 @@
-"""(filled in incrementally)"""
+"""Relational surface — the operator categories the reference lacks entirely
+(SURVEY §2.2: scans, projections/filters, all join types, aggregations,
+grouping sets, sorts/limits, set ops, scalar functions), each exposed as a
+named query over the driver's TPC-H-ish tables with a DuckDB oracle twin.
+
+Parity conventions: money aggregates use fixed-point integer sums
+(findb_spark.queries.parity) — exact, order-independent, engine-agnostic;
+per-row arithmetic written with identical association on both sides; every
+top-k totally ordered via a unique tiebreaker.
+
+Scale notes: all aggregates here are partial-aggregatable (map-side
+combine); the fact-to-dim joins (orders->customer, lineitem->part/supplier,
+nation/region) broadcast the dim side — at 100 TB the lineitem scan is the
+only full pass and AQE handles skewed keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from findb_spark.queries.parity import fxp_avg, fxp_avg_sql, fxp_sum, fxp_sum_sql
+from findb_spark.registry import register
+from findb_spark.session import load_table
+
+# --- aggregation ----------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       {fxp_sum_sql('l_quantity')} AS sum_qty,
+       {fxp_sum_sql('l_extendedprice')} AS sum_base_price,
+       {fxp_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {fxp_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {fxp_avg_sql('l_quantity')} AS avg_qty,
+       {fxp_avg_sql('l_extendedprice')} AS avg_price,
+       {fxp_avg_sql('l_discount', 10000)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    category="relational",
+    description="TPC-H Q1-style pricing summary: multi-aggregate hash aggregation with map-side combine",
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            fxp_sum(F.col("l_quantity"), "sum_qty"),
+            fxp_sum(F.col("l_extendedprice"), "sum_base_price"),
+            fxp_sum(disc_price, "sum_disc_price"),
+            fxp_sum(charge, "sum_charge"),
+            fxp_avg(F.col("l_quantity"), "avg_qty"),
+            fxp_avg(F.col("l_extendedprice"), "avg_price"),
+            fxp_avg(F.col("l_discount"), "avg_disc", 10000),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    f"""
+SELECT l_orderkey,
+       {fxp_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    category="relational",
+    description="TPC-H Q3-style: 3-way join + aggregate + deterministic top-k",
+    bench=True,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(fxp_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyyMMdd").cast("int").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    f"""
+SELECT n_name,
+       {fxp_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+    category="relational",
+    description="TPC-H Q5-style: 6-way star join, dims broadcast, single fact pass",
+    bench=True,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(fxp_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "agg_having",
+    f"""
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       {fxp_sum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+HAVING COUNT(*) > 5
+""",
+    category="relational",
+    description="Grouped aggregation with HAVING filter",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), fxp_sum(F.col("o_totalprice"), "total_price"))
+        .where(F.col("n_orders") > 5)
+    )
+
+
+@register(
+    "distinct_agg",
+    """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="relational",
+    description="Distinct aggregation (expand-based distinct count)",
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "rollup_agg",
+    f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       {fxp_sum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    category="relational",
+    description="Hierarchical grouping sets (ROLLUP)",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), fxp_sum(F.col("l_quantity"), "sum_qty"))
+    )
+
+
+@register(
+    "cube_agg",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    category="relational",
+    description="Full grouping sets (CUBE)",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- join types -----------------------------------------------------------
+
+
+@register(
+    "join_semi",
+    """
+SELECT p_partkey, p_name FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+              AND l_shipdate >= TIMESTAMP '2001-01-01')
+""",
+    category="relational",
+    description="Left-semi join (EXISTS): parts with recent shipments",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "join_anti",
+    """
+SELECT p_partkey, p_brand FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+                  AND l_shipdate >= TIMESTAMP '2001-01-01')
+""",
+    category="relational",
+    description="Left-anti join (NOT EXISTS): parts without recent shipments",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_brand"
+    )
+
+
+@register(
+    "join_left_outer",
+    f"""
+SELECT c_custkey, c_mktsegment,
+       COUNT(o_orderkey) AS n_orders,
+       COALESCE({fxp_sum_sql('o_totalprice')}, 0.0) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+""",
+    category="relational",
+    description="Left-outer join preserving customers with zero orders",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                fxp_sum(F.col("o_totalprice"), "_s"), F.lit(0.0)
+            ).alias("total_spend"),
+        )
+    )
+
+
+# --- set operations -------------------------------------------------------
+
+
+@register(
+    "set_ops_nations",
+    """
+SELECT 'both' AS how, n FROM (
+  SELECT DISTINCT c_nationkey AS n FROM customer
+  INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'customer_only' AS how, n FROM (
+  SELECT DISTINCT c_nationkey AS n FROM customer
+  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+""",
+    category="relational",
+    description="Set operations: INTERSECT / EXCEPT / UNION ALL over nation keys",
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n")).distinct()
+    sn = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n")).distinct()
+    both = cn.intersect(sn).select(F.lit("both").alias("how"), "n")
+    only = cn.exceptAll(sn).select(F.lit("customer_only").alias("how"), "n")
+    return both.unionByName(only)
+
+
+# --- scalar functions -----------------------------------------------------
+
+
+@register(
+    "scalar_string_funcs",
+    """
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_upper,
+       LENGTH(p_name) AS name_len,
+       LENGTH(p_name) - LENGTH(REPLACE(p_name, ' ', '')) + 1 AS n_words,
+       SUBSTRING(p_type, 1, 6) AS type_prefix,
+       CONCAT(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size
+FROM part WHERE p_size >= 25
+""",
+    category="relational",
+    description="Scalar string functions + projection with pushed filter",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") >= 25)
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.length("p_name").alias("name_len"),
+            (
+                F.length("p_name") - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit(""))) + 1
+            ).alias("n_words"),
+            F.substring("p_type", 1, 6).alias("type_prefix"),
+            F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias(
+                "brand_size"
+            ),
+        )
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+       COUNT(*) AS n_orders,
+       {fxp_sum_sql('o_totalprice')} AS revenue
+FROM orders
+GROUP BY 1, 2
+""",
+    category="relational",
+    description="Date part extraction + time-bucketed aggregation",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(F.count("*").alias("n_orders"), fxp_sum(F.col("o_totalprice"), "revenue"))
+    )
+
+
+@register(
+    "case_expr_bands",
+    """
+SELECT CASE WHEN p_retailprice < 500 THEN 'low'
+            WHEN p_retailprice < 1200 THEN 'mid'
+            ELSE 'high' END AS price_band,
+       COUNT(*) AS n_parts,
+       CAST(MIN(p_retailprice) AS DOUBLE) AS min_price,
+       CAST(MAX(p_retailprice) AS DOUBLE) AS max_price
+FROM part GROUP BY 1
+""",
+    category="relational",
+    description="CASE expression classification + min/max aggregation",
+)
+def case_expr_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    band = (
+        F.when(F.col("p_retailprice") < 500, "low")
+        .when(F.col("p_retailprice") < 1200, "mid")
+        .otherwise("high")
+    )
+    return (
+        load_table(spark, sf_dir, "part")
+        .groupBy(band.alias("price_band"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_retailprice").cast("double").alias("min_price"),
+            F.max("p_retailprice").cast("double").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+  FROM lineitem)
+WHERE rn <= 3
+""",
+    category="relational",
+    description="Top-k per group via ranking window (deterministic tiebreak)",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )

@@ -1,0 +1,52 @@
+"""Pruning tests — the new-engine analog of the reference's golden
+``pages_read`` I/O counts (file.rs:699-710): evidence that queries prune,
+not scan (SURVEY §2.3 item 7).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from findb_spark.layout import read_prices, scan_metrics, write_prices
+from findb_spark.prices import prices_from_lineitem
+
+
+@pytest.fixture(scope="module")
+def clustered(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("layout") / "prices")
+    write_prices(
+        prices_from_lineitem(spark, sf_dir), path, num_partitions=8, date_bucket="month"
+    )
+    return read_prices(spark, path)
+
+
+def test_partition_pruning_shrinks_files(spark, clustered):
+    from findb_spark.asof import asof_filter
+
+    full = scan_metrics(clustered)[0]
+    pruned = scan_metrics(asof_filter(clustered, 1, 19960101, 19960131, 10**10))[0]
+    assert pruned["numFiles"] < full["numFiles"]
+    assert pruned.get("numPartitions", 0) <= 2  # one month (+boundary)
+
+
+def test_predicate_pushdown_shrinks_rows(spark, clustered):
+    full = scan_metrics(clustered)[0]
+    filtered = scan_metrics(clustered.where("asset_id = 1"))[0]
+    # rows surviving the scan (pushed filters + row-group stats) shrink
+    assert filtered["numOutputRows"] < full["numOutputRows"]
+
+
+def test_asof_query_prunes(spark, clustered):
+    """The flagship query's scan must not read the whole table."""
+    from findb_spark.asof import asof_range
+
+    q = asof_range(clustered, 1, 19960101, 19961231, 10**10)
+    m = scan_metrics(q)[0]
+    full = scan_metrics(clustered)[0]
+    assert m["numFiles"] < full["numFiles"]
+    assert m["numOutputRows"] < full["numOutputRows"]
+
+
+def test_month_partition_pruning_on_date_month(spark, clustered):
+    m = scan_metrics(clustered.where("date_month = 199601"))[0]
+    assert m.get("numPartitions") == 1
