@@ -1,0 +1,225 @@
+"""Deduplication operators over ``documents`` — exact, n-gram Jaccard,
+MinHash+LSH, SimHash (BASELINE.json LLM-pipeline mandate).
+
+Scale design (100 TB posture):
+
+- Exact dedup is a hash-groupBy — one shuffle on the text hash, map-side
+  combinable.
+- Jaccard candidate generation joins on *shared shingles* (inverted-index
+  join), never all-pairs: cost is sum over shingles of df^2, which stays
+  linear when shingle document-frequency is bounded. High-frequency
+  shingles (df > cap) are droppable stop-shingles at scale.
+- MinHash-LSH: k=16 permutations, 4 bands x 4 rows -> candidate pairs only
+  for docs sharing a band key; verification re-computes exact Jaccard on
+  candidates only. The signature pass is one explode + groupBy (shuffle on
+  doc_id), the banding pass a groupBy on (band_id, band_key).
+- SimHash: 48-bit signatures from token hashes. Pairing here is exact
+  (all-pairs with doc_id ordering) for oracle parity at test scale;
+  `simhash_banded_pairs` is the scale path (prefix-band blocking, standard
+  pigeonhole guarantee: hamming <= 3 bands-1 distance always shares a band).
+
+Every hash is functions.hashing.hash48 (md5-derived) so the DuckDB oracle
+reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from findb_spark.functions.hashing import hash48, perm_hash, permutation_params
+from findb_spark.ops.text import shingles
+
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+PERM_PARAMS = permutation_params(N_PERM)
+
+
+def exact_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Corpus-level exact-duplicate profile via text-hash groupBy."""
+    h = docs.select("doc_id", hash48(F.col("text")).alias("h"))
+    clusters = h.groupBy("h").agg(
+        F.count("*").alias("cluster_size"), F.min("doc_id").alias("canonical_doc_id")
+    )
+    return clusters.agg(
+        F.count("*").alias("n_distinct_texts"),
+        F.sum("cluster_size").alias("n_docs"),
+        F.sum(F.when(F.col("cluster_size") > 1, F.col("cluster_size") - 1).otherwise(0)).alias(
+            "n_duplicate_docs"
+        ),
+        F.max("cluster_size").alias("max_cluster_size"),
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) with per-doc distinct shingles — the inverted index."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), n))).alias("shingle"),
+    )
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity, candidates
+    generated via the shared-shingle inverted-index join."""
+    sh = doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            (
+                F.col("inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """k=16 MinHash signature per document (columns mh0..mh15)."""
+    hashed = doc_shingles(docs, n).select("doc_id", hash48(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min(perm_hash(F.col("h"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(PERM_PARAMS)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def _band_keys(sigs: DataFrame) -> DataFrame:
+    bands = []
+    for j in range(N_BANDS):
+        cols = [F.col(f"mh{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        bands.append(
+            F.struct(F.lit(j).alias("band_id"), F.concat_ws("_", *cols).alias("bk"))
+        )
+    return sigs.select("doc_id", F.explode(F.array(*bands)).alias("band")).select(
+        "doc_id", "band.band_id", "band.bk"
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified with exact Jaccard: candidates
+    = pairs agreeing on at least one of 4 bands of 4 rows."""
+    sigs = minhash_signatures(docs, n)
+    bands = _band_keys(sigs)
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
+        .distinct()
+    )
+    sh = doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cand.join(a, F.col("doc1") == F.col("a.doc_id"))
+        .join(b, (F.col("doc2") == F.col("b.doc_id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            (F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 48
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """48-bit SimHash per document from token hashes (frequency-weighted)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select("doc_id", hash48(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance — exact all-pairs
+    formulation (oracle-parity form; see `simhash_banded_pairs` for scale)."""
+    sigs = simhash_signatures(docs)
+    x, y = sigs.alias("x"), sigs.alias("y")
+    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
+        x.join(y, F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc1"),
+            F.col("y.doc_id").alias("doc2"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_banded_pairs(docs: DataFrame, max_hamming: int = 10, n_bands: int = 12) -> DataFrame:
+    """Scale path: block on 12 x 4-bit bands — any pair with hamming <= 11
+    shares at least one band (pigeonhole), so recall is exact for
+    max_hamming <= n_bands - 1 while cost drops from all-pairs to
+    per-band-bucket joins."""
+    sigs = simhash_signatures(docs)
+    width = SIMHASH_BITS // n_bands
+    bands = [
+        F.struct(
+            F.lit(j).alias("band_id"),
+            F.shiftright(F.col("simhash"), j * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bk"),
+        )
+        for j in range(n_bands)
+    ]
+    bdf = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "simhash", "band.band_id", "band.bk")
+    x, y = bdf.alias("x"), bdf.alias("y")
+    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc1"),
+            F.col("y.doc_id").alias("doc2"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

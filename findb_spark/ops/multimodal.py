@@ -1,0 +1,90 @@
+"""Multimodal column plumbing (BASELINE.json mandate): image/audio/video
+payloads as opaque ``binary`` columns with typed metadata, decoded /
+feature-extracted through Arrow-batched ``mapInPandas``.
+
+The real media libraries (PIL/ffmpeg/torchaudio) are not in this
+container, so the *decode* step is a deterministic fake over the payload
+bytes (clearly marked), while everything Spark-side — schema, binary
+handling, Arrow batch shape, partitioning — is real and tested. Swap
+`_decode_image_bytes` for a PIL call and the pipeline is production
+shaped.
+
+Scale: payloads at 100 TB dominate row size — the layout rule is to keep
+metadata and payloads in the same row but rely on Parquet column pruning
+(metadata-only queries never deserialize payload pages), and to size
+``spark.sql.files.maxPartitionBytes`` so one task holds a bounded number
+of payloads. mapInPandas streams Arrow record batches, so executor memory
+is bounded by batch size, not partition size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+#: metadata schema produced by the decode step
+DECODED_SCHEMA = (
+    "doc_id BIGINT, n_bytes INT, width INT, height INT, channels INT, format STRING"
+)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic synthetic binary payload (md5 digest bytes of
+    the text) plus source metadata — stands in for real image bytes."""
+    return docs.select(
+        "doc_id",
+        F.unhex(F.md5(F.col("text"))).alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+        F.octet_length(F.unhex(F.md5(F.col("text")))).alias("n_bytes"),
+    )
+
+
+def _decode_image_bytes(payload: bytes) -> tuple[int, int, int, str]:
+    """DETERMINISTIC FAKE of an image decode (no media libs in container).
+
+    Derives (width, height, channels, format) from the payload bytes the
+    way a real decoder would read a header. Replace with PIL:
+    ``img = PIL.Image.open(io.BytesIO(payload))``.
+    """
+    width = 16 + (int.from_bytes(payload[0:2], "big") % 640)
+    height = 16 + (int.from_bytes(payload[2:4], "big") % 480)
+    channels = 1 + (payload[4] % 3)
+    return width, height, channels, "fake"
+
+
+def decode_metadata(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched decode: mapInPandas over (doc_id, payload) producing
+    typed image metadata. Batch-shape-real; decode itself is the fake."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [_decode_image_bytes(p) for p in pdf["payload"]]
+            out = pd.DataFrame(decoded, columns=["width", "height", "channels", "format"])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "n_bytes", pdf["payload"].map(len).astype("int32"))
+            yield out
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        batches, schema=DECODED_SCHEMA
+    )
+
+
+def resize_images(with_payload: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB: real resize requires an image library absent from this
+    container. The Spark plumbing (signature, schema) is the contract."""
+    raise NotImplementedError(
+        "image resize requires PIL/opencv (not in container); "
+        "wire through mapInPandas like decode_metadata"
+    )
+
+
+def sample_video_frames(with_payload: DataFrame, every_n: int) -> DataFrame:
+    """STUB: frame sampling requires ffmpeg bindings absent from this
+    container. Same mapInPandas shape as decode_metadata."""
+    raise NotImplementedError(
+        "video frame sampling requires ffmpeg (not in container); "
+        "wire through mapInPandas like decode_metadata"
+    )

@@ -1,0 +1,133 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline layer (BASELINE.json mandate): token statistics,
+quality scoring, language ID, fingerprinting, shingling.
+
+All hot-path expressions are JVM-side array/string built-ins (split,
+filter, transform, aggregate) — no Python UDFs — so they run inside
+whole-stage codegen and scale linearly with executors. The shared hashing
+primitive (functions.hashing.hash48) keeps every derived signature
+reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from findb_spark.functions.hashing import hash48
+
+#: tokens treated as stopwords for quality metrics (domain-tuned; the
+#: driver's synthetic docs draw from a small query-engine vocabulary)
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+#: marker words per language for the n-gram/stopword language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "and"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+}
+
+
+def tokens(col: Column | str = "text") -> Column:
+    return F.split(col if isinstance(col, Column) else F.col(col), " ")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics (counts, uniqueness, lengths)."""
+    t = tokens()
+    n = F.size(t)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        # total non-space chars / tokens — deterministic double division
+        ((F.length("text") - (n - 1)) / n).alias("avg_token_len"),
+        (F.size(F.array_distinct(t)) / n).alias("type_token_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features: length band, stopword ratio, repetition."""
+    t = tokens()
+    n = F.size(t)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    uniq_ratio = F.size(F.array_distinct(t)) / n
+    return docs.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        (n_stop / n).alias("stopword_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        F.when(n < 20, "short").when(n <= 80, "medium").otherwise("long").alias("len_band"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID: per language, count marker hits; predict the
+    argmax with a deterministic preference order (en > fr > de on ties)."""
+    t = tokens()
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+    pred = (
+        F.when(
+            (scores["en"] >= scores["fr"]) & (scores["en"] >= scores["de"]), "en"
+        )
+        .when(scores["fr"] >= scores["de"], "fr")
+        .otherwise("de")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        scores["en"].alias("score_en"),
+        scores["fr"].alias("score_fr"),
+        scores["de"].alias("score_de"),
+        pred.alias("pred_lang"),
+    )
+
+
+def regex_token_count(docs: DataFrame) -> DataFrame:
+    """BPE-ish sub-token counting: alpha runs, digit runs, other symbols."""
+    pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))).alias(
+            "n_subtokens"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of strings (1-based element_at,
+    mirrored exactly by the DuckDB oracle's list_transform(range...))."""
+    t = F.split(col, " ")
+    count = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    parts = lambda i: [F.element_at(t, i + j) for j in range(n)]  # noqa: E731
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", *parts(i)),
+    )
+
+
+def shingles_duck(expr: str = "text", n: int = 3) -> str:
+    """DuckDB twin of `shingles`."""
+    toks = f"string_split({expr}, ' ')"
+    joined = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(n))
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> {joined})"
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprints: whole-text hash + minimum shingle hash (a
+    1-permutation MinHash — robust to small appends)."""
+    sh = shingles(F.col("text"))
+    min_shingle = F.array_min(F.transform(sh, lambda s: hash48(s)))
+    return docs.select(
+        "doc_id",
+        hash48(F.col("text")).alias("text_hash"),
+        min_shingle.alias("min_shingle_hash"),
+    )

@@ -1,1 +1,193 @@
-"""(filled in incrementally)"""
+"""Deduplication query specs (exact, n-gram Jaccard, MinHash-LSH, SimHash)
+with fully generated DuckDB oracle SQL mirroring the Spark operators'
+hash-exact semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from findb_spark.functions.hashing import MERSENNE31, hash48_duck, perm_hash_duck
+from findb_spark.ops.dedup import (
+    N_BANDS,
+    PERM_PARAMS,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    exact_dedup_stats,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_pairs,
+    simhash_signatures,
+)
+from findb_spark.ops.text import shingles_duck
+from findb_spark.registry import register
+from findb_spark.session import load_table
+
+_SH_CTE = f"""
+sh AS (
+  SELECT doc_id, unnest(list_distinct({shingles_duck('text')})) AS shingle
+  FROM documents
+)
+""".strip()
+
+_SIZES_CTE = "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)"
+
+
+@register(
+    "dedup_exact",
+    f"""
+WITH h AS (SELECT doc_id, {hash48_duck('text')} AS h FROM documents),
+c AS (SELECT h, COUNT(*) AS cluster_size, MIN(doc_id) AS canonical FROM h GROUP BY h)
+SELECT COUNT(*) AS n_distinct_texts,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cluster_size > 1 THEN cluster_size - 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicate_docs,
+       MAX(cluster_size) AS max_cluster_size
+FROM c
+""",
+    category="dedup",
+    description="Exact deduplication profile via text-hash groupBy (hash-shuffle, map-side combine)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_SH_CTE},
+{_SIZES_CTE},
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, inter / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON doc1 = sa.doc_id JOIN sizes sb ON doc2 = sb.doc_id
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+""",
+    category="dedup",
+    description="Near-dup pairs by exact 3-gram Jaccard, candidates via inverted-index shingle join",
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.4)
+
+
+_MH_COLS_SQL = ",\n       ".join(
+    f"MIN({perm_hash_duck('h', a, b)}) AS mh{i}" for i, (a, b) in enumerate(PERM_PARAMS)
+)
+
+_SIGS_CTE = f"""
+hh AS (SELECT doc_id, {hash48_duck('shingle')} AS h FROM sh),
+sigs AS (
+  SELECT doc_id,
+       {_MH_COLS_SQL}
+  FROM hh GROUP BY doc_id
+)
+""".strip()
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+WITH {_SH_CTE},
+{_SIGS_CTE}
+SELECT * FROM sigs
+""",
+    category="dedup",
+    description=f"MinHash signatures (k={len(PERM_PARAMS)} permutations over 48-bit shingle hashes, mod 2^31-1={MERSENNE31})",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+_BANDS_SQL = "\nUNION ALL\n".join(
+    "SELECT doc_id, {j} AS band_id, {expr} AS bk FROM sigs".format(
+        j=j,
+        expr=" || '_' || ".join(
+            f"CAST(mh{j * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        ),
+    )
+    for j in range(N_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH {_SH_CTE},
+{_SIGS_CTE},
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id
+),
+{_SIZES_CTE},
+inter AS (
+  SELECT doc1, doc2, COUNT(*) AS inter
+  FROM cand JOIN sh a ON doc1 = a.doc_id
+            JOIN sh b ON doc2 = b.doc_id AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, inter / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON doc1 = sa.doc_id JOIN sizes sb ON doc2 = sb.doc_id
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+""",
+    category="dedup",
+    description=f"MinHash-LSH near-dup detection: {N_BANDS} bands x {ROWS_PER_BAND} rows candidate generation + exact-Jaccard verification",
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.4)
+
+
+_BIT_SUMS_SQL = ",\n       ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIG_SUM_SQL = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(SIMHASH_BITS)
+)
+
+_SIMHASH_CTE = f"""
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+th AS (SELECT doc_id, {hash48_duck('tok')} AS h FROM toks),
+bsums AS (
+  SELECT doc_id,
+       {_BIT_SUMS_SQL}
+  FROM th GROUP BY doc_id
+),
+simsigs AS (SELECT doc_id, CAST({_SIG_SUM_SQL} AS BIGINT) AS simhash FROM bsums)
+""".strip()
+
+
+@register(
+    "dedup_simhash_signatures",
+    f"""
+WITH {_SIMHASH_CTE}
+SELECT doc_id, simhash FROM simsigs
+""",
+    category="dedup",
+    description=f"{SIMHASH_BITS}-bit SimHash signatures from frequency-weighted token hashes",
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+WITH {_SIMHASH_CTE}
+SELECT x.doc_id AS doc1, y.doc_id AS doc2,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM simsigs x JOIN simsigs y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 10
+""",
+    category="dedup",
+    description="SimHash near-dup pairs (hamming <= 10); banded blocking is the scale path (ops.dedup.simhash_banded_pairs)",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=10)

@@ -1,1 +1,46 @@
-"""(filled in incrementally)"""
+"""Multimodal query specs: binary-payload metadata (SQL-expressible twin)
+and the Arrow-batched mapInPandas decode (rows-only check — genuinely
+non-SQL-expressible Python stage; the driver records the weaker check)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from findb_spark.functions.hashing import hash48, hash48_duck
+from findb_spark.ops.multimodal import attach_payload, decode_metadata
+from findb_spark.registry import register
+from findb_spark.session import load_table
+
+
+@register(
+    "multimodal_payload_stats",
+    f"""
+SELECT doc_id,
+       octet_length(from_hex(md5(text))) AS n_bytes,
+       16 + ({hash48_duck('text')} % 640) AS width,
+       16 + (({hash48_duck('text')} // 640) % 480) AS height
+FROM documents
+""",
+    category="multimodal",
+    description="Binary payload metadata, JVM-side (payload bytes + hash-derived dimensions)",
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash48(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.unhex(F.md5(F.col("text")))).alias("n_bytes"),
+        (F.lit(16) + h % 640).alias("width"),
+        (F.lit(16) + F.floor(h / 640).cast("bigint") % 480).alias("height"),
+    )
+
+
+@register(
+    "multimodal_decode",
+    None,  # mapInPandas decode: non-SQL-expressible, rows-only check
+    category="multimodal",
+    description="Arrow-batched image-decode pipeline over binary payloads (deterministic fake decode)",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_metadata(attach_payload(docs))

@@ -1,1 +1,120 @@
-"""(filled in incrementally)"""
+"""Text-analysis query specs over ``documents`` (BASELINE.json LLM-pipeline
+mandate: token counting, quality scoring, language ID, fingerprinting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from findb_spark.functions.hashing import hash48_duck
+from findb_spark.ops.text import (
+    STOPWORDS,
+    LANG_MARKERS,
+    fingerprint,
+    language_id,
+    quality_score,
+    regex_token_count,
+    shingles_duck,
+    token_stats,
+)
+from findb_spark.registry import register
+from findb_spark.session import load_table
+
+_TOKS = "string_split(text, ' ')"
+
+
+@register(
+    "text_token_stats",
+    f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       len(list_distinct({_TOKS})) AS n_unique_tokens,
+       (length(text) - (len({_TOKS}) - 1)) / len({_TOKS}) AS avg_token_len,
+       len(list_distinct({_TOKS})) / len({_TOKS}) AS type_token_ratio
+FROM documents
+""",
+    category="text",
+    description="Per-document token statistics (JVM-side split/array ops, no UDFs)",
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@register(
+    "text_quality",
+    f"""
+SELECT doc_id, lang,
+       len({_TOKS}) AS n_tokens,
+       len(list_filter({_TOKS}, t -> t IN ({_STOP_LIST}))) / len({_TOKS}) AS stopword_ratio,
+       len(list_distinct({_TOKS})) / len({_TOKS}) AS uniq_ratio,
+       CASE WHEN len({_TOKS}) < 20 THEN 'short'
+            WHEN len({_TOKS}) <= 80 THEN 'medium'
+            ELSE 'long' END AS len_band
+FROM documents
+""",
+    category="text",
+    description="Heuristic document quality features (stopword/uniqueness ratios, length bands)",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _marker_score(lang: str) -> str:
+    lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter({_TOKS}, t -> t IN ({lst})))"
+
+
+@register(
+    "text_language_id",
+    f"""
+SELECT doc_id, lang,
+       {_marker_score('en')} AS score_en,
+       {_marker_score('fr')} AS score_fr,
+       {_marker_score('de')} AS score_de,
+       CASE WHEN {_marker_score('en')} >= {_marker_score('fr')}
+             AND {_marker_score('en')} >= {_marker_score('de')} THEN 'en'
+            WHEN {_marker_score('fr')} >= {_marker_score('de')} THEN 'fr'
+            ELSE 'de' END AS pred_lang
+FROM documents
+""",
+    category="text",
+    description="Marker-word language identification with deterministic argmax",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_subtoken_count",
+    """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens,
+       length(text) AS n_chars
+FROM documents
+""",
+    category="text",
+    description="Regex-based sub-token (BPE-ish) counting",
+)
+def text_subtoken_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return regex_token_count(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+SELECT doc_id,
+       {hash48_duck('text')} AS text_hash,
+       list_min(list_transform({shingles_duck('text')}, s ->
+         CAST(list_sum([ (strpos('0123456789abcdef', md5(s)[i:i]) - 1)
+                         * (16.0 ** (12 - i)) for i in range(1, 13) ]) AS BIGINT)
+       )) AS min_shingle_hash
+FROM documents
+""",
+    category="text",
+    description="Document fingerprinting: whole-text hash48 + 1-permutation MinHash over 3-gram shingles",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))

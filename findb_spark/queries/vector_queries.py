@@ -1,1 +1,146 @@
-"""(filled in incrementally)"""
+"""Vector-similarity query specs over ``embeddings``: exact cosine top-k
+(baseline), embedding-cosine near-dup, LSH-bucketed ANN (scale path),
+per-label norm stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from findb_spark.ops.vector import (
+    FXP_SCALE,
+    N_PLANES,
+    PROJ_SCALE,
+    ann_lsh_topk,
+    cosine,
+    cosine_sql,
+    cosine_topk,
+    fxp_dot,
+    fxp_dot_sql,
+    near_dup_pairs,
+    plane_matrix,
+)
+from findb_spark.registry import register
+from findb_spark.session import load_table
+
+
+def _queryset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+
+@register(
+    "vec_cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT query_id, vec_id, {cosine_sql('embedding', 'qv')} AS cos_sim
+  FROM embeddings CROSS JOIN q WHERE vec_id != query_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored)
+SELECT query_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 10
+""",
+    category="vector",
+    description="Exact brute-force cosine top-10 per query vector (broadcast NL + ranking window)",
+    bench=True,
+)
+def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _queryset(spark, sf_dir), k=10).withColumnRenamed(
+        "rank", "rnk"
+    )
+
+
+@register(
+    "vec_near_dup",
+    f"""
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       {cosine_sql('a.embedding', 'b.embedding')} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.4
+""",
+    category="vector",
+    description="Embedding-cosine near-duplicate pairs (exact form; LSH blocking at scale)",
+    bench=True,
+)
+def vec_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_PLANES = plane_matrix()
+
+
+def _proj_sql(vec: str, j: int) -> str:
+    m = "[" + ", ".join(str(w) for w in _PLANES[j]) + "]"
+    return (
+        f"CAST(list_sum(list_transform(range(1, 65), i -> "
+        f"CAST(FLOOR(CAST({vec}[i] AS DOUBLE) * CAST({m}[i] AS DOUBLE) * {PROJ_SCALE}.0 + 0.5)"
+        f" AS BIGINT))) AS BIGINT)"
+    )
+
+
+def _bucket_sql(vec: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_proj_sql(vec, j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+
+
+@register(
+    "vec_ann_lsh",
+    f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, {_bucket_sql('embedding')} AS qbucket
+  FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT query_id, vec_id, {cosine_sql('embedding', 'qv')} AS cos_sim
+  FROM corpus JOIN q ON bucket = qbucket AND vec_id != query_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored)
+SELECT query_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
+""",
+    category="vector",
+    description=f"ANN via {N_PLANES}-plane random-hyperplane LSH bucketing + in-bucket exact rerank",
+)
+def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, _queryset(spark, sf_dir), k=5).withColumnRenamed(
+        "rank", "rnk"
+    )
+
+
+@register(
+    "vec_label_stats",
+    f"""
+WITH n AS (
+  SELECT label,
+         sqrt({fxp_dot_sql('embedding', 'embedding')} / {FXP_SCALE}.0) AS nrm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(FLOOR(nrm * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000000.0 / COUNT(*) AS avg_norm
+FROM n GROUP BY label
+""",
+    category="vector",
+    description="Per-label embedding count and mean L2 norm (fixed-point deterministic mean)",
+)
+def vec_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(fxp_dot(F.col("embedding"), F.col("embedding")).cast("double") / FXP_SCALE)
+    n = emb.select("label", nrm.alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        (
+            F.sum(F.floor(F.col("nrm") * 1_000_000_000.0 + F.lit(0.5))).cast("double")
+            / 1_000_000_000.0
+            / F.count("*")
+        ).alias("avg_norm"),
+    )

@@ -1,0 +1,86 @@
+"""Unit tests for the LLM-pipeline operator libraries (dedup, vector,
+multimodal) — semantics beyond what the oracle-parity sweep pins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from findb_spark.ops.dedup import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_banded_pairs,
+    simhash_pairs,
+)
+from findb_spark.ops.multimodal import attach_payload, decode_metadata, resize_images
+from findb_spark.ops.vector import ann_lsh_topk, cosine_topk
+from findb_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (2, "the quick brown fox jumps over the lazy dog again and once", "en"),  # near-dup of 1
+        (3, "completely different words about spark query engines at scale", "en"),
+        (4, "the quick brown fox jumps over the lazy dog again and again", "en"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING")
+
+
+def test_jaccard_finds_near_and_exact_dups(docs):
+    pairs = {(r.doc1, r.doc2): r.jaccard for r in jaccard_pairs(docs, 0.4).collect()}
+    assert pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5  # near dup
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard_on_strong_pairs(docs):
+    lsh = {(r.doc1, r.doc2) for r in minhash_lsh_pairs(docs, 0.4).collect()}
+    # exact duplicates always share every band
+    assert (1, 4) in lsh
+
+
+def test_simhash_banded_matches_exact_within_guarantee(docs):
+    exact = {(r.doc1, r.doc2, r.hamming) for r in simhash_pairs(docs, 10).collect()}
+    banded = {(r.doc1, r.doc2, r.hamming) for r in simhash_banded_pairs(docs, 10).collect()}
+    # pigeonhole: 12 bands guarantee recall for hamming <= 11 >= 10
+    assert banded == exact
+    assert (1, 4, 0) in exact  # identical docs -> identical signatures
+
+
+def test_cosine_topk_self_is_nearest(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # include self: rank 1 must be the query vector itself with cos ~ 1
+    top = cosine_topk(emb, q, k=3, exclude_self=False).orderBy("rank").collect()
+    assert top[0].vec_id == 0 and abs(top[0].cos_sim - 1.0) < 1e-9
+
+
+def test_ann_lsh_subset_of_bucket(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    rows = ann_lsh_topk(emb, q, k=5).collect()
+    assert all(r.rank <= 5 for r in rows)
+    assert all(r.vec_id != r.query_id for r in rows)
+
+
+def test_multimodal_decode_shape(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = decode_metadata(attach_payload(docs))
+    rows = out.collect()
+    assert len(rows) == 20
+    assert out.columns == ["doc_id", "n_bytes", "width", "height", "channels", "format"]
+    assert all(r.n_bytes == 16 for r in rows)  # md5 payload
+    assert all(16 <= r.width < 656 and 16 <= r.height < 496 for r in rows)
+    assert all(1 <= r.channels <= 3 for r in rows)
+
+
+def test_multimodal_stub_is_marked(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    with pytest.raises(NotImplementedError):
+        resize_images(attach_payload(docs), 64, 64)
