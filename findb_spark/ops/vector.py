@@ -32,15 +32,28 @@ PROJ_SCALE = 10**9
 N_PLANES = 6
 
 
-def fxp_dot(a: Column, b: Column) -> Column:
+def fxp_dot(a: Column, b: Column, dim: int = DIM) -> Column:
     """Deterministic fixed-point dot product of two float arrays (scaled by
-    FXP_SCALE, exact integer sum)."""
-    prod = F.zip_with(
-        a,
-        b,
-        lambda x, y: F.floor(x.cast("double") * y.cast("double") * FXP_SCALE + F.lit(0.5)),
-    )
-    return F.aggregate(prod, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    FXP_SCALE, exact integer sum).
+
+    Unrolled over the fixed dimension instead of zip_with/aggregate:
+    higher-order array functions are evaluated *interpreted* (off the
+    whole-stage-codegen path) and cost ~50x on all-pairs joins; a 64-term
+    element_at expression stays inside codegen. Integer addition is
+    associative, so the unrolled sum is bit-identical to the fold."""
+    terms = [
+        F.floor(
+            F.element_at(a, i).cast("double")
+            * F.element_at(b, i).cast("double")
+            * FXP_SCALE
+            + F.lit(0.5)
+        )
+        for i in range(1, dim + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
 
 
 def fxp_dot_sql(a: str, b: str, dim: int = DIM) -> str:
@@ -84,16 +97,82 @@ def cosine_topk(
     ).where(F.col("rank") <= k)
 
 
-def near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs form; at scale
-    run it through `lsh_buckets` blocking first)."""
-    x = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
-    y = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
-    return (
-        x.join(y, F.col("v1") < F.col("v2"))
-        .select("v1", "v2", cosine(F.col("e1"), F.col("e2")).alias("cos_sim"))
-        .where(F.col("cos_sim") >= threshold)
+def near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.4, block_size: int = 256
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — exact all-pairs semantics via
+    distributed block-nested-loop:
+
+    1. vectors are grouped into blocks of `block_size` (one shuffle);
+    2. block pairs (blk1 <= blk2) join — m^2/2 *block* rows instead of
+       n^2/2 vector rows, so no per-pair array shipping;
+    3. each block pair computes its dot-product tile as one Arrow-batched
+       numpy operation (exact fixed-point: floor(x*y*1e12+0.5) int64 sums,
+       bit-identical to the SQL oracle's per-element formula).
+
+    All-pairs stays O(n^2) by definition — at corpus scale use
+    `lsh_buckets` blocking (or MinHash over shingles for text) to bound the
+    candidate set; this operator is the exactness baseline and the
+    per-tile kernel both."""
+    b = emb.select(
+        F.floor(F.col("vec_id") / block_size).cast("int").alias("blk"),
+        "vec_id",
+        "embedding",
     )
+    blocks = b.groupBy("blk").agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("rows")
+    )
+    tile = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), F.col("x.blk") <= F.col("y.blk"))
+        .select(
+            F.col("x.blk").alias("blk1"),
+            F.col("x.rows").alias("rows1"),
+            F.col("y.blk").alias("blk2"),
+            F.col("y.rows").alias("rows2"),
+        )
+    )
+
+    def compute(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        scale = float(FXP_SCALE)
+
+        def unpack(rows):
+            ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+            mat = np.vstack([r["embedding"] for r in rows]).astype(np.float64)
+            return ids, mat
+
+        for pdf in pdfs:
+            out_v1, out_v2, out_cos = [], [], []
+            for rows1, rows2, same in zip(
+                pdf["rows1"], pdf["rows2"], (pdf["blk1"] == pdf["blk2"])
+            ):
+                ids1, m1 = unpack(rows1)
+                ids2, m2 = unpack(rows2)
+                n1 = np.sqrt(
+                    np.floor(m1 * m1 * scale + 0.5).astype(np.int64).sum(1) / scale
+                )
+                n2 = np.sqrt(
+                    np.floor(m2 * m2 * scale + 0.5).astype(np.int64).sum(1) / scale
+                )
+                for i in range(len(ids1)):
+                    dots = (
+                        np.floor(m1[i] * m2 * scale + 0.5).astype(np.int64).sum(1)
+                        / scale
+                    )
+                    cos = dots / (n1[i] * n2)
+                    mask = cos >= threshold
+                    if same:
+                        mask &= ids2 > ids1[i]
+                    if mask.any():
+                        out_v1.extend([ids1[i]] * int(mask.sum()))
+                        out_v2.extend(ids2[mask].tolist())
+                        out_cos.extend(cos[mask].tolist())
+            yield pd.DataFrame({"v1": out_v1, "v2": out_v2, "cos_sim": out_cos})
+
+    return tile.mapInPandas(compute, schema="v1 BIGINT, v2 BIGINT, cos_sim DOUBLE")
 
 
 def plane_matrix(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[int]]:

@@ -1,0 +1,170 @@
+"""Structured Streaming over the events table: tumbling/sliding windows with
+watermarked late-data handling, native session windows, and a custom
+stateful operator via ``applyInPandasWithState``.
+
+The reference engine is strictly batch (SURVEY §2.2 'Streaming' row: none),
+so these are extension operators; their *semantics* are pinned by the batch
+twins in findb_spark.ops.events — tests assert stream results (availableNow
+replay) equal the batch results on the same data.
+
+Scale: watermarks bound state (late rows beyond the watermark are dropped
+instead of growing state forever); session windows and the stateful
+operator shuffle once on user_id. File-source streaming here stands in for
+Kafka — swap ``readStream.format("kafka")`` and the plan is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: raw file schema — ts is TIMESTAMP(NANOS) in the parquet, read as long
+RAW_EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open the events table as a file-source stream (ts converted to a
+    microsecond timestamp, matching findb_spark.session.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(RAW_EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_stream(
+    events: DataFrame, duration: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming twin of
+    ops.events.tumbling_agg; countDistinct is not stream-supported, so user
+    cardinality uses approx_count_distinct)."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            (F.sum(cents).cast("double") / 100).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("bucket_start_us"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+            "sum_value",
+        )
+    )
+
+
+def sliding_stream(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window event counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("bucket_start_us"),
+            F.unix_micros(F.col("window.end")).alias("bucket_end_us"),
+            "n_events",
+        )
+    )
+
+
+def session_window_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Native session windows (gap-merged) per user — the streaming twin of
+    the batch lag/cumsum sessionization (ops.events.sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("first_ts")).alias("session_start_us"),
+            F.unix_micros(F.col("last_ts")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+STATE_SCHEMA = StructType([StructField("n_events", LongType()), StructField("sum_cents", LongType())])
+RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    event count and value total, emitted in update mode each microbatch.
+    The kind of operator Structured Streaming lacks natively (running
+    totals without windows) — the reference has no analog either; this is
+    the extension point for bespoke state machines."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100 + 0.5).floordiv(1).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> None:
+    """Replay all available input into an in-memory sink (test/verification
+    harness; production sinks are parquet/kafka via writeStream)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

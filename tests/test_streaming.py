@@ -1,0 +1,94 @@
+"""Streaming semantics tests: availableNow replay of the events file must
+reproduce the batch twins' results (the reference is batch-only, so batch
+IS the spec — SURVEY §7 phase 4 note on pinning streaming against
+deterministic replays)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from findb_spark.ops.events import sessionize, tumbling_agg
+from findb_spark.session import load_table
+from findb_spark.streaming.events_stream import (
+    read_events_stream,
+    running_user_totals,
+    session_window_stream,
+    sliding_stream,
+    tumbling_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def stream(spark, sf_dir):
+    return read_events_stream(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _replay(df, name, mode="complete"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_tumbling_stream_matches_batch(spark, stream, batch_events):
+    _replay(tumbling_stream(stream), "tumb")
+    got = {
+        (r.bucket_start_us, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM tumb").collect()
+    }
+    want = {
+        (r.bucket_start_us, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_agg(batch_events).collect()
+    }
+    assert got == want
+
+
+def test_sliding_stream_total_counts(spark, stream, batch_events):
+    _replay(sliding_stream(stream), "slide")
+    rows = spark.sql("SELECT * FROM slide").collect()
+    # each event lands in exactly duration/slide = 4 sliding windows
+    assert sum(r.n_events for r in rows) == 4 * batch_events.count()
+    assert all(r.bucket_end_us - r.bucket_start_us == 3600 * 10**6 for r in rows)
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, stream, batch_events):
+    _replay(session_window_stream(stream), "sess")
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    want = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in sessionize(batch_events).collect()
+    }
+    assert got == want
+
+
+def test_stateful_running_totals(spark, stream, batch_events):
+    _replay(running_user_totals(stream), "runtot", mode="update")
+    # last update per user == full batch aggregate
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            "SELECT user_id, max_by(n_events, n_events) AS n_events,"
+            " max_by(total_value, n_events) AS total_value FROM runtot GROUP BY user_id"
+        ).collect()
+    }
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5))
+    want = {
+        r.user_id: (r.n, r.tv)
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), (F.sum(cents).cast("double") / 100).alias("tv"))
+        .collect()
+    }
+    assert got == want
