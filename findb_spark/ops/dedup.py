@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from findb_spark.functions.hashing import hash48, perm_hash, permutation_params
-from findb_spark.ops.text import shingles
+from findb_spark.ops.text import shingles_of
 
 N_PERM = 16
 N_BANDS = 4
@@ -51,19 +51,34 @@ def exact_dedup_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sharr): per-doc distinct shingle array. Tokens materialized
+    in a lower projection so the shingle lambda doesn't re-split the text
+    per element (see ops.text.shingles_of)."""
+    return docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_t")
+    ).select("doc_id", F.array_distinct(shingles_of(F.col("_t"), n)).alias("sharr"))
+
+
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) with per-doc distinct shingles — the inverted index."""
-    return docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("text"), n))).alias("shingle"),
+    return shingle_arrays(docs, n).select(
+        "doc_id", F.explode(F.col("sharr")).alias("shingle")
     )
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity, candidates
     generated via the shared-shingle inverted-index join."""
-    sh = doc_shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    arrs = shingle_arrays(docs, n)
+    # join/aggregate on 48-bit shingle hashes, not ~20-char strings: smaller
+    # shuffle rows and integer hash tables (the oracle joins on the same
+    # hash, so any collision affects both engines identically)
+    sh = arrs.select(
+        "doc_id",
+        F.explode(F.transform(F.col("sharr"), lambda s: hash48(s))).alias("shingle"),
+    )
+    sizes = arrs.select("doc_id", F.size("sharr").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -124,8 +139,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> Da
         .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
         .distinct()
     )
-    sh = doc_shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    arrs = shingle_arrays(docs, n)
+    sh = arrs.select("doc_id", F.explode(F.col("sharr")).alias("shingle"))
+    sizes = arrs.select("doc_id", F.size("sharr").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         cand.join(a, F.col("doc1") == F.col("a.doc_id"))

@@ -99,16 +99,26 @@ def regex_token_count(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array of strings (1-based element_at,
-    mirrored exactly by the DuckDB oracle's list_transform(range...))."""
-    t = F.split(col, " ")
+def shingles_of(t: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a *pre-materialized* token-array column.
+
+    IMPORTANT: pass an attribute reference (a projected column), not an
+    inline ``F.split(...)`` — an inline split is re-evaluated inside every
+    ``element_at`` of the lambda (3n splits of the full text per shingle,
+    O(tokens^2) per document; observed 5.5 s -> 0.4 s on 5k docs)."""
     count = F.greatest(F.size(t) - (n - 1), F.lit(0))
     parts = lambda i: [F.element_at(t, i + j) for j in range(n)]  # noqa: E731
     return F.transform(
         F.sequence(F.lit(1), count),
         lambda i: F.concat_ws(" ", *parts(i)),
     )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Shingles directly from a text column (convenience; prefer projecting
+    tokens first via `shingles_of` in anything performance-sensitive —
+    1-based element_at mirrors the DuckDB oracle's list_transform(range...))."""
+    return shingles_of(F.split(col, " "), n)
 
 
 def shingles_duck(expr: str = "text", n: int = 3) -> str:
@@ -124,9 +134,11 @@ def shingles_duck(expr: str = "text", n: int = 3) -> str:
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprints: whole-text hash + minimum shingle hash (a
     1-permutation MinHash — robust to small appends)."""
-    sh = shingles(F.col("text"))
-    min_shingle = F.array_min(F.transform(sh, lambda s: hash48(s)))
-    return docs.select(
+    base = docs.select(
+        "doc_id", "text", F.split(F.col("text"), " ").alias("_t")
+    ).select("doc_id", "text", shingles_of(F.col("_t")).alias("_sh"))
+    min_shingle = F.array_min(F.transform(F.col("_sh"), lambda s: hash48(s)))
+    return base.select(
         "doc_id",
         hash48(F.col("text")).alias("text_hash"),
         min_shingle.alias("min_shingle_hash"),

@@ -56,10 +56,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
 WITH {_SH_CTE},
+shh AS (SELECT doc_id, {hash48_duck('shingle')} AS shingle FROM sh),
 {_SIZES_CTE},
 inter AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc1, doc2, inter / (sa.sz + sb.sz - inter) AS jaccard
