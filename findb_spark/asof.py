@@ -28,7 +28,7 @@ Spark-first design notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: canonical column order of a bitemporal prices table (FIXTURES.md §A1)
 PRICE_COLUMNS = ("asset_id", "date", "ts", "value")
@@ -128,6 +128,72 @@ def asof_batch(prices: DataFrame, queries: DataFrame) -> DataFrame:
     return (
         _latest_revision(["query_id", "asset_id", "date"], joined)
         .orderBy("query_id", F.desc("date"))
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "asset_id",
+    left_time: str = "qts",
+    right_time: str = "ts",
+    value_cols: tuple[str, ...] = ("ts", "value"),
+) -> DataFrame:
+    """Generic as-of join: for every left row, attach the right row with the
+    largest ``right_time <= left_time`` for the same key — the
+    trades-to-quotes join every tick store needs (generalizes the
+    reference's one-asset query shape, file.rs:37-43, to arbitrary probe
+    tables).
+
+    Implemented with the union+last_value trick, NOT a range join: tag both
+    inputs, union them, and per key take the running last known value in
+    time order. One shuffle on the key, O(n log n) within partitions, no
+    range-predicate row explosion — this is the formulation that survives
+    100 TB (a naive ``left.join(right, right.ts <= left.ts)`` is O(n*m)
+    before aggregation).
+
+    Left must carry ``left_time`` plus any payload columns; output = left
+    columns + ``matched_<c>`` for each requested right value column (NULL
+    when nothing is known yet — same semantics as the reference iterator
+    yielding nothing before the first revision, file.rs:543-556).
+    """
+    l_cols = [c for c in left.columns]
+    tagged_r = right.select(
+        F.col(on),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_q"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        *[F.lit(None).alias(f"_l_{c}") for c in l_cols if c != on],
+    )
+    tagged_l = left.select(
+        F.col(on),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_q"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in l_cols if c != on],
+    )
+    unioned = tagged_r.unionByName(tagged_l)
+    # data rows sort before probe rows at equal time => ties are inclusive
+    # (right_time == left_time matches), matching `ts <= asof` semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_t", "_is_q", *[F.col(f"_v_{c}").asc_nulls_last() for c in value_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = unioned.select(
+        on,
+        "_t",
+        "_is_q",
+        *[F.col(f"_l_{c}") for c in l_cols if c != on],
+        *[
+            F.last(F.col(f"_v_{c}"), ignorenulls=True).over(w).alias(f"matched_{c}")
+            for c in value_cols
+        ],
+    )
+    return matched.where(F.col("_is_q") == 1).select(
+        on,
+        *[F.col(f"_l_{c}").alias(c) for c in l_cols if c != on],
+        *[F.col(f"matched_{c}") for c in value_cols],
     )
 
 

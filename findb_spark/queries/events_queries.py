@@ -86,6 +86,20 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_approx_distinct",
+    None,  # HLL sketch: engine-specific estimates, no cross-engine oracle
+    category="events",
+    description="approx_count_distinct (HyperLogLog) per event type — sketch aggregation for cardinality at scale",
+)
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
     "events_funnel_pivot",
     """
 SELECT user_id,

@@ -419,6 +419,81 @@ def case_expr_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_q6_forecast_revenue",
+    """
+SELECT CAST(SUM(CAST(FLOOR((l_extendedprice * l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+         AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+""",
+    category="relational",
+    description="TPC-H Q6-style via the spark.sql front end (every op has DataFrame AND SQL form)",
+)
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(FLOOR((l_extendedprice * l_discount) * 100 + 0.5)) AS DOUBLE) / 100
+                 AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+        """
+    )
+
+
+@register(
+    "percentiles",
+    """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS median_price,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       quantile_cont(l_quantity, 0.5) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="relational",
+    description="Exact interpolated percentiles (sort-based aggregate)",
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+    )
+
+
+@register(
+    "above_group_avg",
+    """
+WITH w AS (
+  SELECT p_partkey, p_brand, p_retailprice,
+         CAST(SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT))
+              OVER (PARTITION BY p_brand) AS DOUBLE) / 100
+           / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+  FROM part
+)
+SELECT p_partkey, p_brand, p_retailprice, brand_avg
+FROM w WHERE p_retailprice > brand_avg
+""",
+    category="relational",
+    description="Correlated-subquery pattern (rows above their group mean) via window aggregate",
+)
+def above_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("p_brand")
+    cents = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+    avg = F.sum(cents).over(w).cast("double") / 100 / F.count("*").over(w)
+    return (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice", avg.alias("brand_avg"))
+        .where(F.col("p_retailprice") > F.col("brand_avg"))
+    )
+
+
+@register(
     "topk_per_group",
     """
 SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (

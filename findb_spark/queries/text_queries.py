@@ -3,7 +3,7 @@ mandate: token counting, quality scoring, language ID, fingerprinting)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from findb_spark.functions.hashing import hash48_duck
 from findb_spark.ops.text import (
@@ -100,6 +100,65 @@ FROM documents
 )
 def text_subtoken_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regex_token_count(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_hash_split",
+    f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN {hash48_duck('text')} % 10 < 8 THEN 'train'
+              WHEN {hash48_duck('text')} % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY split
+""",
+    category="text",
+    description="Deterministic hash-based train/val/test split (reproducible sampling, no RNG)",
+)
+def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.functions.hashing import hash48
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash48(F.col("text")) % 10
+    split = (
+        F.when(h < 8, "train").when(h == 8, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "text_levenshtein",
+    """
+SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE a.p_size >= 45 AND b.p_size >= 45
+  AND levenshtein(a.p_name, b.p_name) <= 20
+""",
+    category="text",
+    description="String-similarity join (edit distance within brand blocks)",
+)
+def text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") >= 45)
+    a = part.select(
+        F.col("p_partkey").alias("p1"), F.col("p_brand").alias("b1"), F.col("p_name").alias("n1")
+    )
+    b = part.select(
+        F.col("p_partkey").alias("p2"), F.col("p_brand").alias("b2"), F.col("p_name").alias("n2")
+    )
+    return (
+        a.join(b, (F.col("b1") == F.col("b2")) & (F.col("p1") < F.col("p2")))
+        .select("p1", "p2", F.levenshtein("n1", "n2").alias("edit_dist"))
+        .where(F.col("edit_dist") <= 20)
+    )
 
 
 @register(

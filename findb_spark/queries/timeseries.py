@@ -89,6 +89,99 @@ def ts_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_range_frame",
+    f"""
+WITH {_DAILY_CTE}
+SELECT asset_id, date, value,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY asset_id ORDER BY date
+                  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+         AS trailing_year_sum
+FROM daily
+""",
+    category="timeseries",
+    description="RANGE-frame window: trailing calendar-window sum keyed on the date value, not row count",
+)
+def ts_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    daily = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("asset_id")
+        .orderBy("date")
+        .rangeBetween(-10000, 0)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5))
+    return daily.select(
+        "asset_id",
+        "date",
+        "value",
+        (F.sum(cents).over(w).cast("double") / 100).alias("trailing_year_sum"),
+    )
+
+
+@register(
+    "ts_first_last",
+    f"""
+WITH {_DAILY_CTE}
+SELECT asset_id, date, value,
+       FIRST_VALUE(value) OVER w AS first_val,
+       LAST_VALUE(value) OVER w AS last_val,
+       NTH_VALUE(value, 2) OVER w AS second_val
+FROM daily
+WINDOW w AS (PARTITION BY asset_id ORDER BY date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    category="timeseries",
+    description="Analytic first/last/nth value over full-partition frames",
+)
+def ts_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    daily = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("asset_id")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return daily.select(
+        "asset_id",
+        "date",
+        "value",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )
+
+
+@register(
+    "ts_ntile_pct_rank",
+    f"""
+WITH {_DAILY_CTE}
+SELECT asset_id, date, value,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank
+FROM daily
+WINDOW w AS (PARTITION BY asset_id ORDER BY value, date)
+""",
+    category="timeseries",
+    description="Distribution ranking: NTILE quartiles + PERCENT_RANK per asset",
+)
+def ts_ntile_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("asset_id").orderBy("value", "date")
+    return daily.select(
+        "asset_id",
+        "date",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@register(
     "ts_cross_rank",
     f"""
 WITH {_DAILY_CTE}

@@ -1,0 +1,57 @@
+"""Property-based as-of semantics tests (SURVEY §5.2): Hypothesis-generated
+revision histories checked against a 10-line pandas reference model —
+mirrors the reference's exhaustive-invariant style (mem.rs:718-726)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from findb_spark.asof import asof_range
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # asset_id
+        st.sampled_from([20200101, 20200102, 20200215, 20200301]),  # date
+        st.integers(0, 30),  # ts
+        st.integers(1, 1000),  # value (int-valued doubles: no float ambiguity)
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: (r[0], r[1], r[2]),
+)
+
+QUERY = st.tuples(
+    st.integers(0, 2),
+    st.sampled_from([20200101, 20200102, 20200215, 20200301]),
+    st.sampled_from([20200102, 20200215, 20200301]),
+    st.integers(0, 30),
+)
+
+
+def pandas_asof(rows, asset, start, end, asof_ts):
+    df = pd.DataFrame(rows, columns=["asset_id", "date", "ts", "value"])
+    f = df[(df.asset_id == asset) & df.date.between(start, end) & (df.ts <= asof_ts)]
+    if f.empty:
+        return []
+    pick = f.sort_values(["date", "ts", "value"]).groupby("date").last()
+    return [(int(d), float(r.value)) for d, r in pick.sort_index(ascending=False).iterrows()]
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(rows=ROWS, query=QUERY)
+def test_asof_matches_pandas_model(spark, rows, query):
+    asset, start, end, asof_ts = query
+    prices = spark.createDataFrame(
+        [(a, d, t, float(v)) for a, d, t, v in rows],
+        schema="asset_id BIGINT, date INT, ts BIGINT, value DOUBLE",
+    )
+    got = [(r.date, r.value) for r in asof_range(prices, asset, start, end, asof_ts).collect()]
+    assert got == pandas_asof(rows, asset, start, end, asof_ts)

@@ -1,0 +1,38 @@
+"""CSV ingestion tests (reference O1 CSV scan + O2 datetime normalization,
+file.rs:591-604 + scripts/convert-datetimes.py:22-35)."""
+
+from __future__ import annotations
+
+from findb_spark.asof import asof_point
+from findb_spark.ingest import ingest_csv
+
+
+def test_ingest_normalizes_iso_and_passthrough(spark, tmp_path):
+    p = tmp_path / "raw.csv"
+    p.write_text(
+        "7,2020-01-31,2020-01-31T09:30:00,100.5\n"  # ISO forms
+        "7,20200131,40,101.5\n"  # already-normalized ints
+    )
+    rows = {r.ts: r for r in ingest_csv(spark, str(p)).collect()}
+    assert set(rows) == {1580463000, 40}  # epoch('2020-01-31T09:30:00') UTC
+    assert all(r.asset_id == 7 and r.date == 20200131 for r in rows.values())
+
+
+def test_ingest_quarantines_malformed(spark, tmp_path):
+    p = tmp_path / "raw.csv"
+    p.write_text("1,20200101,10,1.0\nbadrow,notadate,xx,oops\n2,20200101,20,2.0\n")
+    good = ingest_csv(spark, str(p))
+    assert good.count() == 2
+    kept = ingest_csv(spark, str(p), drop_malformed=False)
+    assert kept.count() == 3  # malformed fields surface as NULLs, not crashes
+
+
+def test_ingest_to_asof_roundtrip(spark, tmp_path):
+    """Full reference pipeline: CSV -> normalize -> as-of query (golden
+    semantics through the ingestion path)."""
+    p = tmp_path / "golden.csv"
+    p.write_text(
+        "0,2020-01-31,0,1.0\n0,2020-01-31,10,2.0\n0,2020-01-31,20,3.0\n"
+    )
+    prices = ingest_csv(spark, str(p))
+    assert [r.value for r in asof_point(prices, 0, 20200131, 15).collect()] == [2.0]
