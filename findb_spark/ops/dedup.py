@@ -102,13 +102,23 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> DataFr
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """k=16 MinHash signature per document (columns mh0..mh15)."""
-    hashed = doc_shingles(docs, n).select("doc_id", hash48(F.col("shingle")).alias("h"))
-    aggs = [
-        F.min(perm_hash(F.col("h"), a, b)).alias(f"mh{i}")
+    """k=16 MinHash signature per document (columns mh0..mh15).
+
+    Array-native: shingle hashes are computed once into an array column
+    (one md5 per shingle), then each permutation is an ``array_min`` over a
+    cheap affine transform — no explode, no groupBy, zero shuffles (the
+    explode+16-min-aggregates formulation shuffles every shingle row)."""
+    harr = shingle_arrays(docs, n).select(
+        "doc_id",
+        F.transform(F.col("sharr"), lambda s: hash48(s)).alias("harr"),
+    )
+    mins = [
+        F.array_min(
+            F.transform(F.col("harr"), lambda h: perm_hash(h, a, b))
+        ).alias(f"mh{i}")
         for i, (a, b) in enumerate(PERM_PARAMS)
     ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    return harr.select("doc_id", *mins)
 
 
 def _band_keys(sigs: DataFrame) -> DataFrame:
@@ -126,7 +136,14 @@ def _band_keys(sigs: DataFrame) -> DataFrame:
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> DataFrame:
     """MinHash-LSH candidate pairs, verified with exact Jaccard: candidates
     = pairs agreeing on at least one of 4 bands of 4 rows."""
-    sigs = minhash_signatures(docs, n)
+    # persist the tiny reused intermediates (doc_id + ints — orders of
+    # magnitude smaller than the text): the band self-join and the
+    # verification branches would otherwise recompute the shingle/signature
+    # DAG up to 6x. MEMORY_AND_DISK so a 100 TB corpus degrades to disk
+    # spill instead of OOM.
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = minhash_signatures(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     bands = _band_keys(sigs)
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
@@ -139,8 +156,11 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> Da
         .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
         .distinct()
     )
-    arrs = shingle_arrays(docs, n)
-    sh = arrs.select("doc_id", F.explode(F.col("sharr")).alias("shingle"))
+    arrs = shingle_arrays(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = arrs.select(
+        "doc_id",
+        F.explode(F.transform(F.col("sharr"), lambda s: hash48(s))).alias("shingle"),
+    )
     sizes = arrs.select("doc_id", F.size("sharr").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

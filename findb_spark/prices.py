@@ -46,7 +46,16 @@ def golden_prices(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(GOLDEN_ROWS, schema=PRICE_SCHEMA)
 
 
-def prices_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _yyyymmdd_to_iso(d: int) -> str:
+    return f"{d // 10000:04d}-{d // 100 % 100:02d}-{d % 100:02d}"
+
+
+def prices_from_lineitem(
+    spark: SparkSession,
+    sf_dir: str,
+    start_date: int | None = None,
+    end_date: int | None = None,
+) -> DataFrame:
     """Derive a bitemporal prices table from ``lineitem`` (FIXTURES.md §B):
     asset_id := l_partkey, date := l_shipdate as yyyymmdd int,
     ts := epoch(l_shipdate) + l_linenumber (spreads same-day rows into
@@ -54,8 +63,25 @@ def prices_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Requires session timezone UTC (findb_spark.session sets it) so
     ``unix_timestamp`` matches DuckDB's ``epoch()``.
+
+    ``start_date``/``end_date`` (yyyymmdd ints) bound the derivation on the
+    *source* column: Catalyst cannot push a predicate on the derived
+    ``date`` (a date_format projection) down to the parquet scan, but a
+    bound on ``l_shipdate`` lands in PushedFilters — at 100 TB this is the
+    difference between scanning the range and scanning the table.
+    Semantically identical to post-filtering on ``date``.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    if start_date is not None:
+        li = li.where(
+            F.col("l_shipdate") >= F.lit(_yyyymmdd_to_iso(start_date)).cast("timestamp")
+        )
+    if end_date is not None:
+        li = li.where(
+            F.col("l_shipdate") < F.date_add(
+                F.lit(_yyyymmdd_to_iso(end_date)).cast("timestamp").cast("date"), 1
+            ).cast("timestamp")
+        )
     return li.select(
         F.col("l_partkey").alias("asset_id"),
         F.date_format("l_shipdate", "yyyyMMdd").cast("int").alias("date"),

@@ -38,7 +38,8 @@ SELECT asset_id, date, ts, value FROM f WHERE rn = 1
     bench=True,
 )
 def q_asof_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prices = prices_from_lineitem(spark, sf_dir)
+    # date bounds pushed to the l_shipdate parquet scan (see prices_from_lineitem)
+    prices = prices_from_lineitem(spark, sf_dir, 19950101, 20001231)
     return asof_range(prices, 1, 19950101, 20001231, ASOF_2000)
 
 
@@ -108,7 +109,7 @@ SELECT asset_id, date, ts, value FROM f WHERE rn = 1
     bench=True,
 )
 def q_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prices = prices_from_lineitem(spark, sf_dir)
+    prices = prices_from_lineitem(spark, sf_dir, 19960101, 19961231)
     filtered = prices.where(
         F.col("date").between(19960101, 19961231) & (F.col("ts") <= ASOF_2000)
     )

@@ -128,8 +128,8 @@ cand AS (
 {_SIZES_CTE},
 inter AS (
   SELECT doc1, doc2, COUNT(*) AS inter
-  FROM cand JOIN sh a ON doc1 = a.doc_id
-            JOIN sh b ON doc2 = b.doc_id AND a.shingle = b.shingle
+  FROM cand JOIN hh a ON doc1 = a.doc_id
+            JOIN hh b ON doc2 = b.doc_id AND a.h = b.h
   GROUP BY 1, 2
 )
 SELECT doc1, doc2, inter / (sa.sz + sb.sz - inter) AS jaccard

@@ -327,6 +327,85 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only)
 
 
+@register(
+    "pivot_status",
+    """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM orders GROUP BY o_orderpriority
+""",
+    category="relational",
+    description="Pivot (wide conditional aggregation) of order status by priority",
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+    return renamed
+
+
+@register(
+    "array_agg_orders",
+    """
+SELECT o_custkey,
+       list(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+            ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS price_cents,
+       len(list(o_orderkey)) AS n_orders,
+       list_sort(list(o_orderkey))[1:3] AS first_orderkeys
+FROM orders GROUP BY o_custkey
+""",
+    category="relational",
+    description="Array aggregation: per-customer sorted price array + array slicing",
+)
+def array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list(cents)).alias("price_cents"),
+            F.count("*").alias("n_orders"),
+            F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 3).alias(
+                "first_orderkeys"
+            ),
+        )
+    )
+
+
+@register(
+    "unnest_top_tokens",
+    """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+SELECT tok, COUNT(*) AS n
+FROM t GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+""",
+    category="relational",
+    description="Explode/unnest + frequency ranking (top tokens corpus-wide)",
+)
+def unnest_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
 # --- scalar functions -----------------------------------------------------
 
 
