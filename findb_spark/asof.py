@@ -92,7 +92,7 @@ def asof_point(prices: DataFrame, asset_id: int, date: int, asof_ts: int) -> Dat
     return asof_range(prices, asset_id, date, date, asof_ts)
 
 
-def asof_batch(prices: DataFrame, queries: DataFrame) -> DataFrame:
+def asof_batch(prices: DataFrame, queries: DataFrame, prune_bounds: bool = True) -> DataFrame:
     """Batched as-of evaluation — the reference's stubbed ``bulk_query``
     (file.rs:466-468; ``Query.id`` tagging at file.rs:561-565).
 
@@ -107,7 +107,23 @@ def asof_batch(prices: DataFrame, queries: DataFrame) -> DataFrame:
     query list should prefer `asof_range` per query or pre-filter; for the
     general dynamic case the scan is bounded by the layout's partition
     pruning on ``asset_id`` via DPP when the query side is small.
+
+    ``prune_bounds``: the query table is bounded by contract (it is
+    broadcast), so one tiny driver-side aggregate over it yields *literal*
+    global bounds — min(start_date), max(end_date), max(asof_ts) — that
+    Catalyst can push into the price scan as static predicates. At 100 TB
+    this converts the full-table pass into a range scan of the covered
+    dates before the join even runs; the per-query bounds still apply in
+    the join condition.
     """
+    if prune_bounds:
+        lo, hi, ts_hi = queries.agg(
+            F.min("start_date"), F.max("end_date"), F.max("asof_ts")
+        ).first()
+        if lo is not None:
+            prices = prices.where(
+                F.col("date").between(F.lit(lo), F.lit(hi)) & (F.col("ts") <= F.lit(ts_hi))
+            )
     q = F.broadcast(queries)
     joined = prices.join(
         q,

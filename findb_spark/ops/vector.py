@@ -80,17 +80,30 @@ def cosine_sql(a: str, b: str, dim: int = DIM) -> str:
     )
 
 
+def norm(v: Column) -> Column:
+    """Fixed-point L2 norm — same float ops as the norm terms inside
+    :func:`cosine`, so precomputing it per row (not per pair) is
+    bit-identical and saves 128 of the 192 floor-terms per pair."""
+    return F.sqrt(fxp_dot(v, v).cast("double") / FXP_SCALE)
+
+
 def cosine_topk(
     emb: DataFrame, query: DataFrame, k: int = 10, exclude_self: bool = True
 ) -> DataFrame:
     """Exact top-k neighbors of each query vector (broadcast NL join +
-    per-query ranking window). ``query``: (query_id, qv array<float>)."""
-    j = emb.crossJoin(F.broadcast(query))
+    per-query ranking window). ``query``: (query_id, qv array<float>).
+
+    Norms are computed once per corpus row / query row before the join;
+    only the cross-pair dot product is evaluated per pair."""
+    corpus = emb.withColumn("_nrm", norm(F.col("embedding")))
+    q = query.withColumn("_qnrm", norm(F.col("qv")))
+    j = corpus.crossJoin(F.broadcast(q))
     if exclude_self:
         j = j.where(F.col("vec_id") != F.col("query_id"))
-    scored = j.select(
-        "query_id", "vec_id", cosine(F.col("embedding"), F.col("qv")).alias("cos_sim")
+    sim = (fxp_dot(F.col("embedding"), F.col("qv")).cast("double") / FXP_SCALE) / (
+        F.col("_nrm") * F.col("_qnrm")
     )
+    scored = j.select("query_id", "vec_id", sim.alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
     return scored.select(
         "query_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rank")
@@ -157,19 +170,23 @@ def near_dup_pairs(
                 n2 = np.sqrt(
                     np.floor(m2 * m2 * scale + 0.5).astype(np.int64).sum(1) / scale
                 )
-                for i in range(len(ids1)):
-                    dots = (
-                        np.floor(m1[i] * m2 * scale + 0.5).astype(np.int64).sum(1)
-                        / scale
-                    )
-                    cos = dots / (n1[i] * n2)
-                    mask = cos >= threshold
-                    if same:
-                        mask &= ids2 > ids1[i]
-                    if mask.any():
-                        out_v1.extend([ids1[i]] * int(mask.sum()))
-                        out_v2.extend(ids2[mask].tolist())
-                        out_cos.extend(cos[mask].tolist())
+                # whole tile in one 3-D broadcast (b x b x dim ~ 33 MB at 256):
+                # identical per-element fixed-point ops as the row loop / SQL
+                dots = (
+                    np.floor(m1[:, None, :] * m2[None, :, :] * scale + 0.5)
+                    .astype(np.int64)
+                    .sum(2)
+                    / scale
+                )
+                cos = dots / np.outer(n1, n2)
+                mask = cos >= threshold
+                if same:
+                    mask &= ids2[None, :] > ids1[:, None]
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    out_v1.extend(ids1[ii].tolist())
+                    out_v2.extend(ids2[jj].tolist())
+                    out_cos.extend(cos[ii, jj].tolist())
             yield pd.DataFrame({"v1": out_v1, "v2": out_v2, "cos_sim": out_cos})
 
     return tile.mapInPandas(compute, schema="v1 BIGINT, v2 BIGINT, cos_sim DOUBLE")
@@ -213,17 +230,20 @@ def ann_lsh_topk(emb: DataFrame, query: DataFrame, k: int = 5) -> DataFrame:
     cosine inside it. ``query``: (query_id, qv) — gets bucketed with the
     same plane matrix."""
     planes = plane_matrix()
-    corpus = lsh_buckets(emb, planes)
-    qb = lsh_buckets(
-        query.select(F.col("query_id"), F.col("qv").alias("embedding")), planes
-    ).select("query_id", F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket"))
+    corpus = lsh_buckets(emb, planes).withColumn("_nrm", norm(F.col("embedding")))
+    qb = (
+        lsh_buckets(query.select(F.col("query_id"), F.col("qv").alias("embedding")), planes)
+        .select("query_id", F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket"))
+        .withColumn("_qnrm", norm(F.col("qv")))
+    )
     j = corpus.join(
         F.broadcast(qb),
         (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
     )
-    scored = j.select(
-        "query_id", "vec_id", cosine(F.col("embedding"), F.col("qv")).alias("cos_sim")
+    sim = (fxp_dot(F.col("embedding"), F.col("qv")).cast("double") / FXP_SCALE) / (
+        F.col("_nrm") * F.col("_qnrm")
     )
+    scored = j.select("query_id", "vec_id", sim.alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
     return scored.select(
         "query_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rank")

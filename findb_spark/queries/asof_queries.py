@@ -80,7 +80,8 @@ SELECT query_id, asset_id, date, ts, value FROM j WHERE rn = 1
     bench=True,
 )
 def q_asof_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prices = prices_from_lineitem(spark, sf_dir)
+    # batch bounds are known literals here: push them to the l_shipdate scan
+    prices = prices_from_lineitem(spark, sf_dir, 19950101, 19981231)
     queries = spark.range(20).select(
         F.col("id").alias("query_id"),
         (F.col("id") + 1).alias("asset_id"),
