@@ -225,6 +225,62 @@ def lsh_buckets(emb: DataFrame, planes: list[list[int]] | None = None) -> DataFr
     return emb.withColumn("bucket", bucket.cast("bigint"))
 
 
+IVF_STRIDE = 100
+
+
+def ivf_assign(emb: DataFrame, stride: int = IVF_STRIDE) -> DataFrame:
+    """IVF coarse quantization: every ``stride``-th vector is a centroid
+    (deterministic, RNG-free — the role k-means centroids play in a real
+    IVF index); each vector joins the cluster of its max-cosine centroid.
+
+    The centroid set is tiny (n/stride rows) and broadcast, so assignment
+    is one scan of the corpus with no shuffle — the plan shape a trained
+    k-means codebook would use identically at 100 TB. Ties break to the
+    smallest centroid id. Returns (vec_id, embedding, cluster)."""
+    cents = emb.where((F.col("vec_id") % stride) == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    j = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        cosine(F.col("embedding"), F.col("cvec")).alias("_cos"),
+    )
+    return j.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("cent_id"), F.struct(F.col("_cos"), (-F.col("cent_id")).alias("_nc"))
+        ).alias("cluster"),
+        F.first("embedding").alias("embedding"),
+    ).select("vec_id", "embedding", "cluster")
+
+
+def ivf_topk(emb: DataFrame, k: int = 5, stride: int = IVF_STRIDE) -> DataFrame:
+    """IVF-style ANN top-k: probe only the query's coarse cluster
+    (nprobe=1), exact cosine rerank inside it. Queries are the vectors with
+    vec_id < 3 (same convention as the other search specs). Complements
+    `ann_lsh_topk`: same probe-join shape, codebook partitioning instead of
+    hyperplane bucketing."""
+    assigned = ivf_assign(emb, stride).withColumn("_nrm", norm(F.col("embedding")))
+    q = assigned.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("cluster").alias("qcluster"),
+        F.col("_nrm").alias("_qnrm"),
+    )
+    j = assigned.join(
+        F.broadcast(q),
+        (F.col("cluster") == F.col("qcluster")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    sim = (fxp_dot(F.col("embedding"), F.col("qv")).cast("double") / FXP_SCALE) / (
+        F.col("_nrm") * F.col("_qnrm")
+    )
+    scored = j.select("query_id", "vec_id", sim.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return scored.select(
+        "query_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)
+
+
 def ann_lsh_topk(emb: DataFrame, query: DataFrame, k: int = 5) -> DataFrame:
     """Approximate top-k: probe only the query's LSH bucket, rank by exact
     cosine inside it. ``query``: (query_id, qv) — gets bucketed with the

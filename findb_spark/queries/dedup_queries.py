@@ -192,3 +192,30 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 10
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=10)
+
+
+@register(
+    "dedup_exact_apply",
+    f"""
+WITH h AS (SELECT doc_id, {hash48_duck('text')} AS h FROM documents),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM h GROUP BY h)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN keep USING (doc_id)
+""",
+    category="dedup",
+    description="Apply exact dedup: keep the lowest-doc_id canonical per text-hash cluster (semi-join back to the corpus)",
+)
+def dedup_exact_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.functions.hashing import hash48
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        docs.select("doc_id", hash48(F.col("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

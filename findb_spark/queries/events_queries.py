@@ -100,6 +100,34 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_retention",
+    """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id)
+SELECT CAST(strftime(first_day, '%Y%m%d') AS INT) AS cohort_day,
+       date_diff('day', first_day, day) AS age_days,
+       COUNT(*) AS n_users
+FROM d JOIN f ON d.user_id = f.user_id
+GROUP BY 1, 2
+""",
+    category="events",
+    description="Cohort retention: users active N days after their first-seen day",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    f = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        d.join(f, "user_id")
+        .groupBy(
+            F.date_format("first_day", "yyyyMMdd").cast("int").alias("cohort_day"),
+            F.datediff("day", "first_day").alias("age_days"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
     "events_funnel_pivot",
     """
 SELECT user_id,

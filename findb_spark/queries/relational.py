@@ -573,6 +573,170 @@ def above_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_agg",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       COUNT(*) AS n,
+       {fxp_sum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+""",
+    category="relational",
+    description="Explicit GROUPING SETS with GROUPING() markers (generalizes rollup/cube)",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+                 AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT {fxp_avg_sql('o_totalprice')} FROM orders)
+""",
+    category="relational",
+    description="Uncorrelated scalar subquery (global mean) as a broadcast single-row join",
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    avg = orders.agg(fxp_avg(F.col("o_totalprice"), "thr"))
+    return (
+        orders.join(F.broadcast(avg))
+        .where(F.col("o_totalprice") > F.col("thr"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(n_cust, 0) AS n_customers,
+       COALESCE(n_supp, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""",
+    category="relational",
+    description="Full-outer join of per-nation customer and supplier counts",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "regexp_funcs",
+    r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+       CASE WHEN regexp_matches(p_type, 'BRUSHED') THEN 1 ELSE 0 END AS is_brushed
+FROM part WHERE p_partkey % 10 = 0
+""",
+    category="relational",
+    description="Regular-expression scalar functions: extract, replace-all, match",
+)
+def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 10 == 0)
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+            F.regexp_replace("p_name", "[aeiou]", "").alias("devoweled"),
+            F.when(F.col("p_type").rlike("BRUSHED"), 1).otherwise(0).alias("is_brushed"),
+        )
+    )
+
+
+@register(
+    "window_navigation",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       DENSE_RANK() OVER w AS drnk,
+       CUME_DIST() OVER w AS cdist,
+       LEAD(o_orderkey, 1) OVER w AS next_orderkey,
+       NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS second_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    category="relational",
+    description="Navigation/distribution window functions: dense_rank, cume_dist, lead, nth_value",
+)
+def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.dense_rank().over(w).alias("drnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_orderkey"),
+    )
+
+
+@register(
+    "q18_big_orders",
+    f"""
+WITH big AS (
+  SELECT l_orderkey, {fxp_sum_sql('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {fxp_sum_sql('l_quantity')} > 150
+)
+SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+""",
+    category="relational",
+    description="TPC-H Q18-style: IN-subquery over a grouped HAVING, planned as aggregate + join",
+)
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(fxp_sum(F.col("l_quantity"), "sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "sum_qty"
+    )
+
+
+@register(
     "topk_per_group",
     """
 SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (

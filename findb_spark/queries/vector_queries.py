@@ -117,6 +117,42 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vec_ann_ivf",
+    f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0
+),
+sc AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         {cosine_sql('e.embedding', 'c.cvec')} AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+asg AS (
+  SELECT vec_id, embedding, cent_id AS cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+    FROM sc) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, cluster FROM asg WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, a.vec_id, {cosine_sql('a.embedding', 'q.qv')} AS cos_sim
+  FROM asg a JOIN q ON a.cluster = q.cluster AND a.vec_id != q.query_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored)
+SELECT query_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
+""",
+    category="vector",
+    description="IVF-style ANN: deterministic coarse-centroid assignment (broadcast codebook), nprobe=1 cluster probe, exact in-cluster rerank",
+)
+def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.vector import ivf_topk
+
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), k=5).withColumnRenamed(
+        "rank", "rnk"
+    )
+
+
+@register(
     "vec_label_stats",
     f"""
 WITH n AS (
