@@ -39,6 +39,17 @@ def hash48_duck(expr: str) -> str:
     ).format(e=expr)
 
 
+def hexparse_duck(expr: str, start: str | int, length: int) -> str:
+    """DuckDB SQL parsing ``length`` hex chars of string ``expr`` beginning
+    at 1-based position ``start`` (an int or a SQL expression) as a bigint.
+    Exact for length <= 13 (16^13 < 2^53)."""
+    return (
+        f"CAST(list_sum([ (strpos('0123456789abcdef',"
+        f" ({expr})[({start}) + i - 1 : ({start}) + i - 1]) - 1)"
+        f" * (16.0 ** ({length} - i)) for i in range(1, {length + 1}) ]) AS BIGINT)"
+    )
+
+
 def perm_hash(h48: Column, a: int, b: int) -> Column:
     """The i-th MinHash permutation: ``(a * (h % P) + b) % P`` with
     P = 2^31-1. Exact in signed 64-bit on both engines."""

@@ -22,24 +22,10 @@ RAW_SCHEMA = StructType(
 )
 
 
-def ingest_csv(
-    spark: SparkSession, path: str, drop_malformed: bool = True
-) -> DataFrame:
-    """Read headerless ``asset_id,date,timestamp,value`` CSV where date/ts may
-    be ISO strings (pre-conversion form) or already-normalized ints, and
-    produce the canonical prices schema (FIXTURES.md §A1).
-
-    Normalization (mirrors convert-datetimes.py):
-    - date: 'YYYY-MM-DD' -> int yyyymmdd; digit strings pass through
-    - ts:   ISO timestamp -> epoch seconds; digit strings pass through
-
-    All casts are ``try_cast`` (ANSI-safe): malformed fields become NULL, and
-    rows with any NULL key field are dropped when ``drop_malformed`` (the
-    reference panics instead, file.rs:597-602 — at 100 TB a single bad row
-    must not kill the load).
-    """
-    raw = spark.read.csv(path, schema=RAW_SCHEMA, header=False)
-
+def _normalize(raw: DataFrame, drop_malformed: bool) -> DataFrame:
+    """Shared normalization: string fields (possibly ISO dates/timestamps or
+    already-normalized digit strings) -> canonical prices schema, with
+    try_cast quarantine instead of ANSI throw."""
     date_col = (
         F.when(
             F.col("date").rlike(r"^\d+$"), F.expr("try_cast(date AS INT)")
@@ -67,3 +53,35 @@ def ingest_csv(
             & F.col("value").isNotNull()
         )
     return out
+
+
+def ingest_json(
+    spark: SparkSession, path: str, drop_malformed: bool = True
+) -> DataFrame:
+    """Read newline-delimited JSON records with fields
+    ``asset_id/date/ts/value`` (same normalization contract as
+    `ingest_csv`). The explicit all-string schema defers typing to the
+    same try_cast quarantine — a malformed record yields NULLs, never an
+    executor exception."""
+    raw = spark.read.schema(RAW_SCHEMA).json(path)
+    return _normalize(raw, drop_malformed)
+
+
+def ingest_csv(
+    spark: SparkSession, path: str, drop_malformed: bool = True
+) -> DataFrame:
+    """Read headerless ``asset_id,date,timestamp,value`` CSV where date/ts may
+    be ISO strings (pre-conversion form) or already-normalized ints, and
+    produce the canonical prices schema (FIXTURES.md §A1).
+
+    Normalization (mirrors convert-datetimes.py):
+    - date: 'YYYY-MM-DD' -> int yyyymmdd; digit strings pass through
+    - ts:   ISO timestamp -> epoch seconds; digit strings pass through
+
+    All casts are ``try_cast`` (ANSI-safe): malformed fields become NULL, and
+    rows with any NULL key field are dropped when ``drop_malformed`` (the
+    reference panics instead, file.rs:597-602 — at 100 TB a single bad row
+    must not kill the load).
+    """
+    raw = spark.read.csv(path, schema=RAW_SCHEMA, header=False)
+    return _normalize(raw, drop_malformed)

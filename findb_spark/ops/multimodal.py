@@ -81,10 +81,52 @@ def resize_images(with_payload: DataFrame, width: int, height: int) -> DataFrame
     )
 
 
+#: schema of the frame-sampling step: one output row per sampled frame
+FRAMES_SCHEMA = "doc_id BIGINT, frame_index INT, frame_key BIGINT"
+
+#: bytes per synthetic "frame" inside a payload
+FRAME_BYTES = 4
+
+
+def sample_frames(with_payload: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling with REAL Spark plumbing and a deterministic fake
+    decoder (no ffmpeg in container): the payload is treated as a
+    concatenation of 4-byte frames; every ``every_n``-th frame is emitted
+    as (doc_id, frame_index, frame_key), a row-expanding (1 -> n_frames)
+    Arrow-batched mapInPandas — the exact batch shape a real
+    ffmpeg-backed sampler would have (replace the int.from_bytes with a
+    frame decode + feature hash).
+
+    Scale: expansion happens executor-side inside the Arrow batch; no
+    shuffle. Downstream per-frame ops see a normal DataFrame."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, keys = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // FRAME_BYTES
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    keys.append(
+                        int.from_bytes(
+                            payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES], "big"
+                        )
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_index": pd.array(idxs, dtype="int32"), "frame_key": keys}
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        batches, schema=FRAMES_SCHEMA
+    )
+
+
 def sample_video_frames(with_payload: DataFrame, every_n: int) -> DataFrame:
-    """STUB: frame sampling requires ffmpeg bindings absent from this
-    container. Same mapInPandas shape as decode_metadata."""
+    """STUB: real video frame sampling requires ffmpeg bindings absent from
+    this container; `sample_frames` above is the real-plumbing synthetic
+    form to swap a decoder into."""
     raise NotImplementedError(
         "video frame sampling requires ffmpeg (not in container); "
-        "wire through mapInPandas like decode_metadata"
+        "see sample_frames for the mapInPandas shape to wire a decoder into"
     )

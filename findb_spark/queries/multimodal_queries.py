@@ -6,8 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from findb_spark.functions.hashing import hash48, hash48_duck
-from findb_spark.ops.multimodal import attach_payload, decode_metadata
+from findb_spark.functions.hashing import hash48, hash48_duck, hexparse_duck
+from findb_spark.ops.multimodal import attach_payload, decode_metadata, sample_frames
 from findb_spark.registry import register
 from findb_spark.session import load_table
 
@@ -33,6 +33,22 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(16) + h % 640).alias("width"),
         (F.lit(16) + F.floor(h / 640).cast("bigint") % 480).alias("height"),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+SELECT doc_id,
+       CAST(2 * f AS INT) AS frame_index,
+       {hexparse_duck('md5(text)', '16 * f + 1', 8)} AS frame_key
+FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS f) t
+""",
+    category="multimodal",
+    description="Row-expanding frame sampling (every 2nd 4-byte frame of the payload) through Arrow-batched mapInPandas; deterministic fake decode, real batch shape",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(docs), every_n=2)
 
 
 @register(

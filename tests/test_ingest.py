@@ -4,7 +4,7 @@ file.rs:591-604 + scripts/convert-datetimes.py:22-35)."""
 from __future__ import annotations
 
 from findb_spark.asof import asof_point
-from findb_spark.ingest import ingest_csv
+from findb_spark.ingest import ingest_csv, ingest_json
 
 
 def test_ingest_normalizes_iso_and_passthrough(spark, tmp_path):
@@ -25,6 +25,21 @@ def test_ingest_quarantines_malformed(spark, tmp_path):
     assert good.count() == 2
     kept = ingest_csv(spark, str(p), drop_malformed=False)
     assert kept.count() == 3  # malformed fields surface as NULLs, not crashes
+
+
+def test_ingest_json_matches_csv(spark, tmp_path):
+    """JSON source: same normalization contract as CSV, including
+    quarantine of malformed records."""
+    j = tmp_path / "raw.jsonl"
+    j.write_text(
+        '{"asset_id": "7", "date": "2020-01-31", "ts": "2020-01-31T09:30:00", "value": "100.5"}\n'
+        '{"asset_id": "7", "date": "20200131", "ts": "40", "value": "101.5"}\n'
+        '{"asset_id": "bad", "date": "nope", "ts": "xx", "value": "oops"}\n'
+    )
+    rows = {r.ts: r for r in ingest_json(spark, str(j)).collect()}
+    assert set(rows) == {1580463000, 40}
+    assert all(r.asset_id == 7 and r.date == 20200131 for r in rows.values())
+    assert ingest_json(spark, str(j), drop_malformed=False).count() == 3
 
 
 def test_ingest_to_asof_roundtrip(spark, tmp_path):

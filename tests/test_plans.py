@@ -1,0 +1,64 @@
+"""Physical-plan shape tests — the 100 TB design contract, pinned.
+
+The reference's efficiency property is "seek + proportional scan, never a
+full-table pass" (golden pages_read counts, file.rs:699-710). The Spark
+equivalents are plan properties, asserted here so a regression in layout,
+filter placement, or join strategy fails CI rather than silently turning
+into a 100x slowdown at cluster scale:
+
+- as-of queries: predicate pushdown to the parquet scan (asset equality +
+  date bounds in PushedFilters) and column pruning (ReadSchema);
+- star joins: dimension sides broadcast (no shuffle of the fact table for
+  the join), no SortMergeJoin at fixture scale;
+- as-of dedup: partial (map-side) max_by aggregation, bounded exchanges.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from findb_spark.registry import all_specs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_specs()[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_asof_range_pushdown_and_pruning(spark):
+    p = _plan(spark, "asof_range")
+    # asset equality + derivation date bounds reach the parquet scan
+    assert "EqualTo(l_partkey,1)" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_shipdate" in p
+    # column pruning: the scan reads only the 4 derivation columns
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert read_schema.split("struct<", 1)[1].count(":") == 4, read_schema
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    p = _plan(spark, "q5_region_revenue")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
+
+
+def test_asof_dedup_is_partial_aggregatable(spark):
+    """max_by combines map-side: the shuffle moves at most one row per
+    (asset, date) per map partition, not every revision."""
+    p = _plan(spark, "asof_snapshot_all_assets")
+    assert "partial_max_by" in p
+    # one aggregation exchange (plan text mentions each node once in the
+    # tree and once in details)
+    assert p.count("Exchange") <= 2
+
+
+def test_batched_asof_broadcasts_queries(spark):
+    p = _plan(spark, "asof_batch")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "partial_max_by" in p
