@@ -65,6 +65,32 @@ def write_prices(
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    n_buckets: int = 8,
+    key: str = "asset_id",
+    sort_cols: tuple[str, ...] = ("asset_id", "date", "ts"),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed layout: pre-shuffle ONCE at write time so every later join
+    or aggregation on ``key`` runs with NO exchange (co-located joins).
+
+    At 100 TB this is the difference between shuffling the fact table per
+    query and never shuffling it at all: two tables bucketed by the same
+    key and count sort-merge-join directly file-to-file. The bucket count
+    is a layout contract — pick it for target-scale task sizing (buckets ~=
+    cluster cores at the largest join), not per-query."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(*sort_cols)
+        .option("path", path)
+        .saveAsTable(table_name)
+    )
+
+
 def read_prices(spark: SparkSession, path: str) -> DataFrame:
     """Open a clustered prices table (keeps the ``date_month`` partition
     column when present — findb_spark.asof derives partition predicates

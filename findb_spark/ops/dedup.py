@@ -70,7 +70,12 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity, candidates
     generated via the shared-shingle inverted-index join."""
-    arrs = shingle_arrays(docs, n)
+    from pyspark.storagelevel import StorageLevel
+
+    # the shingle arrays feed both the inverted index (twice, via the
+    # self-join) and the size branch — persist the tokenized form so the
+    # md5-per-shingle pass runs once, not three times
+    arrs = shingle_arrays(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     # join/aggregate on 48-bit shingle hashes, not ~20-char strings: smaller
     # shuffle rows and integer hash tables (the oracle joins on the same
     # hash, so any collision affects both engines identically)

@@ -75,6 +75,60 @@ def cumulative_sum(daily: DataFrame, scale: int = 100) -> DataFrame:
     )
 
 
+def resample_ffill(daily: DataFrame) -> DataFrame:
+    """Calendar resample + forward fill: densify each asset's series to
+    every calendar day between its first and last observation, carrying
+    the last known value forward — the gap-fill every daily-bar store
+    needs (markets close; joins expect dense axes).
+
+    Plan shape: per-asset min/max (one partial-aggregated shuffle),
+    ``sequence()`` + ``explode`` to build the dense calendar
+    executor-side (no driver loop), left join back to observations
+    (shuffle on (asset_id, date)), then one per-asset ordered window for
+    the ignore-nulls forward fill. Output: (asset_id, date, value,
+    is_observed)."""
+    obs = daily.select(
+        "asset_id",
+        F.to_date(F.col("date").cast("string"), "yyyyMMdd").alias("d"),
+        "value",
+    )
+    bounds = obs.groupBy("asset_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    calendar = bounds.select(
+        "asset_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    j = calendar.join(obs, ["asset_id", "d"], "left")
+    w = (
+        Window.partitionBy("asset_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "asset_id",
+        F.date_format("d", "yyyyMMdd").cast("int").alias("date"),
+        F.last("value", ignorenulls=True).over(w).alias("value"),
+        F.col("value").isNotNull().cast("int").alias("is_observed"),
+    )
+
+
+def vwap(prices: DataFrame, qty_col: str = "qty") -> DataFrame:
+    """Volume-weighted average price per (asset, month): exact fixed-point
+    sums of qty and qty*price, one double divide at the end — the standard
+    daily/monthly bar statistic, deterministic under any partitioning."""
+    month = F.floor(F.col("date") / 100).cast("int").alias("month")
+    pq = F.floor(F.col("value") * F.col(qty_col) * 100 + F.lit(0.5))
+    q = F.floor(F.col(qty_col) * 100 + F.lit(0.5))
+    return (
+        prices.groupBy("asset_id", month)
+        .agg(
+            (F.sum(pq).cast("double") / F.sum(q).cast("double")).alias("vwap"),
+            (F.sum(q).cast("double") / 100).alias("total_qty"),
+            F.count("*").alias("n_trades"),
+        )
+    )
+
+
 def cross_sectional_rank(daily: DataFrame) -> DataFrame:
     """Rank assets per date by value (dense ranking, deterministic ties)."""
     w = Window.partitionBy("date").orderBy(F.desc("value"), "asset_id")

@@ -182,6 +182,123 @@ def ts_ntile_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_resample_ffill",
+    f"""
+WITH {_DAILY_CTE},
+obs AS (
+  SELECT asset_id, strptime(CAST(date AS VARCHAR), '%Y%m%d')::DATE AS d, value
+  FROM daily
+),
+b AS (SELECT asset_id, MIN(d) AS d0, MAX(d) AS d1 FROM obs GROUP BY asset_id),
+cal AS (
+  SELECT asset_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d FROM b
+),
+j AS (
+  SELECT cal.asset_id, cal.d, obs.value
+  FROM cal LEFT JOIN obs ON cal.asset_id = obs.asset_id AND cal.d = obs.d
+)
+SELECT asset_id,
+       CAST(strftime(d, '%Y%m%d') AS INT) AS date,
+       LAST_VALUE(value IGNORE NULLS)
+         OVER (PARTITION BY asset_id ORDER BY d ROWS UNBOUNDED PRECEDING) AS value,
+       CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END AS is_observed
+FROM j
+""",
+    category="timeseries",
+    description="Calendar resample + forward fill: dense per-asset daily axis (sequence/explode), last observation carried forward",
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.finance import resample_ffill
+
+    return resample_ffill(_daily(spark, sf_dir))
+
+
+@register(
+    "ts_vwap",
+    """
+SELECT l_partkey AS asset_id,
+       CAST(strftime(l_shipdate, '%Y%m') AS INT) AS month,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS vwap,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_qty,
+       COUNT(*) AS n_trades
+FROM lineitem GROUP BY 1, 2
+""",
+    category="timeseries",
+    description="Volume-weighted average price per (asset, month) — exact fixed-point sums, single divide",
+)
+def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.finance import vwap
+    from findb_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("asset_id"),
+        F.date_format("l_shipdate", "yyyyMMdd").cast("int").alias("date"),
+        F.col("l_extendedprice").alias("value"),
+        F.col("l_quantity").alias("qty"),
+    )
+    return vwap(li, "qty")
+
+
+@register(
+    "stats_corr",
+    """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sx,
+         SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS sy,
+         SUM(CAST(FLOOR(l_quantity) AS BIGINT) * CAST(FLOOR(l_extendedprice) AS BIGINT)) AS sxy,
+         SUM(CAST(FLOOR(l_quantity) AS BIGINT) * CAST(FLOOR(l_quantity) AS BIGINT)) AS sxx,
+         SUM(CAST(FLOOR(l_extendedprice) AS BIGINT) * CAST(FLOOR(l_extendedprice) AS BIGINT)) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr_qty_price,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS covar_qty_price
+FROM s
+""",
+    category="timeseries",
+    description="Deterministic Pearson correlation / sample covariance from exact integer moment sums (floored units)",
+)
+def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from findb_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity")).cast("bigint")
+    y = F.floor(F.col("l_extendedprice")).cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = nd * sxyd - sxd * syd
+    return s.select(
+        "l_returnflag",
+        "n",
+        (num / (F.sqrt(nd * sxxd - sxd * sxd) * F.sqrt(nd * syyd - syd * syd))).alias(
+            "corr_qty_price"
+        ),
+        (num / (nd * (nd - F.lit(1.0)))).alias("covar_qty_price"),
+    )
+
+
+@register(
     "ts_cross_rank",
     f"""
 WITH {_DAILY_CTE}

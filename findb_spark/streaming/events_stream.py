@@ -157,6 +157,25 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so state size is bounded by the watermark horizon
+    — the streaming form of the batch exact-dedup operator (at-least-once
+    sources like Kafka redeliver; this restores effectively-once)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def enriched_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a small static
+    dimension (broadcast — the static side is re-read per microbatch, never
+    shuffled with the stream). The standard pattern for attaching slowly
+    changing reference data to a live stream."""
+    return events.join(F.broadcast(dim), "user_id", "left")
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> None:
     """Replay all available input into an in-memory sink (test/verification
     harness; production sinks are parquet/kafka via writeStream)."""

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 from findb_spark.ops.events import sessionize, tumbling_agg
 from findb_spark.session import load_table
 from findb_spark.streaming.events_stream import (
+    dedup_stream,
+    enriched_stream,
     read_events_stream,
     running_user_totals,
     session_window_stream,
@@ -72,6 +74,28 @@ def test_session_window_stream_matches_batch_sessionize(spark, stream, batch_eve
         for r in sessionize(batch_events).collect()
     }
     assert got == want
+
+
+def test_dedup_stream_drops_duplicate_event_ids(spark, stream, batch_events):
+    _replay(dedup_stream(stream).select("event_id"), "dedup", mode="append")
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup").first()
+    want = batch_events.select("event_id").distinct().count()
+    assert got.n == got.d == want
+
+
+def test_enriched_stream_static_join(spark, stream, batch_events):
+    dim = (
+        batch_events.groupBy("user_id")
+        .agg(F.count("*").alias("lifetime_events"))
+    )
+    _replay(
+        enriched_stream(stream, dim).select("event_id", "user_id", "lifetime_events"),
+        "enrich",
+        mode="append",
+    )
+    rows = spark.sql("SELECT * FROM enrich").collect()
+    assert len(rows) == batch_events.count()
+    assert all(r.lifetime_events is not None and r.lifetime_events > 0 for r in rows)
 
 
 def test_stateful_running_totals(spark, stream, batch_events):
