@@ -1,0 +1,52 @@
+"""Banded interval (range) join.
+
+Vanilla Spark plans a point-in-interval predicate join as a broadcast
+nested loop (fine when one side is tiny) or, worse, a cartesian product.
+The scale-safe formulation bins time: explode each interval into the
+coarse bins it overlaps, equi-join points to bins (a plain hash
+shuffle/broadcast join Catalyst optimizes normally), then post-filter
+exact containment. Shuffle volume is O(points + intervals x
+bins_per_interval) instead of O(points x intervals).
+
+This is the standard banding trick for range joins (same family as the
+date-bin mitigation SURVEY §4.3 suggests for the as-of batch join; an
+engine like Databricks' range-join hint automates exactly this).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_days: int = 92,
+) -> DataFrame:
+    """Join point rows (``point_col``: DateType) to interval rows
+    (``[start_col, end_col)`` DateType, end exclusive) via day-binned
+    equi-join + exact post-filter. Output: all point columns + all
+    interval columns, one row per containment."""
+    pb = points.withColumn(
+        "_bin", F.floor(F.unix_date(F.col(point_col)) / bin_days).cast("bigint")
+    )
+    ib = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_date(F.col(start_col)) / bin_days).cast("bigint"),
+                # end is exclusive: the last covered day is end - 1
+                F.floor((F.unix_date(F.col(end_col)) - 1) / bin_days).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        pb.join(F.broadcast(ib), "_bin")
+        .where(
+            (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("_bin")
+    )

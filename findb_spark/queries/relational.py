@@ -737,6 +737,124 @@ def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q14_promo_revenue",
+    """
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         * 100 AS promo_pct,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+""",
+    category="relational",
+    description="TPC-H Q14-style promo revenue share: conditional aggregate over a broadcast dim join",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))).cast("double")
+                / F.sum(cents).cast("double")
+                * 100
+            ).alias("promo_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    f"""
+SELECT {fxp_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 40)
+   OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 50)
+""",
+    category="relational",
+    description="TPC-H Q19-style OR-of-ANDs predicates across both join sides (tests disjunctive pushdown/plan)",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return j.where(cond).agg(
+        fxp_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "range_join_quarters",
+    f"""
+WITH w AS (
+  SELECT y * 10 + q AS window_id,
+         make_date(y, 3 * q - 2, 1) AS ws,
+         make_date(y, 3 * q - 2, 1) + INTERVAL 3 MONTH AS we
+  FROM (SELECT unnest([1992, 1993, 1994, 1995, 1996, 1997, 1998]) AS y) ys
+  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS q) qs
+)
+SELECT window_id, COUNT(*) AS n_rows,
+       {fxp_sum_sql('l_extendedprice')} AS revenue
+FROM lineitem JOIN w
+  ON CAST(l_shipdate AS DATE) >= ws AND CAST(l_shipdate AS DATE) < we
+GROUP BY window_id
+""",
+    category="relational",
+    description="Point-in-interval range join via day-binned equi-join + exact post-filter (ops.interval.interval_join — no cartesian blowup at scale)",
+)
+def range_join_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.interval import interval_join
+
+    quarters = [(y, q) for y in range(1992, 1999) for q in (1, 2, 3, 4)]
+    w = spark.createDataFrame(quarters, "y INT, q INT").select(
+        (F.col("y") * 10 + F.col("q")).alias("window_id"),
+        F.make_date("y", F.col("q") * 3 - 2, F.lit(1)).alias("ws"),
+        F.add_months(F.make_date("y", F.col("q") * 3 - 2, F.lit(1)), 3).alias("we"),
+    )
+    points = load_table(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").alias("pd"), "l_extendedprice"
+    )
+    return (
+        interval_join(points, w, "pd", "ws", "we")
+        .groupBy("window_id")
+        .agg(F.count("*").alias("n_rows"), fxp_sum(F.col("l_extendedprice"), "revenue"))
+    )
+
+
+@register(
     "topk_per_group",
     """
 SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
