@@ -177,3 +177,37 @@ FROM documents
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_udtf_sentences",
+    """
+SELECT doc_id,
+       CAST(generate_subscripts(parts, 1) - 1 AS INT) AS sentence_idx,
+       unnest(parts) AS sentence
+FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents)
+""",
+    category="text",
+    description="Python UDTF (Spark 4 table-function extension point) splitting documents into sentences via LATERAL join",
+)
+def text_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's UDTF extension point: a user-defined *table* function
+    consumed through a SQL LATERAL join. Row-expanding Python logic that
+    doesn't fit mapInPandas' 1:1-batch shape goes here; for anything
+    vectorizable prefer explode/split (the oracle shows this exact query
+    IS SQL-expressible — the UDTF form exists to pin the extension
+    mechanism itself)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sentence_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+            for i, s in enumerate(text.split(". ")):
+                yield doc_id, i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf_v")
+    return spark.sql(
+        "SELECT s.doc_id, s.sentence_idx, s.sentence "
+        "FROM documents_udtf_v, LATERAL split_sentences(doc_id, text) s"
+    )

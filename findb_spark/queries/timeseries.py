@@ -299,6 +299,57 @@ def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_linreg_slope",
+    f"""
+WITH {_DAILY_CTE},
+m AS (
+  SELECT asset_id,
+         COUNT(*) AS n,
+         SUM(CAST(date_diff('day', DATE '1970-01-01',
+                            strptime(CAST(date AS VARCHAR), '%Y%m%d')::DATE) AS BIGINT)) AS sx,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sy,
+         SUM(CAST(date_diff('day', DATE '1970-01-01',
+                            strptime(CAST(date AS VARCHAR), '%Y%m%d')::DATE) AS BIGINT)
+             * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sxy,
+         SUM(CAST(date_diff('day', DATE '1970-01-01',
+                            strptime(CAST(date AS VARCHAR), '%Y%m%d')::DATE) AS BIGINT)
+             * CAST(date_diff('day', DATE '1970-01-01',
+                              strptime(CAST(date AS VARCHAR), '%Y%m%d')::DATE) AS BIGINT)) AS sxx
+  FROM daily GROUP BY asset_id
+)
+SELECT asset_id, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         / 100 AS slope_per_day
+FROM m WHERE n > 1
+""",
+    category="timeseries",
+    description="Per-asset OLS trend slope (value vs calendar day) from exact integer moment sums — deterministic regression without ML libs",
+)
+def ts_linreg_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    daily = _daily(spark, sf_dir)
+    x = F.unix_date(F.to_date(F.col("date").cast("string"), "yyyyMMdd")).cast("bigint")
+    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    m = daily.groupBy("asset_id").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    return m.where(F.col("n") > 1).select(
+        "asset_id",
+        "n",
+        ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) / 100).alias("slope_per_day"),
+    )
+
+
+@register(
     "ts_cross_rank",
     f"""
 WITH {_DAILY_CTE}
