@@ -144,3 +144,46 @@ FROM events GROUP BY user_id
 )
 def events_funnel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_type_pivot(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_funnel_conversion",
+    """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+       SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                THEN 1 ELSE 0 END) AS n_click_after_view,
+       SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+                THEN 1 ELSE 0 END) AS n_full_funnel
+FROM per_user
+""",
+    category="events",
+    description="Ordered funnel conversion (first view -> later click -> later purchase) via conditional min timestamps",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    step1 = F.col("t_view").isNotNull()
+    step2 = step1 & (F.col("t_click") > F.col("t_view"))
+    step3 = step2 & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(step1.cast("int")).alias("n_view"),
+        F.sum(step2.cast("int")).alias("n_click_after_view"),
+        F.sum(step3.cast("int")).alias("n_full_funnel"),
+    )

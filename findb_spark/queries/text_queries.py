@@ -211,3 +211,50 @@ def text_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.doc_id, s.sentence_idx, s.sentence "
         "FROM documents_udtf_v, LATERAL split_sentences(doc_id, text) s"
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf,
+         CAST(tf.tf AS DOUBLE) * (CAST(n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE))
+           AS score
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tok) AS rnk FROM scored)
+SELECT doc_id, tok, tf, score, rnk FROM r WHERE rnk <= 3
+""",
+    category="text",
+    description="Top-3 distinguishing terms per document by tf-idf (ratio idf — no transcendentals, so scores are bit-identical cross-engine)",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf with ``idf = (N+1)/(df+1)`` instead of the usual log form:
+    ranking is order-equivalent per document (log is monotone), and the
+    score stays a pure rational of exact integers — deterministic across
+    engines, where ``ln`` differs by ULPs between libm implementations."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df, "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        (
+            F.col("tf").cast("double")
+            * (F.lit(float(n_docs + 1)) / (F.col("df") + 1).cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return scored.select(
+        "doc_id", "tok", "tf", "score", F.row_number().over(w).alias("rnk")
+    ).where(F.col("rnk") <= 3)
