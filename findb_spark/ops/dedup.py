@@ -67,9 +67,30 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(doc1, doc2, inter) + per-doc sizes -> thresholded Jaccard pairs."""
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            (
+                F.col("inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity, candidates
-    generated via the shared-shingle inverted-index join."""
+    generated via the shared-shingle inverted-index join. The right form
+    while sum(df^2) over shingles stays manageable; `jaccard_pairs_prefix`
+    is the lossless prefix-filtered form for corpora where common shingles
+    make this quadratic."""
     from pyspark.storagelevel import StorageLevel
 
     # the shingle arrays feed both the inverted index (twice, via the
@@ -90,20 +111,72 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> DataFr
         .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .agg(F.count("*").alias("inter"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
-        .select(
-            "doc1",
-            "doc2",
-            (
-                F.col("inter")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+    return _jaccard_from_inter(inter, sizes, threshold)
+
+
+def jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> DataFrame:
+    """Scale path: exact Jaccard pairs with **prefix-filtered** candidate
+    generation (the SSJoin/PPJoin family): order each document's shingles
+    by ascending global document frequency (rarest first, ties by hash)
+    and index only the first ``|S| - ceil(t*|S|) + 1``. A pair with
+    Jaccard >= t must share >= ceil(t*|S|) shingles and therefore shares
+    at least one *prefix* element — lossless for the threshold — while
+    the high-df shingles that make the naive co-shingle join quadratic
+    never enter the candidate join. Verification recomputes the exact
+    intersection on candidates only, so results are identical to
+    `jaccard_pairs`.
+
+    Costs one extra aggregate (df) + one window (per-doc rank) over
+    (doc_id, hash) int pairs — linear — which only pays off once
+    sum(df^2) dominates; at driver scale the naive join is faster, so
+    this variant is the documented 100 TB form (same relationship as
+    simhash_banded_pairs to simhash_pairs)."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    arrs = shingle_arrays(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    hh = arrs.select(
+        "doc_id",
+        F.explode(F.transform(F.col("sharr"), lambda s: hash48(s))).alias("shingle"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = arrs.select("doc_id", F.size("sharr").alias("sz"))
+
+    dfreq = hh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    rnk = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+    ranked = hh.join(dfreq, "shingle").select(
+        "doc_id", "shingle", F.row_number().over(rnk).alias("_rnk")
     )
+    plen = sizes.select(
+        "doc_id",
+        (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).alias("_plen"),
+    )
+    pref = (
+        ranked.join(plen, "doc_id")
+        .where(F.col("_rnk") <= F.col("_plen"))
+        .select("doc_id", "shingle")
+    )
+    x, y = pref.alias("x"), pref.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
+        .distinct()
+    )
+    a, b = hh.alias("a"), hh.alias("b")
+    inter = (
+        cand.join(a, F.col("doc1") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("doc2") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, threshold)
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:

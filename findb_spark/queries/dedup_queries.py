@@ -14,6 +14,7 @@ from findb_spark.ops.dedup import (
     SIMHASH_BITS,
     exact_dedup_stats,
     jaccard_pairs,
+    jaccard_pairs_prefix,
     minhash_lsh_pairs,
     minhash_signatures,
     simhash_pairs,
@@ -73,6 +74,28 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.4)
+
+
+@register(
+    "dedup_jaccard_prefix",
+    f"""
+WITH {_SH_CTE},
+shh AS (SELECT doc_id, {hash48_duck('shingle')} AS shingle FROM sh),
+{_SIZES_CTE},
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+  FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, inter / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON doc1 = sa.doc_id JOIN sizes sb ON doc2 = sb.doc_id
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+""",
+    category="dedup",
+    description="Prefix-filtered (SSJoin) exact-Jaccard scale path — lossless candidate pruning, identical results to the inverted-index form (same oracle)",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs_prefix(load_table(spark, sf_dir, "documents"), threshold=0.4)
 
 
 _MH_COLS_SQL = ",\n       ".join(
