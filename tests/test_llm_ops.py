@@ -84,3 +84,11 @@ def test_multimodal_stub_is_marked(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(1)
     with pytest.raises(NotImplementedError):
         resize_images(attach_payload(docs), 64, 64)
+
+
+def test_jaccard_prefix_equals_inverted_index(docs):
+    from findb_spark.ops.dedup import jaccard_pairs, jaccard_pairs_prefix
+
+    naive = sorted(map(tuple, jaccard_pairs(docs, threshold=0.2).collect()))
+    pref = sorted(map(tuple, jaccard_pairs_prefix(docs, threshold=0.2).collect()))
+    assert naive == pref and len(naive) > 0
