@@ -55,3 +55,61 @@ def test_asof_matches_pandas_model(spark, rows, query):
     )
     got = [(r.date, r.value) for r in asof_range(prices, asset, start, end, asof_ts).collect()]
     assert got == pandas_asof(rows, asset, start, end, asof_ts)
+
+
+RIGHT_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # key
+        st.integers(0, 50),  # ts
+        st.integers(1, 1000),  # value
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+PROBES = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 55)),  # key, qts
+    min_size=1,
+    max_size=15,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(rows=RIGHT_ROWS, probes=PROBES)
+def test_asof_join_matches_pandas_merge_asof(spark, rows, probes):
+    """Generic as-of join vs pandas.merge_asof (backward, exact matches
+    allowed) — an independent reference implementation of the same
+    semantics."""
+    from findb_spark.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(k, t, float(v)) for k, t, v in rows],
+        schema="asset_id BIGINT, ts BIGINT, value DOUBLE",
+    )
+    left = spark.createDataFrame(probes, schema="asset_id BIGINT, qts BIGINT")
+    got = {
+        (r.asset_id, r.qts): (r.matched_ts, r.matched_value)
+        for r in asof_join(left, right).collect()
+    }
+
+    rdf = pd.DataFrame(rows, columns=["asset_id", "ts", "value"]).sort_values("ts")
+    ldf = pd.DataFrame(probes, columns=["asset_id", "qts"]).sort_values("qts")
+    m = pd.merge_asof(
+        ldf, rdf, left_on="qts", right_on="ts", by="asset_id", direction="backward"
+    )
+    want = {
+        (int(r.asset_id), int(r.qts)): (
+            None if pd.isna(r.ts) else int(r.ts),
+            None if pd.isna(r.value) else float(r.value),
+        )
+        for r in m.itertuples()
+    }
+    assert got == want
