@@ -53,9 +53,17 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode",
-    None,  # mapInPandas decode: non-SQL-expressible, rows-only check
+    f"""
+SELECT doc_id,
+       16 AS n_bytes,
+       CAST(16 + ({hexparse_duck('md5(text)', 1, 4)} % 640) AS INT) AS width,
+       CAST(16 + ({hexparse_duck('md5(text)', 5, 4)} % 480) AS INT) AS height,
+       CAST(1 + ({hexparse_duck('md5(text)', 9, 2)} % 3) AS INT) AS channels,
+       'fake' AS format
+FROM documents
+""",
     category="multimodal",
-    description="Arrow-batched image-decode pipeline over binary payloads (deterministic fake decode)",
+    description="Arrow-batched image-decode pipeline over binary payloads (deterministic fake decode, hex-parse oracle twin)",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -855,6 +855,58 @@ def range_join_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_filtered_bools",
+    """
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc,
+       bool_and(l_quantity > 0) AS all_positive_qty,
+       bool_or(l_tax > 0.07) AS any_high_tax,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="relational",
+    description="FILTER-clause conditional count + boolean aggregates (bool_and/bool_or)",
+)
+def agg_filtered_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_high_disc"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "orders_month_over_month",
+    f"""
+WITH m AS (
+  SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month,
+         {fxp_sum_sql('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       revenue - LAG(revenue) OVER (ORDER BY month) AS mom_delta
+FROM m
+""",
+    category="relational",
+    description="Window over an aggregate: monthly revenue with month-over-month delta",
+)
+def orders_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyyMM").cast("int").alias("month"))
+        .agg(fxp_sum(F.col("o_totalprice"), "revenue"))
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("mom_delta"),
+    )
+
+
+@register(
     "topk_per_group",
     """
 SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
