@@ -23,6 +23,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(sf_dir)
 
+    if not only:
+        # the driver's t1 smoke: entry(spark) must run and yield rows
+        smoke = entrymod.entry(spark).collect()
+        print(f"SMOKE entry: {len(smoke)} rows")
+        assert len(smoke) > 0, "entry() returned no rows"
+
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     n_checked = n_failed = n_noora = 0
