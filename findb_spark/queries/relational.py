@@ -934,3 +934,23 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 3)
     )
+
+
+@register(
+    "global_topn",
+    """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+""",
+    category="relational",
+    description="Global top-N (TakeOrderedAndProject: per-partition heaps + driver merge, never a full sort)",
+)
+def global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
