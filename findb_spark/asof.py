@@ -154,12 +154,15 @@ def asof_join(
     left_time: str = "qts",
     right_time: str = "ts",
     value_cols: tuple[str, ...] = ("ts", "value"),
+    direction: str = "backward",
 ) -> DataFrame:
     """Generic as-of join: for every left row, attach the right row with the
     largest ``right_time <= left_time`` for the same key — the
     trades-to-quotes join every tick store needs (generalizes the
     reference's one-asset query shape, file.rs:37-43, to arbitrary probe
-    tables).
+    tables). ``direction='forward'`` instead attaches the *smallest*
+    ``right_time >= left_time`` (next-known-value semantics); both
+    directions include exact-time matches.
 
     Implemented with the union+last_value trick, NOT a range join: tag both
     inputs, union them, and per key take the running last known value in
@@ -188,12 +191,18 @@ def asof_join(
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
         *[F.col(c).alias(f"_l_{c}") for c in l_cols if c != on],
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     unioned = tagged_r.unionByName(tagged_l)
     # data rows sort before probe rows at equal time => ties are inclusive
-    # (right_time == left_time matches), matching `ts <= asof` semantics
+    # (right_time == left_time matches), matching `ts <= asof` semantics.
+    # forward direction = the same running last-known-value scan over a
+    # time-descending order (next value >= t is the last one seen walking
+    # backward from +inf).
+    t_order = F.col("_t") if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy("_t", "_is_q", *[F.col(f"_v_{c}").asc_nulls_last() for c in value_cols])
+        .orderBy(t_order, "_is_q", *[F.col(f"_v_{c}").asc_nulls_last() for c in value_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = unioned.select(

@@ -176,6 +176,41 @@ def enriched_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(dim), "user_id", "left")
 
 
+def view_click_join_stream(
+    events: DataFrame, within: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream self-join: each view matched to the same user's clicks
+    within ``within`` afterwards. Both sides carry watermarks and the join
+    condition bounds event time in both directions, so Spark can expire
+    join state (unbounded stream-stream joins would buffer forever).
+    Append-mode only, per stream-stream inner join semantics."""
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return views.join(
+        clicks,
+        F.expr(
+            f"user_id = c_user_id AND click_ts >= view_ts "
+            f"AND click_ts <= view_ts + interval {within}"
+        ),
+    ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> None:
     """Replay all available input into an in-memory sink (test/verification
     harness; production sinks are parquet/kafka via writeStream)."""

@@ -116,3 +116,32 @@ def test_stateful_running_totals(spark, stream, batch_events):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, stream, batch_events):
+    from findb_spark.streaming.events_stream import view_click_join_stream
+
+    _replay(view_click_join_stream(stream), "ssj", mode="append")
+    got = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    v = batch_events.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    )
+    c = batch_events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    want = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in v.join(
+            c,
+            F.expr(
+                "user_id = c_user_id AND click_ts >= view_ts "
+                "AND click_ts <= view_ts + interval 30 minutes"
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
