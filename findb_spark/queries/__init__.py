@@ -9,4 +9,5 @@ from findb_spark.queries import (  # noqa: F401
     dedup_queries,
     vector_queries,
     multimodal_queries,
+    udf_queries,
 )
