@@ -10,4 +10,5 @@ from findb_spark.queries import (  # noqa: F401
     vector_queries,
     multimodal_queries,
     udf_queries,
+    tpch_suite,
 )
