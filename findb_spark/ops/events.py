@@ -70,3 +70,35 @@ def event_type_pivot(events: DataFrame) -> DataFrame:
         for t in ("view", "click", "purchase", "signup", "error")
     ]
     return events.groupBy("user_id").agg(*agg, F.count("*").alias("n_total"))
+
+
+def hourly_anomaly(events: DataFrame, z_thresh: float = 2.0, min_hours: int = 3) -> DataFrame:
+    """Per-user hourly-activity anomaly detection: hours whose event count
+    sits more than ``z_thresh`` population standard deviations above the
+    user's own mean hourly count.
+
+    Two map-side-combinable aggregations (hour bucket, then per-user moment
+    sums) + one join keyed on user_id — no window over raw events, so the
+    heavy table is touched once. Moments (n, sum, sum-of-squares) are exact
+    integers; mean/variance/z are a fixed double expression tree over them,
+    bit-identical on any IEEE-754 engine (same pattern as finance.stats_corr).
+    """
+    hourly = events.groupBy(
+        F.col("user_id"),
+        F.unix_micros(F.window("ts", "1 hour").start).alias("hour_us"),
+    ).agg(F.count("*").alias("cnt"))
+    stats = hourly.groupBy("user_id").agg(
+        F.count("*").alias("n_h"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_h")
+    var_num = (F.col("n_h") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    var = var_num / (F.col("n_h") * F.col("n_h")).cast("double")
+    z = (F.col("cnt").cast("double") - mean) / F.sqrt(var)
+    return (
+        hourly.join(stats, "user_id")
+        .where((F.col("n_h") >= min_hours) & (var_num > 0))
+        .select("user_id", "hour_us", "cnt", z.alias("z"))
+        .where(F.col("z") > F.lit(z_thresh))
+    )

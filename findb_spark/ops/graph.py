@@ -1,0 +1,101 @@
+"""Distributed connected components — the clustering step of a dedup
+pipeline (near-dup *pairs* -> duplicate *clusters* -> canonical doc).
+
+The reference has no graph/iterative machinery at all (SURVEY §2.2; its
+only iteration is the B+tree leaf walk, `file.rs:526-570`), but any
+production dedup over pair output needs this step, so it ships as a
+first-class operator of the LLM-pipeline surface (BASELINE.json mandate).
+
+Algorithm: iterative **min-label propagation**. Every node starts labeled
+with itself; each round a node adopts the minimum label among itself and
+its neighbors; at fixpoint every node carries the minimum node id of its
+component. Rounds = graph diameter.
+
+Scale design (100 TB posture):
+
+- Each round is one shuffle (join on the edge endpoint + groupBy node) —
+  both keyed on node id, so AQE coalesces and co-partitions them; edges
+  are persisted once (MEMORY_AND_DISK) and reused every round.
+- `localCheckpoint` after every round truncates the lineage chain;
+  without it the plan doubles per iteration and the DAG scheduler, not
+  the data, becomes the bottleneck.
+- Convergence is detected by the monotone invariant sum(label): labels
+  only ever decrease, so an unchanged sum == fixpoint. One cheap
+  aggregate per round, no change-join.
+- Near-dup graphs have tiny diameters (duplicate clusters are dense), so
+  rounds stay single-digit. For adversarial long-chain graphs the
+  standard upgrade is large-star/small-star (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14) which converges in
+  O(log^2 n) rounds with the same per-round shape; the propagation loop
+  below is the right default while diameter << log-squared bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+DEFAULT_MAX_ITER = 50
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = DEFAULT_MAX_ITER,
+) -> DataFrame:
+    """(node, cluster_id) for every node appearing in ``edges``, where
+    ``cluster_id`` is the minimum node id of the node's connected
+    component. Edges are treated as undirected; self-loops are harmless.
+    """
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    adj = und.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = (
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+
+    for _ in range(max_iter):
+        # each node offers its label to every neighbor; a node keeps the
+        # min of its own label and all offers
+        offers = adj.join(
+            labels.select(F.col("node").alias("v2"), "cluster_id"),
+            adj.v == F.col("v2"),
+        ).select(F.col("u").alias("node"), "cluster_id")
+        labels = (
+            labels.union(offers)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+    adj.unpersist()
+    return labels
+
+
+def dedup_cluster_assignment(
+    docs: DataFrame, pairs: DataFrame, doc_id: str = "doc_id"
+) -> DataFrame:
+    """Assign every document a ``cluster_id`` (= min doc_id of its
+    near-duplicate component; docs with no near-dup pair are their own
+    cluster). ``pairs`` is any (doc1, doc2) near-dup pair output, e.g.
+    `ops.dedup.minhash_lsh_pairs`. Keeping rows where
+    ``doc_id == cluster_id`` then applies the dedup."""
+    comp = connected_components(pairs, src="doc1", dst="doc2")
+    return docs.join(
+        comp.select(F.col("node").alias(doc_id), "cluster_id"), doc_id, "left"
+    ).select(
+        doc_id,
+        F.coalesce(F.col("cluster_id"), F.col(doc_id)).alias("cluster_id"),
+    )

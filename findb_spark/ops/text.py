@@ -143,3 +143,33 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         hash48(F.col("text")).alias("text_hash"),
         min_shingle.alias("min_shingle_hash"),
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document repetition signals — the standard 'gibberish / boilerplate'
+    quality gate of a training-data pipeline: share of the most frequent
+    token, and the fraction of duplicated word bigrams.
+
+    Array-native per row (no explode, no shuffle): the per-doc token count
+    is small, so the O(distinct * n) most-frequent scan stays cheap and
+    entirely inside whole-stage codegen. All outputs are single-division
+    rationals of exact integers — bit-identical cross-engine."""
+    t = tokens()
+    n = F.size(t)
+    top_tf = F.array_max(
+        F.transform(F.array_distinct(t), lambda x: F.size(F.filter(t, lambda y: y == x)))
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
+    )
+    nb = F.size(bigrams)
+    dup_bigram_ratio = F.when(n < F.lit(2), F.lit(0.0)).otherwise(
+        (nb - F.size(F.array_distinct(bigrams))) / nb
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (top_tf / n).alias("top_token_share"),
+        dup_bigram_ratio.alias("dup_bigram_ratio"),
+    )

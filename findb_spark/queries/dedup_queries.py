@@ -218,6 +218,56 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_SH_CTE},
+{_SIGS_CTE},
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id
+),
+{_SIZES_CTE},
+inter AS (
+  SELECT doc1, doc2, COUNT(*) AS inter
+  FROM cand JOIN hh a ON doc1 = a.doc_id
+            JOIN hh b ON doc2 = b.doc_id AND a.h = b.h
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc1, doc2
+  FROM inter JOIN sizes sa ON doc1 = sa.doc_id JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+),
+edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+          UNION ALL SELECT doc2, doc1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
+""",
+    category="dedup",
+    description=(
+        "Near-dup clustering: connected components (iterative min-label "
+        "propagation, ops/graph.py) over MinHash-LSH verified pairs; every "
+        "doc gets the min doc_id of its duplicate component (oracle: "
+        "recursive-CTE transitive closure)"
+    ),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.graph import dedup_cluster_assignment
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.4).select("doc1", "doc2")
+    return dedup_cluster_assignment(docs, pairs)
+
+
+@register(
     "dedup_exact_apply",
     f"""
 WITH h AS (SELECT doc_id, {hash48_duck('text')} AS h FROM documents),

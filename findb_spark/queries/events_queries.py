@@ -187,3 +187,36 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(step2.cast("int")).alias("n_click_after_view"),
         F.sum(step3.cast("int")).alias("n_full_funnel"),
     )
+
+
+@register(
+    "events_hourly_anomaly",
+    """
+WITH hourly AS (
+  SELECT user_id, epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS hour_us,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT user_id, COUNT(*) AS n_h, SUM(cnt) AS s, SUM(cnt * cnt) AS ss
+  FROM hourly GROUP BY user_id
+)
+SELECT * FROM (
+  SELECT user_id, hour_us, cnt,
+         (CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / n_h)
+           / sqrt(CAST(n_h * ss - s * s AS DOUBLE) / CAST(n_h * n_h AS DOUBLE)) AS z
+  FROM hourly JOIN stats USING (user_id)
+  WHERE n_h >= 3 AND n_h * ss - s * s > 0
+) WHERE z > 2.0
+""",
+    category="events",
+    description=(
+        "Per-user hourly activity anomalies: hours > 2 population std-devs "
+        "above the user's mean hourly count (exact moment sums -> identical "
+        "double tree, cross-engine deterministic)"
+    ),
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.events import hourly_anomaly
+
+    return hourly_anomaly(load_table(spark, sf_dir, "events"))

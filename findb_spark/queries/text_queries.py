@@ -258,3 +258,62 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "tok", "tf", "score", F.row_number().over(w).alias("rnk")
     ).where(F.col("rnk") <= 3)
+
+
+@register(
+    "text_repetition",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       list_max(list_transform(list_distinct(toks),
+                               x -> len(list_filter(toks, y -> y = x))))
+         / len(toks) AS top_token_share,
+       CASE WHEN len(toks) < 2 THEN 0.0
+            ELSE (len(toks) - 1
+                  - len(list_distinct(list_transform(range(1, len(toks)),
+                                                     i -> toks[i] || ' ' || toks[i+1]))))
+                 / (len(toks) - 1) END AS dup_bigram_ratio
+FROM t
+""",
+    category="text",
+    description=(
+        "Repetition-based quality gate: most-frequent-token share + duplicated "
+        "word-bigram fraction per document (array-native, zero-shuffle)"
+    ),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.text import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_stratified",
+    f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {hash48_duck("CAST(doc_id AS VARCHAR) || ':' || lang")} % 100 <
+      CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+""",
+    category="text",
+    description=(
+        "Deterministic stratified sampling: per-language keep rates (downsample "
+        "the dominant language) via doc-keyed hash gates — reproducible on any "
+        "engine, no RNG, no sampleBy seed drift"
+    ),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sample: keep 20% of English docs, 60% of every
+    other language. The gate is ``hash48(doc_id ':' lang) % 100 < rate`` —
+    a pure per-row filter (pushdown-friendly, embarrassingly parallel, and
+    stable under reruns/backfills, unlike ``df.sampleBy`` whose output
+    depends on seed + partitioning)."""
+    from findb_spark.functions.hashing import hash48
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = hash48(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))
+    ) % 100
+    rate = F.when(F.col("lang") == "en", 20).otherwise(60)
+    return docs.where(gate < rate).select("doc_id", "lang", "source", "n_chars")

@@ -1,0 +1,75 @@
+"""Connected-components correctness: min-label propagation vs a driver-side
+union-find model, on fixed and randomized (seeded) edge sets."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from findb_spark.ops.graph import connected_components, dedup_cluster_assignment
+
+
+def _model(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find ground truth: node -> min node id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, edges: list[tuple[int, int]]) -> None:
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        (r.node, r.cluster_id)
+        for r in connected_components(df).collect()
+    }
+    assert got == set(_model(edges).items())
+
+
+def test_two_components_and_chain(spark):
+    # one 4-chain (diameter > 1 forces multiple propagation rounds) + a pair
+    _check(spark, [(7, 3), (3, 9), (9, 11), (20, 21)])
+
+
+def test_self_loop_and_duplicate_edges(spark):
+    _check(spark, [(5, 5), (1, 2), (2, 1), (1, 2)])
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_random_graphs_match_union_find(spark, seed):
+    rng = random.Random(seed)
+    nodes = list(range(60))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(45)
+    ]
+    _check(spark, edges)
+
+
+def test_long_path_converges(spark):
+    # path graph 0-1-2-...-12: worst-case diameter for label propagation
+    _check(spark, [(i, i + 1) for i in range(12)])
+
+
+def test_cluster_assignment_covers_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id bigint")
+    pairs = spark.createDataFrame([(4, 1), (2, 4)], "doc1 bigint, doc2 bigint")
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_cluster_assignment(docs, pairs).collect()
+    }
+    assert got == {(0, 0), (1, 1), (2, 1), (3, 3), (4, 1), (5, 5)}
