@@ -85,3 +85,19 @@ def ingest_csv(
     """
     raw = spark.read.csv(path, schema=RAW_SCHEMA, header=False)
     return _normalize(raw, drop_malformed)
+
+
+def ingest_orc(
+    spark: SparkSession, path: str, drop_malformed: bool = True
+) -> DataFrame:
+    """Read ORC files carrying the raw ``asset_id/date/ts/value`` columns
+    (any ORC-representable types — normalized through the same try_cast
+    quarantine as the CSV/JSON paths, so a malformed field NULLs out
+    instead of throwing under ANSI mode)."""
+    raw = spark.read.orc(path).select(
+        F.col("asset_id").cast("string"),
+        F.col("date").cast("string"),
+        F.col("ts").cast("string"),
+        F.col("value").cast("string"),
+    )
+    return _normalize(raw, drop_malformed)

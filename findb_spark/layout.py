@@ -143,3 +143,40 @@ def scan_metrics(df: DataFrame) -> list[dict[str, int]]:
 
     walk(df._jdf.queryExecution().executedPlan())
     return out
+
+
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Small-file compaction: rewrite a clustered prices table into files
+    sized for scan efficiency, preserving the clustering contract.
+
+    Incremental/streaming appends fragment a table into many small files;
+    at 100 TB the resulting listing + per-file open overhead dominates scan
+    time (and row-group stats lose their pruning power because every file
+    covers a sliver of the key space). Compaction = one
+    ``repartitionByRange`` sized from the actual byte footprint, then the
+    same sortWithinPartitions as the bulk load — the table comes out
+    exactly as if it had been bulk-loaded in one pass (reference analog:
+    re-running write_from_iterator, file.rs:296-379).
+
+    Returns {files_before, files_after, rows}.
+    """
+    df = spark.read.parquet(src_path)
+    files_before = len(df.inputFiles())
+    # actual on-disk footprint -> partition count (>=1)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jvm_path).getLength()
+    n_parts = max(1, -(-total_bytes // target_file_bytes))
+    out = cluster_prices(df.select(*PRICE_COLUMNS), int(n_parts))
+    out.write.mode("overwrite").parquet(dest_path)
+    compacted = spark.read.parquet(dest_path)
+    return {
+        "files_before": files_before,
+        "files_after": len(compacted.inputFiles()),
+        "rows": compacted.count(),
+    }

@@ -51,3 +51,21 @@ def test_ingest_to_asof_roundtrip(spark, tmp_path):
     )
     prices = ingest_csv(spark, str(p))
     assert [r.value for r in asof_point(prices, 0, 20200131, 15).collect()] == [2.0]
+
+
+def test_ingest_orc_matches_csv(spark, tmp_path):
+    """ORC source: typed columns (int/timestamp) normalize to the same
+    canonical schema as the CSV/JSON string paths."""
+    from pyspark.sql import functions as F
+    from findb_spark.ingest import ingest_orc
+
+    src = spark.createDataFrame(
+        [(7, "2020-01-31", "2020-01-31T09:30:00", 100.5), (7, "20200131", "40", 101.5)],
+        "asset_id int, date string, ts string, value double",
+    )
+    path = str(tmp_path / "raw_orc")
+    src.write.orc(path)
+    rows = {r.ts: r for r in ingest_orc(spark, path).collect()}
+    assert set(rows) == {1580463000, 40}
+    assert all(r.asset_id == 7 and r.date == 20200131 for r in rows.values())
+    assert rows[40].value == 101.5
