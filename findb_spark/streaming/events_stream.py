@@ -222,3 +222,23 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> No
         .start()
     )
     q.awaitTermination()
+
+
+def stream_to_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str, mode: str = "append"
+) -> None:
+    """Exactly-once parquet sink: the file sink's output manifest plus the
+    checkpointed source offsets make restarts idempotent — a re-run against
+    the same checkpoint re-emits nothing, a crash mid-batch replays the
+    batch and the manifest hides the partial output from readers. This is
+    the production landing path for streams (the batch layout's compact()
+    then defragments what the micro-batches wrote)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -145,3 +145,23 @@ def test_stream_stream_join_matches_batch(spark, stream, batch_events):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_parquet_sink_exactly_once_restart(spark, sf_dir, tmp_path):
+    """The file sink + checkpoint must be idempotent under restart: a second
+    run over the same (fully consumed) source emits zero new rows."""
+    from findb_spark.streaming.events_stream import (
+        read_events_stream,
+        stream_to_parquet,
+    )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+    stream_to_parquet(stream, out, ckpt)
+    n_batch = spark.read.parquet(sf_dir + "/events.parquet").count()
+    assert spark.read.parquet(out).count() == n_batch
+
+    # restart against the same checkpoint: offsets are committed, no dupes
+    stream2 = read_events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+    stream_to_parquet(stream2, out, ckpt)
+    assert spark.read.parquet(out).count() == n_batch
