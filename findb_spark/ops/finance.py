@@ -135,3 +135,34 @@ def cross_sectional_rank(daily: DataFrame) -> DataFrame:
     return daily.select(
         "asset_id", "date", "value", F.row_number().over(w).alias("value_rank")
     )
+
+
+def monthly_ohlc_bars(prices: DataFrame) -> DataFrame:
+    """Monthly OHLC bars from the raw revision stream: open/close = value at
+    the earliest/latest (date, ts) in the month (ties broken by value for
+    cross-engine determinism), high/low = extreme values, n_rev = revisions.
+
+    Two-phase: a window keyed (asset_id, month) tags each row with the
+    bar's open/close, then a groupBy on the same key folds extremes — the
+    window's exchange is reused by the aggregation (one shuffle total).
+    open/high/low/close are *selected* raw values, never sums, so no
+    fixed-point treatment is needed.
+    """
+    month = F.expr("date div 100").cast("int")
+    base = prices.withColumn("month", month)
+    w = Window.partitionBy("asset_id", "month").orderBy("date", "ts", "value")
+    w_desc = Window.partitionBy("asset_id", "month").orderBy(
+        F.desc("date"), F.desc("ts"), F.desc("value")
+    )
+    return (
+        base.withColumn("open", F.first("value").over(w))
+        .withColumn("close", F.first("value").over(w_desc))
+        .groupBy("asset_id", "month")
+        .agg(
+            F.min("open").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min("close").alias("close"),
+            F.count("*").alias("n_rev"),
+        )
+    )

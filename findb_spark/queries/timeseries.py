@@ -362,3 +362,32 @@ FROM daily
 )
 def ts_cross_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_sectional_rank(_daily(spark, sf_dir))
+
+
+@register(
+    "ts_ohlc_bars",
+    f"""
+WITH {PRICES_ORACLE_CTE},
+b AS (
+  SELECT asset_id, CAST(date // 100 AS INT) AS month, value,
+         FIRST_VALUE(value) OVER (PARTITION BY asset_id, date // 100
+                                  ORDER BY date, ts, value) AS open,
+         FIRST_VALUE(value) OVER (PARTITION BY asset_id, date // 100
+                                  ORDER BY date DESC, ts DESC, value DESC) AS close
+  FROM prices_v
+)
+SELECT asset_id, month, MIN(open) AS open, MAX(value) AS high,
+       MIN(value) AS low, MIN(close) AS close, COUNT(*) AS n_rev
+FROM b GROUP BY asset_id, month
+""",
+    category="timeseries",
+    description=(
+        "Monthly OHLC bars over the raw revision stream (window-tagged "
+        "open/close + grouped extremes, one shuffle; deterministic "
+        "tiebreaks, no sums -> exact cross-engine)"
+    ),
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.finance import monthly_ohlc_bars
+
+    return monthly_ohlc_bars(prices_from_lineitem(spark, sf_dir))

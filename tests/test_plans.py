@@ -62,3 +62,31 @@ def test_batched_asof_broadcasts_queries(spark):
     p = _plan(spark, "asof_batch")
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "partial_max_by" in p
+
+
+def test_q9_single_fact_scan_all_dims_broadcast(spark):
+    """Q9's five-way join: lineitem scanned once, every dimension broadcast
+    except the orders equi-join (orders ~ fact-sized, left to AQE)."""
+    p = _plan(spark, "q9_product_profit")
+    locations = [l for l in p.splitlines() if "Location:" in l]
+    assert sum("lineitem" in l for l in locations) == 1, locations
+    assert p.count("BroadcastHashJoin") >= 3
+    # the part filter is pushed to the part scan, not evaluated post-join
+    assert "StringContains(p_name,widget)" in p
+
+
+def test_q21_semi_anti_join_strategy(spark):
+    """EXISTS/NOT EXISTS decorrelation: planned as semi + anti joins (no
+    cartesian fallback despite the non-equi l_suppkey <> predicate)."""
+    p = _plan(spark, "q21_sole_return_supplier")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ohlc_single_shuffle_for_window_and_agg(spark):
+    """Window tag + groupBy on the same (asset_id, month) key: the window's
+    exchange must be reused — exactly one shuffle over the prices rows."""
+    p = _plan(spark, "ts_ohlc_bars")
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, p  # asc + desc window sorts share partitioning
