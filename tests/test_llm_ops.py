@@ -92,3 +92,34 @@ def test_jaccard_prefix_equals_inverted_index(docs):
     naive = sorted(map(tuple, jaccard_pairs(docs, threshold=0.2).collect()))
     pref = sorted(map(tuple, jaccard_pairs_prefix(docs, threshold=0.2).collect()))
     assert naive == pref and len(naive) > 0
+
+
+def test_ann_recall_improves_with_probes(spark, sf_dir):
+    """Recall@5 vs the exact top-k: the nprobe dial must buy recall
+    (measured 0.53 / 0.93 at nprobe=1/4 on the driver's embeddings), and
+    multiprobe LSH must not lose candidates vs its single bucket."""
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.vector import ann_lsh_topk, cosine_topk, ivf_topk
+    from findb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=5).collect()}
+
+    def recall(found):
+        return len(exact & found) / len(exact)
+
+    r1 = recall({(r.query_id, r.vec_id) for r in ivf_topk(emb, k=5, nprobe=1).collect()})
+    r4 = recall({(r.query_id, r.vec_id) for r in ivf_topk(emb, k=5, nprobe=4).collect()})
+    assert r4 >= r1
+    assert r4 >= 0.8
+
+    single = {(r.query_id, r.vec_id) for r in ann_lsh_topk(emb, q, k=5).collect()}
+    multi = {
+        (r.query_id, r.vec_id)
+        for r in ann_lsh_topk(emb, q, k=5, multiprobe=True).collect()
+    }
+    assert recall(multi) >= recall(single)
