@@ -1,0 +1,111 @@
+"""Scale-sanity smoke: replicate sf0.1 lineitem Nx (key-shifted, so
+cardinalities grow honestly) and measure how the headline query shapes
+scale. Evidence for the 100 TB design claim: wall-clock should grow
+~linearly with data (scan-bound), not quadratically (join blowup), and
+pruned queries should grow sublinearly.
+
+Usage: python scripts/scale_smoke.py [factor]   (default 8)
+Writes replicated parquet under /tmp/findb_scale_smoke, prints one JSON
+line {factor, rows, queries: {name: {base_s, scaled_s, ratio}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from findb_spark.asof import asof_batch, asof_range  # noqa: E402
+from findb_spark.ops.finance import daily_series, moving_average  # noqa: E402
+from findb_spark.prices import prices_from_lineitem  # noqa: E402
+from findb_spark.session import get_spark, load_table  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+WORK = "/tmp/findb_scale_smoke"
+ASOF = 2**31 - 1
+
+
+def replicate_lineitem(spark, factor: int) -> str:
+    """Union `factor` key-shifted copies: partkeys/orderkeys shift per copy
+    so asset count scales with data (no artificial hot keys)."""
+    li = load_table(spark, BASE_SF, "lineitem")
+    max_part = li.agg(F.max("l_partkey")).first()[0]
+    max_order = li.agg(F.max("l_orderkey")).first()[0]
+    copies = [
+        li.withColumn("l_partkey", F.col("l_partkey") + F.lit(i * (max_part + 1)))
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * (max_order + 1)))
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    path = f"{WORK}/lineitem.parquet"
+    out.write.mode("overwrite").parquet(path)
+    return WORK
+
+
+def timed(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return round(time.monotonic() - t0, 3)
+
+
+def workload(spark, sf_dir: str) -> dict[str, float]:
+    prices = prices_from_lineitem(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(i, i + 1, 19960101, 19981231, ASOF) for i in range(200)],
+        "query_id int, asset_id long, start_date int, end_date int, asof_ts long",
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return {
+        "asof_range": timed(
+            lambda: asof_range(prices, 5, 19960101, 19981231, ASOF).count()
+        ),
+        "asof_batch_200q": timed(lambda: asof_batch(prices, qdf).count()),
+        "q1_style_agg": timed(
+            lambda: li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*"))
+            .collect()
+        ),
+        "window_sma": timed(
+            lambda: moving_average(daily_series(prices, ASOF, max_asset=500), 5).count()
+        ),
+    }
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = get_spark(app_name="scale_smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    workload(spark, BASE_SF)  # warm-up: codegen/broadcast first-run costs
+    base = workload(spark, BASE_SF)
+    scaled_dir = replicate_lineitem(spark, factor)
+    rows = spark.read.parquet(f"{scaled_dir}/lineitem.parquet").count()
+    workload(spark, scaled_dir)  # warm-up the scaled plans too
+    scaled = workload(spark, scaled_dir)
+    print(
+        json.dumps(
+            {
+                "factor": factor,
+                "rows": rows,
+                "queries": {
+                    k: {
+                        "base_s": base[k],
+                        "scaled_s": scaled[k],
+                        "ratio": round(scaled[k] / max(base[k], 1e-9), 2),
+                    }
+                    for k in base
+                },
+            }
+        )
+    )
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
