@@ -267,6 +267,68 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_cluster_assignment(docs, pairs)
 
 
+_CLUSTERS_CTES = f"""
+{_SH_CTE},
+{_SIGS_CTE},
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id
+),
+{_SIZES_CTE},
+inter AS (
+  SELECT doc1, doc2, COUNT(*) AS inter
+  FROM cand JOIN hh a ON doc1 = a.doc_id
+            JOIN hh b ON doc2 = b.doc_id AND a.h = b.h
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc1, doc2
+  FROM inter JOIN sizes sa ON doc1 = sa.doc_id JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+),
+edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+          UNION ALL SELECT doc2, doc1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
+""".strip()
+
+
+@register(
+    "dedup_clusters_apply",
+    f"""
+WITH RECURSIVE {_CLUSTERS_CTES}
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d LEFT JOIN comp c USING (doc_id)
+WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+""",
+    category="dedup",
+    description=(
+        "Apply near-dup clustering: keep one canonical doc (min doc_id) per "
+        "connected component of MinHash-LSH verified pairs — the end-to-end "
+        "corpus dedup a training pipeline ships"
+    ),
+)
+def dedup_clusters_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.graph import dedup_cluster_assignment
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.4).select("doc1", "doc2")
+    keep = dedup_cluster_assignment(docs, pairs).where(
+        F.col("doc_id") == F.col("cluster_id")
+    )
+    return docs.join(keep.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 @register(
     "dedup_exact_apply",
     f"""
