@@ -954,3 +954,43 @@ def global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
         .limit(100)
     )
+
+
+@register(
+    "set_ops_bag",
+    """
+SELECT 'common' AS how, o_orderpriority FROM (
+  SELECT o_orderpriority FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-02-01'
+  INTERSECT ALL
+  SELECT o_orderpriority FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-02-01' AND o_orderdate < TIMESTAMP '1997-03-01')
+UNION ALL
+SELECT 'jan_surplus' AS how, o_orderpriority FROM (
+  SELECT o_orderpriority FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-02-01'
+  EXCEPT ALL
+  SELECT o_orderpriority FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-02-01' AND o_orderdate < TIMESTAMP '1997-03-01')
+""",
+    category="relational",
+    description=(
+        "Bag (multiset) set operations: INTERSECT ALL keeps min multiplicity, "
+        "EXCEPT ALL subtracts it — duplicate-preserving twins of the distinct "
+        "set ops (one partial-aggregated count per side, no row explosion)"
+    ),
+)
+def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def month(lo: str, hi: str) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        ).select("o_orderpriority")
+
+    jan = month("1997-01-01", "1997-02-01")
+    feb = month("1997-02-01", "1997-03-01")
+    common = jan.intersectAll(feb).select(F.lit("common").alias("how"), "o_orderpriority")
+    surplus = jan.exceptAll(feb).select(F.lit("jan_surplus").alias("how"), "o_orderpriority")
+    return common.unionByName(surplus)
