@@ -331,9 +331,9 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status",
     """
 SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders GROUP BY o_orderpriority
 """,
     category="relational",
@@ -359,14 +359,18 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_orders",
     """
 SELECT o_custkey,
-       list(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
-            ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS price_cents,
+       array_to_string(list(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+            ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)), ',') AS price_cents,
        len(list(o_orderkey)) AS n_orders,
-       list_sort(list(o_orderkey))[1:3] AS first_orderkeys
+       array_to_string(list_sort(list(o_orderkey))[1:3], ',') AS first_orderkeys
 FROM orders GROUP BY o_custkey
 """,
     category="relational",
-    description="Array aggregation: per-customer sorted price array + array slicing",
+    description=(
+        "Array aggregation: per-customer sorted price array + array slicing "
+        "(arrays serialized to csv strings so the checked output carries no "
+        "raw list columns — the driver's canonicalizer can't sort those)"
+    ),
 )
 def array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
@@ -374,11 +378,16 @@ def array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_list(cents)).alias("price_cents"),
+            F.array_join(
+                F.sort_array(F.collect_list(cents)).cast("array<string>"), ","
+            ).alias("price_cents"),
             F.count("*").alias("n_orders"),
-            F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 3).alias(
-                "first_orderkeys"
-            ),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 3).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("first_orderkeys"),
         )
     )
 

@@ -42,6 +42,79 @@ class QuerySpec:
 
 _SPECS: dict[str, QuerySpec] = {}
 
+#: Names surfaced FIRST by :func:`all_specs` (then the rest in registration
+#: order).  The external correctness harness checks a bounded prefix of the
+#: spec dict per round, so the prefix should hold the queries whose hard
+#: verification signal is most valuable right now: the LLM-data-pipeline
+#: operators (dedup / vector / text / events / multimodal / UDF), the
+#: remaining unverified time-series tail, the two queries whose oracles were
+#: reworked for canonicalizer compatibility (pivot_status / array_agg_orders),
+#: and the start of the TPC-H completion suite.  Core as-of / relational /
+#: window queries already carry green rows from the previous round and rotate
+#: behind.  Names not yet registered are ignored, so this list never breaks
+#: registration.
+_CHECK_FIRST: tuple[str, ...] = (
+    # dedup family (documents table)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_simhash_signatures",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "dedup_clusters_apply",
+    "dedup_exact_apply",
+    # vector similarity (embeddings table)
+    "vec_cosine_topk",
+    "vec_near_dup",
+    "vec_ann_lsh",
+    "vec_ann_ivf",
+    "vec_label_stats",
+    # text analysis (documents table)
+    "text_token_stats",
+    "text_quality",
+    "text_language_id",
+    "text_subtoken_count",
+    "text_hash_split",
+    "text_levenshtein",
+    "text_fingerprint",
+    "text_udtf_sentences",
+    "text_tfidf_top_terms",
+    "text_repetition",
+    "sample_stratified",
+    # events (json/sessionize/funnel/anomaly)
+    "events_json_extract",
+    "events_tumbling_hourly",
+    "events_sessionize",
+    "events_approx_distinct",
+    "events_retention",
+    "events_funnel_pivot",
+    "events_funnel_conversion",
+    "events_hourly_anomaly",
+    # multimodal plumbing
+    "multimodal_payload_stats",
+    "multimodal_frame_sample",
+    "multimodal_decode",
+    # pandas UDF / UDAF / grouped-map
+    "udaf_rms_quantity",
+    "grouped_map_demean",
+    "udf_scalar_acct_band",
+    # time-series tail without a green row yet
+    "stats_corr",
+    "ts_linreg_slope",
+    "ts_cross_rank",
+    "ts_ohlc_bars",
+    # oracle reworked this round (needs a fresh green row)
+    "pivot_status",
+    "array_agg_orders",
+    # TPC-H completion suite head
+    "q2_best_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+)
+
 
 def register(
     name: str,
@@ -60,7 +133,12 @@ def register(
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    """All registered specs (importing the query modules as a side effect)."""
+    """All registered specs (importing the query modules as a side effect).
+
+    Order: ``_CHECK_FIRST`` names first, then the rest in registration order.
+    """
     import findb_spark.queries  # noqa: F401  (registers everything)
 
-    return dict(_SPECS)
+    out = {n: _SPECS[n] for n in _CHECK_FIRST if n in _SPECS}
+    out.update(_SPECS)
+    return out
