@@ -322,12 +322,15 @@ def simhash_banded_pairs(docs: DataFrame, max_hamming: int = 10, n_bands: int = 
     ).select("doc_id", "simhash", "band.band_id", "band.bk")
     x, y = bdf.alias("x"), bdf.alias("y")
     ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    # hamming predicate inside the join: prunes non-near pairs before the
+    # dedup-across-bands distinct instead of after it
     return (
         x.join(
             y,
             (F.col("x.band_id") == F.col("y.band_id"))
             & (F.col("x.bk") == F.col("y.bk"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (ham <= max_hamming),
         )
         .select(
             F.col("x.doc_id").alias("doc1"),
@@ -335,5 +338,4 @@ def simhash_banded_pairs(docs: DataFrame, max_hamming: int = 10, n_bands: int = 
             ham.alias("hamming"),
         )
         .distinct()
-        .where(F.col("hamming") <= max_hamming)
     )

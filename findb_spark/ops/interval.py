@@ -25,15 +25,27 @@ def interval_join(
     start_col: str,
     end_col: str,
     bin_days: int = 92,
+    broadcast_intervals: bool | None = None,
 ) -> DataFrame:
     """Join point rows (``point_col``: DateType) to interval rows
     (``[start_col, end_col)`` DateType, end exclusive) via day-binned
     equi-join + exact post-filter. Output: all point columns + all
-    interval columns, one row per containment."""
+    interval columns, one row per containment.
+
+    ``broadcast_intervals``: ``None`` (default) leaves the join strategy
+    to Catalyst/AQE — the exploded interval side broadcasts only if its
+    size estimate clears ``spark.sql.autoBroadcastJoinThreshold``, else
+    both sides hash-shuffle on ``_bin``. Pass ``True``/``False`` to force.
+    An unconditional broadcast would OOM the executors once the interval
+    table stops being dimension-sized."""
     pb = points.withColumn(
         "_bin", F.floor(F.unix_date(F.col(point_col)) / bin_days).cast("bigint")
     )
-    ib = intervals.withColumn(
+    # degenerate intervals (end <= start) match nothing: drop them BEFORE
+    # exploding — F.sequence(start, stop) on an inverted range counts
+    # DOWNWARD, so a badly inverted interval would otherwise fan out into
+    # a large bogus bin array that the exact post-filter then discards.
+    ib = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
         "_bin",
         F.explode(
             F.sequence(
@@ -43,8 +55,12 @@ def interval_join(
             )
         ),
     )
+    if broadcast_intervals is True:
+        ib = F.broadcast(ib)
+    elif broadcast_intervals is False:
+        ib = ib.hint("shuffle_hash")
     return (
-        pb.join(F.broadcast(ib), "_bin")
+        pb.join(ib, "_bin")
         .where(
             (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
         )

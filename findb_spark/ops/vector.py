@@ -26,6 +26,8 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from findb_spark.functions.hashing import hash48
+
 DIM = 64
 FXP_SCALE = 10**12
 PROJ_SCALE = 10**9
@@ -225,21 +227,42 @@ def lsh_buckets(emb: DataFrame, planes: list[list[int]] | None = None) -> DataFr
     return emb.withColumn("bucket", bucket.cast("bigint"))
 
 
-IVF_STRIDE = 100
+IVF_K = 64
 
 
-def ivf_assign(emb: DataFrame, stride: int = IVF_STRIDE) -> DataFrame:
-    """IVF coarse quantization: every ``stride``-th vector is a centroid
-    (deterministic, RNG-free — the role k-means centroids play in a real
-    IVF index); each vector joins the cluster of its max-cosine centroid.
+def ivf_centroids(emb: DataFrame, k: int = IVF_K) -> DataFrame:
+    """Fixed-size IVF codebook: the ``k`` corpus vectors minimal under a
+    deterministic hash order (hash48 of vec_id, vec_id tiebreak) — an
+    RNG-free uniform sample standing in for trained k-means centroids.
 
-    The centroid set is tiny (n/stride rows) and broadcast, so assignment
-    is one scan of the corpus with no shuffle — the plan shape a trained
-    k-means codebook would use identically at 100 TB. Ties break to the
-    smallest centroid id. Returns (vec_id, embedding, cluster)."""
-    cents = emb.where((F.col("vec_id") % stride) == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    ``k`` is independent of corpus size, so the codebook broadcast stays
+    tiny and assignment is O(n*k) at any scale (a stride-based pick would
+    grow the codebook O(n) and assignment O(n^2/stride)). Selection
+    compiles to TakeOrderedAndProject — per-partition top-k then a driver
+    merge of k rows, not a global sort shuffle."""
+    hk = hash48(F.col("vec_id").cast("string"))
+    return (
+        emb.select(
+            hk.alias("_hk"),
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        .orderBy("_hk", "cent_id")
+        .limit(k)
+        .select("cent_id", "cvec")
     )
+
+
+def ivf_assign(emb: DataFrame, n_cent: int = IVF_K) -> DataFrame:
+    """IVF coarse quantization: each vector joins the cluster of its
+    max-cosine centroid from the fixed-``n_cent`` codebook
+    (:func:`ivf_centroids`).
+
+    The codebook is broadcast, so assignment is one scan of the corpus
+    with no shuffle — the plan shape a trained k-means codebook would use
+    identically at 100 TB. Ties break to the smallest centroid id.
+    Returns (vec_id, embedding, cluster)."""
+    cents = ivf_centroids(emb, n_cent)
     j = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
@@ -255,7 +278,7 @@ def ivf_assign(emb: DataFrame, stride: int = IVF_STRIDE) -> DataFrame:
 
 
 def ivf_topk(
-    emb: DataFrame, k: int = 5, stride: int = IVF_STRIDE, nprobe: int = 1
+    emb: DataFrame, k: int = 5, n_cent: int = IVF_K, nprobe: int = 1
 ) -> DataFrame:
     """IVF-style ANN top-k: probe the query's ``nprobe`` best coarse
     clusters, exact cosine rerank inside them. Queries are the vectors with
@@ -266,12 +289,14 @@ def ivf_topk(
     ``nprobe`` is the standard recall/cost dial: candidates grow linearly
     with probes while the probe list itself stays a broadcast (queries x
     nprobe rows). nprobe=1 degenerates to the assigned-cluster-only probe
-    (the oracle-checked form); measured on the driver's synthetic
-    embeddings, recall@5 goes 0.53 -> 0.8+ by nprobe=4 (tests pin it)."""
-    assigned = ivf_assign(emb, stride).withColumn("_nrm", norm(F.col("embedding")))
-    cents = emb.where((F.col("vec_id") % stride) == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
-    )
+    (the oracle-checked form); nprobe=n_cent probes every cluster and is
+    exactly brute force (recall 1.0 — tests pin the monotone ladder and
+    the full-probe anchor). On unclustered data recall tracks the probed
+    fraction ~nprobe/K; buying more recall per probe requires a trained
+    (k-means) codebook, which drops into `ivf_centroids`' slot without
+    changing this plan shape."""
+    assigned = ivf_assign(emb, n_cent).withColumn("_nrm", norm(F.col("embedding")))
+    cents = ivf_centroids(emb, n_cent)
     q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     ).withColumn("_qnrm", norm(F.col("qv")))

@@ -17,7 +17,7 @@ from findb_spark.ops.dedup import (
     jaccard_pairs_prefix,
     minhash_lsh_pairs,
     minhash_signatures,
-    simhash_pairs,
+    simhash_banded_pairs,
     simhash_signatures,
 )
 from findb_spark.ops.text import shingles_duck
@@ -93,6 +93,7 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
 """,
     category="dedup",
     description="Prefix-filtered (SSJoin) exact-Jaccard scale path — lossless candidate pruning, identical results to the inverted-index form (same oracle)",
+    bench=True,
 )
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_prefix(load_table(spark, sf_dir, "documents"), threshold=0.4)
@@ -211,10 +212,15 @@ FROM simsigs x JOIN simsigs y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 10
 """,
     category="dedup",
-    description="SimHash near-dup pairs (hamming <= 10); banded blocking is the scale path (ops.dedup.simhash_banded_pairs)",
+    description=(
+        "SimHash near-dup pairs (hamming <= 10) via 12x4-bit banded blocking "
+        "— pigeonhole-exact for hamming <= 11, so identical output to the "
+        "all-pairs oracle at bucket-join cost instead of O(n^2)"
+    ),
+    bench=True,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=10)
+    return simhash_banded_pairs(load_table(spark, sf_dir, "documents"), max_hamming=10)
 
 
 @register(
@@ -258,6 +264,7 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
         "doc gets the min doc_id of its duplicate component (oracle: "
         "recursive-CTE transitive closure)"
     ),
+    bench=True,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from findb_spark.ops.graph import dedup_cluster_assignment

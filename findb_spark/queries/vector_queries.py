@@ -6,8 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from findb_spark.functions.hashing import hash48_duck
 from findb_spark.ops.vector import (
     FXP_SCALE,
+    IVF_K,
     N_PLANES,
     PROJ_SCALE,
     ann_lsh_topk,
@@ -108,6 +110,7 @@ SELECT query_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
 """,
     category="vector",
     description=f"ANN via {N_PLANES}-plane random-hyperplane LSH bucketing + in-bucket exact rerank",
+    bench=True,
 )
 def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -120,7 +123,8 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vec_ann_ivf",
     f"""
 WITH cents AS (
-  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  ORDER BY {hash48_duck('CAST(vec_id AS VARCHAR)')}, vec_id LIMIT {IVF_K}
 ),
 sc AS (
   SELECT e.vec_id, e.embedding, c.cent_id,
@@ -142,7 +146,11 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 SELECT query_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
 """,
     category="vector",
-    description="IVF-style ANN: deterministic coarse-centroid assignment (broadcast codebook), nprobe=1 cluster probe, exact in-cluster rerank",
+    description=(
+        f"IVF-style ANN: fixed-{IVF_K} deterministic codebook (hash-ordered "
+        "sample, size independent of corpus scale), broadcast O(n*K) "
+        "assignment, nprobe=1 cluster probe, exact in-cluster rerank"
+    ),
 )
 def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from findb_spark.ops.vector import ivf_topk

@@ -59,3 +59,30 @@ def test_no_match_outside(spark):
     pts = _points(spark, [100])
     ivs = _intervals(spark, [(0, 30)])
     assert interval_join(pts, ivs, "pd", "ws", "we").count() == 0
+
+
+def test_inverted_interval_yields_nothing_without_explosion(spark):
+    """end <= start matches nothing — and is filtered BEFORE the bin
+    explode (F.sequence counts downward on inverted ranges, so an
+    unguarded badly-inverted interval would fan out into a huge bin
+    array before the post-filter discarded it)."""
+    pts = _points(spark, list(range(0, 30)))
+    ivs = _intervals(spark, [(10, 10), (300, -300)])
+    joined = interval_join(pts, ivs, "pd", "ws", "we")
+    assert joined.count() == 0
+    # the guard is in the plan: interval scan carries the we > ws filter
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "(we" in plan and ">" in plan
+
+
+def test_join_strategy_is_conditional_not_forced_broadcast(spark):
+    """Default leaves strategy to Catalyst; broadcast_intervals=False must
+    produce a non-broadcast equi-join on _bin (the 100 TB shape when the
+    interval side outgrows the broadcast threshold)."""
+    pts = _points(spark, list(range(0, 30)))
+    ivs = _intervals(spark, [(0, 10), (5, 20)])
+    forced = interval_join(pts, ivs, "pd", "ws", "we", broadcast_intervals=False)
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoop" not in plan
+    bcast = interval_join(pts, ivs, "pd", "ws", "we", broadcast_intervals=True)
+    assert forced.count() == bcast.count()

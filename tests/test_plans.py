@@ -84,6 +84,26 @@ def test_q21_semi_anti_join_strategy(spark):
     assert "CartesianProduct" not in p
 
 
+def test_simhash_pairs_is_banded_not_all_pairs(spark):
+    """The registered SimHash query must be the banded scale path: the
+    self-join is an equi-join on (band_id, band key) — never a cartesian /
+    nested-loop all-pairs `doc_id < doc_id` comparison (which is O(n^2)
+    at corpus scale)."""
+    p = _plan(spark, "dedup_simhash_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # an equi-join on the band key exists (hash or sort-merge, AQE's pick)
+    assert "Join" in p
+
+
+def test_ivf_codebook_is_fixed_size(spark):
+    """IVF centroid selection compiles to TakeOrderedAndProject (bounded
+    K rows), not a global sort — and the assignment side broadcasts it."""
+    p = _plan(spark, "vec_ann_ivf")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
 def test_ohlc_single_shuffle_for_window_and_agg(spark):
     """Window tag + groupBy on the same (asset_id, month) key: the window's
     exchange must be reused — exactly one shuffle over the prices rows."""
