@@ -42,13 +42,19 @@ def tumbling_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
 
 def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     """Gap-based sessionization: a session breaks after `gap_us` of
-    inactivity per user. Returns per-session stats."""
+    inactivity per user. Returns per-session stats.
+
+    Boundary matches Spark's native ``session_window`` half-open
+    ``[ts, ts+gap)`` semantics: an event at exactly ``prev + gap_us``
+    STARTS a new session (``>=``), so the batch path and the streaming
+    twin (streaming/events_stream.py session_window) split identically
+    at exact-gap spacing."""
     e = with_micros(events)
     order = Window.partitionBy("user_id").orderBy("tus", "event_id")
     prev = F.lag("tus").over(order)
     flagged = e.withColumn(
         "is_start",
-        F.when(prev.isNull() | ((F.col("tus") - prev) > gap_us), 1).otherwise(0),
+        F.when(prev.isNull() | ((F.col("tus") - prev) >= gap_us), 1).otherwise(0),
     )
     running = order.rowsBetween(Window.unboundedPreceding, 0)
     sessions = flagged.withColumn("session_num", F.sum("is_start").over(running))

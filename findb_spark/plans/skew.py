@@ -33,8 +33,13 @@ def salted_join(
     itself shuffles big rows uniformly even when one key dominates."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (right/full would double-count)")
+    # salt derived from row CONTENT (every big-side column), not from
+    # monotonically_increasing_id(): content-hashing is stable across task
+    # retries / recomputation of the big side, so a recomputed partition
+    # lands each row in the same salt bucket it first hashed to.
     b = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int")
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int"),
     )
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

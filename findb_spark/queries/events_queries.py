@@ -61,7 +61,7 @@ WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
 s AS (
   SELECT user_id, tus,
          CASE WHEN LAG(tus) OVER w IS NULL
-                OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_start
+                OR tus - LAG(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_start
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
 ),
 g AS (

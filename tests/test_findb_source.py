@@ -89,3 +89,32 @@ def test_export_from_spark_dataframe(spark, tmp_path):
     assert sorted(
         (r.asset_id, r.date, r.ts, r.value) for r in back.collect()
     ) == _golden_sorted()
+
+
+def test_descent_cap1_tail_steal_degenerate(tmp_path):
+    """Capacity-1 pages: inner nodes group 2 children, and an odd leaf
+    count triggers the writer's 1-child-tail regroup (the previous group
+    donates a child, leaving it with a SINGLE child and zero separator
+    keys). Descent through that degenerate inner node must still resolve
+    child 0. Exercised for every odd/even count around the steal path."""
+    for n in (2, 3, 4, 5, 7, 9, 16, 17):
+        keys = [(0, 20200101 + i, 0) for i in range(n)]
+        rows = [(a, d, t, float(i)) for i, (a, d, t) in enumerate(keys)]
+        path = str(tmp_path / f"cap1_{n}.db")
+        write_btree_file(path, rows, page_size_for_keys(1))
+        # cap=1: one row per leaf, leaves are pages 0..n-1 in input order
+        for i, (a, d, t) in enumerate(keys):
+            assert descend(path, (a, d, t)) == i, (n, i)
+
+
+def test_cap1_roundtrip_via_reader(spark, tmp_path):
+    """Full read path (Spark DataSource) over a cap=1 file whose inner
+    level contains a 0-separator node (5 leaves -> groups [2,1,2])."""
+    rows = [(1, 20200101 + i, i, float(i) * 1.5) for i in range(5)]
+    path = str(tmp_path / "cap1_rt.db")
+    write_btree_file(path, rows, page_size_for_keys(1))
+    back = sorted(
+        (r.asset_id, r.date, r.ts, r.value)
+        for r in read_prices_db(spark, path).collect()
+    )
+    assert back == rows
