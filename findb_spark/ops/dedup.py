@@ -134,21 +134,30 @@ def jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4, n: int = 3) ->
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
-    arrs = shingle_arrays(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # hash the shingle arrays ONCE up front: every downstream stage —
+    # df counting, prefix ranking, candidate join, verification intersect —
+    # works on fixed-width longs, never the ~20-char shingle strings
+    arrs = (
+        shingle_arrays(docs, n)
+        .select(
+            "doc_id", F.transform(F.col("sharr"), lambda s: hash48(s)).alias("harr")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     hh = arrs.select(
-        "doc_id",
-        F.explode(F.transform(F.col("sharr"), lambda s: hash48(s))).alias("shingle"),
+        "doc_id", F.explode(F.col("harr")).alias("shingle")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = arrs.select("doc_id", F.size("sharr").alias("sz"))
 
     dfreq = hh.groupBy("shingle").agg(F.count("*").alias("_df"))
     rnk = Window.partitionBy("doc_id").orderBy("_df", "shingle")
     ranked = hh.join(dfreq, "shingle").select(
         "doc_id", "shingle", F.row_number().over(rnk).alias("_rnk")
     )
-    plen = sizes.select(
+    plen = arrs.select(
         "doc_id",
-        (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).alias("_plen"),
+        (
+            F.size("harr") - F.ceil(F.lit(threshold) * F.size("harr")) + 1
+        ).alias("_plen"),
     )
     pref = (
         ranked.join(plen, "doc_id")
@@ -165,18 +174,31 @@ def jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4, n: int = 3) ->
         .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
         .distinct()
     )
-    a, b = hh.alias("a"), hh.alias("b")
-    inter = (
-        cand.join(a, F.col("doc1") == F.col("a.doc_id"))
-        .join(
-            b,
-            (F.col("doc2") == F.col("b.doc_id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
+    # verification: fetch both documents' (distinct) hashed shingle arrays
+    # and intersect them in-expression — two hash joins on doc_id, zero
+    # extra shuffles, versus the 4-stage join-through-the-inverted-index +
+    # groupBy + two size joins it replaces. |A ∩ B| over the 48-bit hash
+    # arrays is exactly what the oracle's hash-equality join counts.
+    a1 = arrs.select(F.col("doc_id").alias("doc1"), F.col("harr").alias("_a1"))
+    a2 = arrs.select(F.col("doc_id").alias("doc2"), F.col("harr").alias("_a2"))
+    scored = (
+        cand.join(a1, "doc1")
+        .join(a2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.size(F.array_intersect("_a1", "_a2")).alias("inter"),
+            F.size("_a1").alias("_sz1"),
+            F.size("_a2").alias("_sz2"),
         )
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("inter"))
     )
-    return _jaccard_from_inter(inter, sizes, threshold)
+    return scored.select(
+        "doc1",
+        "doc2",
+        (F.col("inter") / (F.col("_sz1") + F.col("_sz2") - F.col("inter"))).alias(
+            "jaccard"
+        ),
+    ).where(F.col("jaccard") >= threshold)
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -284,7 +306,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", sig.cast("bigint").alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 10) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance — exact all-pairs
     formulation (oracle-parity form; see `simhash_banded_pairs` for scale)."""
     sigs = simhash_signatures(docs)
@@ -301,11 +323,26 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 10) -> DataFrame:
     )
 
 
-def simhash_banded_pairs(docs: DataFrame, max_hamming: int = 10, n_bands: int = 12) -> DataFrame:
-    """Scale path: block on 12 x 4-bit bands — any pair with hamming <= 11
-    shares at least one band (pigeonhole), so recall is exact for
-    max_hamming <= n_bands - 1 while cost drops from all-pairs to
-    per-band-bucket joins."""
+def simhash_banded_pairs(docs: DataFrame, max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
+    """Scale path: block on ``n_bands`` equal bit-slices of the signature —
+    any pair with hamming <= n_bands - 1 shares at least one identical band
+    (pigeonhole), so recall is exact for ``max_hamming <= n_bands - 1``
+    while cost drops from all-pairs to per-band-bucket joins.
+
+    Band width is what makes this scale: the defaults (hamming <= 3, 4
+    bands of 12 bits) follow Manku et al., "Detecting Near-Duplicates for
+    Web Crawling" (WWW'07) — k=3 over wide blocks — giving 2^12 buckets
+    per band, so expected bucket occupancy (and thus in-bucket pair cost)
+    stays ~n/4096 per band. A loose threshold like hamming <= 10 would
+    force >= 11 bands of <= 4 bits (16 buckets): in-bucket pairs then
+    approach all-pairs cost AND the 'near-dup' output itself degenerates
+    (at 48 bits, 10 flipped bits is within noise range of unrelated
+    documents)."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding with {n_bands} bands is only recall-exact for "
+            f"hamming <= {n_bands - 1}; got max_hamming={max_hamming}"
+        )
     sigs = simhash_signatures(docs)
     width = SIMHASH_BITS // n_bands
     bands = [

@@ -11,4 +11,5 @@ from findb_spark.queries import (  # noqa: F401
     multimodal_queries,
     udf_queries,
     tpch_suite,
+    merge_queries,
 )

@@ -209,18 +209,19 @@ WITH {_SIMHASH_CTE}
 SELECT x.doc_id AS doc1, y.doc_id AS doc2,
        bit_count(xor(x.simhash, y.simhash)) AS hamming
 FROM simsigs x JOIN simsigs y ON x.doc_id < y.doc_id
-WHERE bit_count(xor(x.simhash, y.simhash)) <= 10
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 """,
     category="dedup",
     description=(
-        "SimHash near-dup pairs (hamming <= 10) via 12x4-bit banded blocking "
-        "— pigeonhole-exact for hamming <= 11, so identical output to the "
-        "all-pairs oracle at bucket-join cost instead of O(n^2)"
+        "SimHash near-dup pairs (hamming <= 3, Manku WWW'07 parameters) via "
+        "4x12-bit banded blocking — pigeonhole-exact for hamming <= 3, so "
+        "identical output to the all-pairs oracle at 2^12-buckets-per-band "
+        "join cost instead of O(n^2)"
     ),
     bench=True,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_banded_pairs(load_table(spark, sf_dir, "documents"), max_hamming=10)
+    return simhash_banded_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
 @register(

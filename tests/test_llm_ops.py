@@ -42,11 +42,23 @@ def test_minhash_lsh_agrees_with_exact_jaccard_on_strong_pairs(docs):
 
 
 def test_simhash_banded_matches_exact_within_guarantee(docs):
-    exact = {(r.doc1, r.doc2, r.hamming) for r in simhash_pairs(docs, 10).collect()}
-    banded = {(r.doc1, r.doc2, r.hamming) for r in simhash_banded_pairs(docs, 10).collect()}
-    # pigeonhole: 12 bands guarantee recall for hamming <= 11 >= 10
+    import pytest
+
+    # default Manku parameters: hamming <= 3, 4 x 12-bit bands
+    exact = {(r.doc1, r.doc2, r.hamming) for r in simhash_pairs(docs, 3).collect()}
+    banded = {(r.doc1, r.doc2, r.hamming) for r in simhash_banded_pairs(docs, 3).collect()}
     assert banded == exact
     assert (1, 4, 0) in exact  # identical docs -> identical signatures
+    # looser threshold still exact when bands are widened to match
+    exact10 = {(r.doc1, r.doc2, r.hamming) for r in simhash_pairs(docs, 10).collect()}
+    banded10 = {
+        (r.doc1, r.doc2, r.hamming)
+        for r in simhash_banded_pairs(docs, 10, n_bands=12).collect()
+    }
+    assert banded10 == exact10
+    # banding that can't guarantee the threshold is refused, not silently lossy
+    with pytest.raises(ValueError):
+        simhash_banded_pairs(docs, 10, n_bands=4)
 
 
 def test_cosine_topk_self_is_nearest(spark, sf_dir):

@@ -1,0 +1,79 @@
+"""MERGE INTO snapshot algebra (ops/merge.py) — action coverage + edges.
+
+The reference's mutation surface is in-place mem-tree insert/delete
+(mem.rs:406-454); merge_into is the immutable-snapshot equivalent, so the
+tests pin standard MERGE semantics: update, delete, insert, carry-through,
+null merge keys, and insert=False."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from findb_spark.ops.merge import merge_into
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (None, "nullkey", 99.0)],
+        "k int, tag string, v double",
+    )
+
+
+def _source(spark):
+    # k=1 -> update; k=2 -> delete (tombstone tag); k=4 -> insert;
+    # k=None -> never matches (null != null), inserted
+    return spark.createDataFrame(
+        [(1, "a2", 11.0), (2, "DEL", 0.0), (4, "d", 40.0), (None, "n2", 98.0)],
+        "k int, tag string, v double",
+    )
+
+
+def _merged(spark, **kw):
+    return merge_into(
+        _target(spark),
+        _source(spark),
+        on=["k"],
+        update={"tag": F.col("s.tag"), "v": F.col("s.v")},
+        delete=F.col("s.tag") == "DEL",
+        **kw,
+    )
+
+
+def test_merge_all_actions(spark):
+    got = {(r.k, r.tag, r.v) for r in _merged(spark).collect()}
+    assert got == {
+        (1, "a2", 11.0),       # matched -> updated
+        (3, "c", 30.0),        # target-only -> carried
+        (None, "nullkey", 99.0),  # null target key -> never matched, carried
+        (4, "d", 40.0),        # source-only -> inserted
+        (None, "n2", 98.0),    # null source key -> never matched, inserted
+    }  # k=2 deleted
+
+
+def test_merge_without_insert(spark):
+    got = {(r.k, r.tag, r.v) for r in _merged(spark, insert=False).collect()}
+    assert got == {(1, "a2", 11.0), (3, "c", 30.0), (None, "nullkey", 99.0)}
+
+
+def test_merge_partial_update_keeps_other_columns(spark):
+    out = merge_into(
+        _target(spark),
+        _source(spark),
+        on=["k"],
+        update={"v": F.col("s.v") + 1},
+        insert=False,
+    )
+    got = {(r.k, r.tag, r.v) for r in out.collect()}
+    # tag keeps the TARGET value; only v comes from the source expression
+    assert (1, "a", 12.0) in got and (2, "b", 1.0) in got
+
+
+def test_merge_insert_requires_full_schema(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        merge_into(
+            _target(spark),
+            _source(spark).drop("v"),
+            on=["k"],
+        )
