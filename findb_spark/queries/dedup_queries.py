@@ -362,3 +362,33 @@ def dedup_exact_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "dedup_clusters_star",
+    f"""
+WITH RECURSIVE {_CLUSTERS_CTES}
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
+""",
+    category="dedup",
+    description=(
+        "Near-dup clustering via alternating large-star/small-star "
+        "(Kiveris SoCC'14, ops/graph.py) — O(log^2 n) rounds independent "
+        "of graph diameter; identical output (and oracle) to the "
+        "min-label-propagation dedup_clusters"
+    ),
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.4).select("doc1", "doc2")
+    comp = connected_components_star(pairs, src="doc1", dst="doc2")
+    return docs.join(
+        comp.select(F.col("node").alias("doc_id"), "cluster_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    )

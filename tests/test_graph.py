@@ -73,3 +73,40 @@ def test_cluster_assignment_covers_singletons(spark):
         for r in dedup_cluster_assignment(docs, pairs).collect()
     }
     assert got == {(0, 0), (1, 1), (2, 1), (3, 3), (4, 1), (5, 5)}
+
+
+def _check_star(spark, edges: list[tuple[int, int]]) -> None:
+    from findb_spark.ops.graph import connected_components_star
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {(r.node, r.cluster_id) for r in connected_components_star(df).collect()}
+    assert got == set(_model(edges).items())
+
+
+def test_star_long_chain(spark):
+    # 40-node path: diameter 39 — the shape min-label propagation needs ~39
+    # rounds for; large/small-star must converge in O(log^2 n)
+    _check_star(spark, [(i, i + 1) for i in range(40)])
+
+
+def test_star_self_loops_isolates_and_dups(spark):
+    _check_star(spark, [(5, 5), (1, 2), (2, 1), (1, 2), (9, 9)])
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_star_random_graphs_match_union_find(spark, seed):
+    rng = random.Random(seed)
+    nodes = list(range(80))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(55)]
+    _check_star(spark, edges)
+
+
+def test_star_matches_propagation(spark):
+    from findb_spark.ops.graph import connected_components_star
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(40)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = {(r.node, r.cluster_id) for r in connected_components(df).collect()}
+    b = {(r.node, r.cluster_id) for r in connected_components_star(df).collect()}
+    assert a == b
