@@ -3,7 +3,7 @@ mandate: token counting, quality scoring, language ID, fingerprinting)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from findb_spark.functions.hashing import hash48_duck
 from findb_spark.ops.text import (
@@ -317,3 +317,138 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) % 100
     rate = F.when(F.col("lang") == "en", 20).otherwise(60)
     return docs.where(gate < rate).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "text_pack_sequences",
+    f"""
+WITH t AS (
+  SELECT doc_id, {hash48_duck('text')} % 8 AS shard,
+         len(string_split(text, ' ')) AS tokens
+  FROM documents
+),
+c AS (
+  SELECT shard, doc_id, tokens,
+         SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT shard, (cum - tokens) // 2048 AS pack_id,
+       COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS pack_tokens
+FROM c GROUP BY shard, pack_id
+""",
+    category="text",
+    description=(
+        "Context-window sequence packing: assign docs to fixed token-budget "
+        "packs (2048) by running token offset, per hash shard"
+    ),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for LLM pretraining batches: documents are
+    laid end-to-end per shard (deterministic doc_id order) and a document
+    belongs to the pack where its first token lands (floor(start_offset /
+    budget) — the streaming-concatenation packing most data loaders use).
+
+    Scale design: the running sum is windowed PER SHARD (the same
+    hash-gate sharding as text_hash_split), so no global single-partition
+    window exists at any corpus size — each shard's window is an
+    independent partition of the shuffle, and packs are reproducible
+    because the shard hash and doc order are content/key-deterministic."""
+    from findb_spark.functions.hashing import hash48
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (hash48(F.col("text")) % 8).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("tokens").over(w))
+    return (
+        c.select(
+            "shard",
+            F.floor((F.col("cum") - F.col("tokens")) / 2048).alias("pack_id"),
+            "tokens",
+        )
+        .groupBy("shard", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("tokens").alias("pack_tokens"))
+    )
+
+
+@register(
+    "text_contamination",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, {shingles_duck('text', 5)} AS sh5 FROM documents
+),
+sh AS (SELECT doc_id, source, {hash48_duck('s')} AS h
+       FROM (SELECT doc_id, source, unnest(list_distinct(sh5)) AS s FROM toks)),
+eval_sh AS (SELECT DISTINCT h FROM sh WHERE source = 'src0'),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_shared
+  FROM sh t JOIN eval_sh e USING (h)
+  WHERE t.source <> 'src0'
+  GROUP BY t.doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.source, COALESCE(hits.n_shared, 0) AS n_shared
+  FROM documents d LEFT JOIN hits USING (doc_id)
+  WHERE d.source <> 'src0'
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_shared >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       MAX(n_shared) AS max_shared
+FROM scored GROUP BY source
+""",
+    category="text",
+    description=(
+        "Train/eval contamination scan: per-source count of training docs "
+        "sharing >= 3 distinct 5-gram shingles with the benchmark subset "
+        "(source src0), via broadcast semi-join on 48-bit shingle hashes"
+    ),
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination pass a pretraining pipeline runs before training:
+    treat one source (src0) as the held-out benchmark, and flag any other
+    document sharing >= 3 distinct 5-gram shingles with it.
+
+    Scale design: the eval shingle set is the SMALL side by construction
+    (benchmarks are thousands of docs, corpora are billions), so it is
+    explicitly broadcast — the corpus-side scan joins against an in-memory
+    hash set with zero shuffle of the corpus, and everything upstream of
+    the per-doc count is a pure map."""
+    from findb_spark.functions.hashing import hash48
+    from findb_spark.ops.text import shingles_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("_t")
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(shingles_of(F.col("_t"), 5))).alias("s"),
+    ).select("doc_id", "source", hash48(F.col("s")).alias("h"))
+    eval_sh = sh.where(F.col("source") == "src0").select("h").distinct()
+    hits = (
+        sh.where(F.col("source") != "src0")
+        .join(F.broadcast(eval_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    scored = (
+        docs.where(F.col("source") != "src0")
+        .join(hits, "doc_id", "left")
+        .select(
+            "source", F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared")
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_shared") >= 3, 1).otherwise(0)).alias("n_contaminated"),
+        F.max("n_shared").alias("max_shared"),
+    )

@@ -188,3 +188,65 @@ def vec_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("avg_norm"),
     )
+
+
+@register(
+    "vec_quantize_int8",
+    """
+WITH e AS (
+  SELECT vec_id, label,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+         unnest(embedding) AS v
+  FROM embeddings
+),
+err AS (
+  SELECT label,
+         CASE WHEN amax = 0 THEN 0.0
+              ELSE CAST(v AS DOUBLE)
+                   - FLOOR(CAST(v AS DOUBLE) / (amax / 127.0) + 0.5) * (amax / 127.0)
+         END AS e
+  FROM e
+)
+SELECT label, COUNT(*) AS n_elems,
+       CAST(SUM(CAST(FLOOR(e * e * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000000000.0 / COUNT(*) AS mse
+FROM err GROUP BY label
+""",
+    category="vector",
+    description=(
+        "Symmetric int8 embedding quantization: per-label element count and "
+        "mean squared reconstruction error (exact fixed-point aggregation)"
+    ),
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding compression a vector store / training pipeline applies
+    before shipping: symmetric per-vector int8 quantization (scale =
+    max|v| / 127, q = round(v / scale)), scored by reconstruction MSE per
+    label. All arithmetic is identical double expression trees on both
+    engines; the aggregation is an exact integer fixed-point sum, so the
+    oracle matches bit-for-bit. The explode feeds a map-side-combined
+    hash aggregate — no shuffle grows with vector dimension."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    amax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    e = emb.select(
+        "label", amax.alias("amax"), F.explode("embedding").alias("v")
+    )
+    vd = F.col("v").cast("double")
+    scale = F.col("amax") / 127.0
+    err = e.select(
+        "label",
+        F.when(F.col("amax") == 0, F.lit(0.0))
+        .otherwise(vd - F.floor(vd / scale + 0.5) * scale)
+        .alias("e"),
+    )
+    return err.groupBy("label").agg(
+        F.count("*").alias("n_elems"),
+        (
+            F.sum(F.floor(F.col("e") * F.col("e") * 1_000_000_000_000.0 + F.lit(0.5)))
+            .cast("double")
+            / 1_000_000_000_000.0
+            / F.count("*")
+        ).alias("mse"),
+    )
