@@ -242,3 +242,81 @@ def stream_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_merge_snapshot(
+    stream_df: DataFrame,
+    snapshot_dir: str,
+    checkpoint: str,
+    key: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> None:
+    """Streaming upsert: maintain a latest-row-per-key snapshot table from
+    an append stream via ``foreachBatch`` + :func:`ops.merge.merge_into` —
+    the pattern behind every "streaming MERGE INTO" sink (Delta/Iceberg
+    wire the same per-batch merge into a table-format commit; here each
+    epoch writes a full versioned snapshot directory, the local-FS stand-in
+    for that commit, and replaying an epoch overwrites the same directory,
+    so restarts stay idempotent).
+
+    Per micro-batch: reduce the batch to its latest row per key (window
+    rank — late/duplicate rows within a batch collapse), then merge into
+    the previous snapshot (update on match, insert on miss)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from findb_spark.ops.merge import merge_into
+
+    def _latest_version(spark: SparkSession):
+        if not os.path.isdir(snapshot_dir):
+            return None
+        vs = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(snapshot_dir)
+            if d.startswith("v=")
+        )
+        return (
+            spark.read.parquet(f"{snapshot_dir}/v={vs[-1]}") if vs else None
+        )
+
+    def _apply(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in order_cols])
+        src = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        target = _latest_version(spark)
+        if target is None:
+            merged = src
+        else:
+            merged = merge_into(
+                target,
+                src,
+                on=[key],
+                update={c: F.col(f"s.{c}") for c in target.columns},
+                insert=True,
+            )
+        merged.write.mode("overwrite").parquet(f"{snapshot_dir}/v={epoch}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_merge_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """Read the newest version written by :func:`stream_merge_snapshot`."""
+    import os
+
+    vs = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(snapshot_dir)
+        if d.startswith("v=")
+    )
+    return spark.read.parquet(f"{snapshot_dir}/v={vs[-1]}")

@@ -165,3 +165,43 @@ def test_parquet_sink_exactly_once_restart(spark, sf_dir, tmp_path):
     stream2 = read_events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
     stream_to_parquet(stream2, out, ckpt)
     assert spark.read.parquet(out).count() == n_batch
+
+
+def test_stream_merge_snapshot_matches_batch_latest(spark, sf_dir, tmp_path):
+    """foreachBatch + merge_into maintains a latest-event-per-user snapshot;
+    after full replay it must equal the batch latest-per-user, and a restart
+    against the same checkpoint must be a no-op (no new snapshot version)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from findb_spark.streaming.events_stream import (
+        read_events_stream,
+        read_merge_snapshot,
+        stream_merge_snapshot,
+    )
+
+    snap, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    stream = read_events_stream(spark, sf_dir).select(*cols)
+    stream_merge_snapshot(stream, snap, ckpt)
+
+    batch = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    batch = batch.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ).select(*cols)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = {
+        tuple(r)
+        for r in batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .collect()
+    }
+    got = {tuple(r) for r in read_merge_snapshot(spark, snap).collect()}
+    assert got == want and len(got) > 0
+
+    versions_before = sorted(os.listdir(snap))
+    stream2 = read_events_stream(spark, sf_dir).select(*cols)
+    stream_merge_snapshot(stream2, snap, ckpt)
+    assert sorted(os.listdir(snap)) == versions_before
