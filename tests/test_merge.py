@@ -77,3 +77,60 @@ def test_merge_insert_requires_full_schema(spark):
             _source(spark).drop("v"),
             on=["k"],
         )
+
+
+def test_merge_property_random_cases(spark):
+    """Randomized MERGE cases vs a dict model (one Spark session, many
+    cases in one test to amortize session cost — hypothesis-style sweep
+    with an explicit seeded generator)."""
+    import random
+
+    rng = random.Random(42)
+    for case in range(25):
+        keys = range(8)
+        tgt_rows = [
+            (k, f"t{k}", float(rng.randrange(100)))
+            for k in keys
+            if rng.random() < 0.7
+        ]
+        src_rows = [
+            (k, "DEL" if rng.random() < 0.25 else f"s{k}", float(rng.randrange(100)))
+            for k in keys
+            if rng.random() < 0.7
+        ]
+        insert = rng.random() < 0.5
+
+        model = {k: (tag, v) for k, tag, v in tgt_rows}
+        for k, tag, v in src_rows:
+            if k in model:
+                if tag == "DEL":
+                    del model[k]
+                else:
+                    model[k] = (tag, v)
+            elif insert and tag != "DEL":
+                model[k] = (tag, v)
+            elif insert and tag == "DEL":
+                # unmatched tombstone still inserts (delete only applies to
+                # matched rows, per MERGE semantics)
+                model[k] = (tag, v)
+
+        tgt = spark.createDataFrame(
+            tgt_rows or [(99, "pad", 0.0)], "k int, tag string, v double"
+        )
+        if not tgt_rows:
+            tgt = tgt.where(F.col("k") < 0)
+        src = spark.createDataFrame(
+            src_rows or [(99, "pad", 0.0)], "k int, tag string, v double"
+        )
+        if not src_rows:
+            src = src.where(F.col("k") < 0)
+        out = merge_into(
+            tgt,
+            src,
+            on=["k"],
+            update={"tag": F.col("s.tag"), "v": F.col("s.v")},
+            delete=F.col("s.tag") == "DEL",
+            insert=insert,
+        )
+        got = {r.k: (r.tag, r.v) for r in out.collect()}
+        assert got == model, (case, tgt_rows, src_rows, insert)
