@@ -1003,3 +1003,68 @@ def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = jan.intersectAll(feb).select(F.lit("common").alias("how"), "o_orderpriority")
     surplus = jan.exceptAll(feb).select(F.lit("jan_surplus").alias("how"), "o_orderpriority")
     return common.unionByName(surplus)
+
+
+@register(
+    "stats_profile_lineitem",
+    f"""
+SELECT 'l_quantity' AS col,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+       COUNT(DISTINCT l_quantity) AS n_distinct,
+       {fxp_sum_sql('l_quantity')} AS sum_val,
+       MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice',
+       COUNT(*), CAST(COUNT(l_extendedprice) AS BIGINT),
+       COUNT(DISTINCT l_extendedprice),
+       {fxp_sum_sql('l_extendedprice')},
+       MIN(l_extendedprice), MAX(l_extendedprice)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount',
+       COUNT(*), CAST(COUNT(l_discount) AS BIGINT),
+       COUNT(DISTINCT l_discount),
+       {fxp_sum_sql('l_discount')},
+       MIN(l_discount), MAX(l_discount)
+FROM lineitem
+""",
+    category="relational",
+    description=(
+        "ANALYZE-style column profiling (null/distinct/min/max/sum per "
+        "column) — the stats pass a table format or CBO runs before layout "
+        "decisions; one scan, all columns profiled map-side"
+    ),
+)
+def stats_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan multi-column profile. One groupBy-less aggregate computes
+    every column's stats in the same partial-aggregation pass (the
+    UNION-ALL shape in the oracle is a presentation of the same numbers;
+    Spark computes them in ONE job over ONE scan, then unpivots)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__n_rows"),
+            F.count(c).alias(f"{c}__n_nonnull"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            fxp_sum(F.col(c), f"{c}__sum_val"),
+            F.min(c).alias(f"{c}__min_val"),
+            F.max(c).alias(f"{c}__max_val"),
+        ]
+    wide = li.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n_rows").alias("n_rows"),
+            F.col(f"{c}__n_nonnull").alias("n_nonnull"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__sum_val").alias("sum_val"),
+            F.col(f"{c}__min_val").alias("min_val"),
+            F.col(f"{c}__max_val").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -310,8 +310,13 @@ def stream_merge_snapshot(
     q.awaitTermination()
 
 
-def read_merge_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
-    """Read the newest version written by :func:`stream_merge_snapshot`."""
+def read_merge_snapshot(
+    spark: SparkSession, snapshot_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot version written by :func:`stream_merge_snapshot` —
+    newest by default, or a specific epoch for time travel (every epoch's
+    full snapshot is retained, so any historical state can be queried or
+    diffed; a table format would expose the same thing as VERSION AS OF)."""
     import os
 
     vs = sorted(
@@ -319,4 +324,8 @@ def read_merge_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
         for d in os.listdir(snapshot_dir)
         if d.startswith("v=")
     )
+    if version is not None:
+        if version not in vs:
+            raise ValueError(f"version {version} not in {vs}")
+        return spark.read.parquet(f"{snapshot_dir}/v={version}")
     return spark.read.parquet(f"{snapshot_dir}/v={vs[-1]}")

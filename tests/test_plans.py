@@ -110,3 +110,36 @@ def test_ohlc_single_shuffle_for_window_and_agg(spark):
     p = _plan(spark, "ts_ohlc_bars")
     n_exchanges = p.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, p  # asc + desc window sorts share partitioning
+
+
+def test_contamination_broadcasts_eval_shingles(spark):
+    """The benchmark shingle set must be the broadcast side — the corpus
+    scan joins an in-memory hash set, zero corpus shuffle for the probe."""
+    p = _plan(spark, "text_contamination")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_merge_is_single_full_outer_join(spark):
+    """MERGE plans exactly one join (full outer on the merge keys) — the
+    minimal shuffle shape for arbitrary-overlap upsert."""
+    p = _plan(spark, "merge_upsert_orders")
+    assert p.count("SortMergeJoin FullOuter") + p.count("ShuffledHashJoin FullOuter") == 1
+
+
+def test_quantize_reads_only_needed_columns(spark):
+    """Column pruning must reach the embeddings scan: the quantization
+    query touches embedding+label, never vec_id."""
+    p = _plan(spark, "vec_quantize_int8")
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "embedding" in read_schema and "label" in read_schema
+    assert "vec_id" not in read_schema
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    """The packing window must partition by shard (no global
+    single-partition sort at any corpus size)."""
+    p = _plan(spark, "text_pack_sequences")
+    assert "shard" in p
+    # a global window would show an Exchange SinglePartition before the sort
+    assert "SinglePartition" not in p

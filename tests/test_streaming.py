@@ -205,3 +205,24 @@ def test_stream_merge_snapshot_matches_batch_latest(spark, sf_dir, tmp_path):
     stream2 = read_events_stream(spark, sf_dir).select(*cols)
     stream_merge_snapshot(stream2, snap, ckpt)
     assert sorted(os.listdir(snap)) == versions_before
+
+
+def test_merge_snapshot_time_travel(spark, sf_dir, tmp_path):
+    """Every epoch's snapshot is retained: reading version 0 must reproduce
+    the historical state, and an unknown version must raise."""
+    import pytest
+
+    from findb_spark.streaming.events_stream import (
+        read_events_stream,
+        read_merge_snapshot,
+        stream_merge_snapshot,
+    )
+
+    snap, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    stream_merge_snapshot(stream, snap, ckpt, order_cols=("event_id",))
+    latest = read_merge_snapshot(spark, snap)
+    v0 = read_merge_snapshot(spark, snap, version=0)
+    assert v0.count() == latest.count() > 0
+    with pytest.raises(ValueError):
+        read_merge_snapshot(spark, snap, version=99)
