@@ -49,6 +49,27 @@ def replicate_lineitem(spark, factor: int) -> str:
     return WORK
 
 
+def replicate_documents(spark, factor: int) -> str:
+    """Union `factor` doc_id-shifted copies with every token prefixed by the
+    copy index — cross-copy similarity is destroyed on purpose, so near-dup
+    pair OUTPUT grows linearly with data (the honest scaling regime for a
+    growing corpus; replicating text verbatim would instead grow duplicate
+    clusters and measure output explosion, not operator scaling)."""
+    docs = load_table(spark, BASE_SF, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    copies = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * (max_id + 1)))
+        .withColumn("text", F.regexp_replace("text", r"(\S+)", f"c{i}$1"))
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    path = f"{WORK}/documents.parquet"
+    out.write.mode("overwrite").parquet(path)
+    return WORK
+
+
 def timed(fn) -> float:
     t0 = time.monotonic()
     fn()
@@ -78,16 +99,38 @@ def workload(spark, sf_dir: str) -> dict[str, float]:
     }
 
 
+def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
+    from findb_spark.ops.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        simhash_banded_pairs,
+    )
+    from findb_spark.ops.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return {
+        "minhash_lsh": timed(lambda: minhash_lsh_pairs(docs).count()),
+        "simhash_banded": timed(lambda: simhash_banded_pairs(docs).count()),
+        "ngram_jaccard": timed(lambda: jaccard_pairs(docs).count()),
+        "text_quality": timed(lambda: quality_score(docs).count()),
+    }
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     spark = get_spark(app_name="scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     workload(spark, BASE_SF)  # warm-up: codegen/broadcast first-run costs
     base = workload(spark, BASE_SF)
+    dedup_workload(spark, BASE_SF)  # warm-up
+    base.update(dedup_workload(spark, BASE_SF))
     scaled_dir = replicate_lineitem(spark, factor)
+    replicate_documents(spark, factor)
     rows = spark.read.parquet(f"{scaled_dir}/lineitem.parquet").count()
     workload(spark, scaled_dir)  # warm-up the scaled plans too
     scaled = workload(spark, scaled_dir)
+    dedup_workload(spark, scaled_dir)  # warm-up
+    scaled.update(dedup_workload(spark, scaled_dir))
     print(
         json.dumps(
             {
