@@ -376,3 +376,69 @@ def simhash_banded_pairs(docs: DataFrame, max_hamming: int = 3, n_bands: int = 4
         )
         .distinct()
     )
+
+
+def minhash_lsh_pairs_incremental(
+    docs: DataFrame,
+    new_pred: Column,
+    threshold: float = 0.4,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup detection: verified pairs **touching the new
+    batch only** (``new_pred`` marks newly-arrived docs). Candidate
+    generation joins the NEW docs' bands against the full corpus bands, so
+    per-increment cost is O(|new| x bucket occupancy) — the corpus is
+    never self-joined. This is the daily-ingest shape of a crawl pipeline:
+    the full LSH run amortizes to one pass at bootstrap, then every
+    increment pays only for what arrived.
+
+    Output is identical to filtering the full :func:`minhash_lsh_pairs`
+    result to pairs with >= 1 new endpoint (band agreement is symmetric,
+    so every such pair is reachable from the new side's bands)."""
+    from pyspark.storagelevel import StorageLevel
+
+    flagged = docs.select("doc_id", new_pred.alias("_new"), "text")
+    sigs = minhash_signatures(flagged, n).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = _band_keys(sigs).join(
+        flagged.select("doc_id", "_new"), "doc_id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nb = bands.where(F.col("_new"))
+    x, y = nb.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc1"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc2"),
+        )
+        .distinct()
+    )
+    arrs = (
+        shingle_arrays(flagged, n)
+        .select("doc_id", F.transform(F.col("sharr"), lambda s: hash48(s)).alias("harr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a1 = arrs.select(F.col("doc_id").alias("doc1"), F.col("harr").alias("_a1"))
+    a2 = arrs.select(F.col("doc_id").alias("doc2"), F.col("harr").alias("_a2"))
+    scored = (
+        cand.join(a1, "doc1")
+        .join(a2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.size(F.array_intersect("_a1", "_a2")).alias("inter"),
+            F.size("_a1").alias("_s1"),
+            F.size("_a2").alias("_s2"),
+        )
+    )
+    return scored.select(
+        "doc1",
+        "doc2",
+        (F.col("inter") / (F.col("_s1") + F.col("_s2") - F.col("inter"))).alias(
+            "jaccard"
+        ),
+    ).where(F.col("jaccard") >= threshold)

@@ -392,3 +392,43 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
     )
+
+
+@register(
+    "dedup_lsh_incremental",
+    f"""
+WITH {_SH_CTE},
+{_SIGS_CTE},
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id
+),
+{_SIZES_CTE},
+inter AS (
+  SELECT doc1, doc2, COUNT(*) AS inter
+  FROM cand JOIN hh a ON doc1 = a.doc_id
+            JOIN hh b ON doc2 = b.doc_id AND a.h = b.h
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, inter / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON doc1 = sa.doc_id JOIN sizes sb ON doc2 = sb.doc_id
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+  AND (doc1 % 10 = 0 OR doc2 % 10 = 0)
+""",
+    category="dedup",
+    description=(
+        "Incremental LSH dedup: verified near-dup pairs touching the new "
+        "batch (doc_id % 10 = 0 stands in for today's arrivals) — new-bands "
+        "x corpus-bands join, O(|new| x bucket occupancy) per increment "
+        "(oracle: full LSH filtered to new-touching pairs, provably equal)"
+    ),
+)
+def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.dedup import minhash_lsh_pairs_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_incremental(docs, F.col("doc_id") % 10 == 0)

@@ -145,3 +145,20 @@ def test_ann_recall_improves_with_probes(spark, sf_dir):
         for r in ann_lsh_topk(emb, q, k=5, multiprobe=True).collect()
     }
     assert recall(multi) >= recall(single)
+
+
+def test_lsh_incremental_equals_filtered_full(docs):
+    from findb_spark.ops.dedup import minhash_lsh_pairs_incremental
+
+    full = {
+        (r.doc1, r.doc2, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(docs, 0.4).collect()
+    }
+    want = {t for t in full if t[0] % 2 == 0 or t[1] % 2 == 0}
+    got = {
+        (r.doc1, r.doc2, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs_incremental(
+            docs, F.col("doc_id") % 2 == 0, 0.4
+        ).collect()
+    }
+    assert got == want and len(want) > 0
