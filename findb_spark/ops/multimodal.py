@@ -130,3 +130,133 @@ def sample_video_frames(with_payload: DataFrame, every_n: int) -> DataFrame:
         "video frame sampling requires ffmpeg (not in container); "
         "see sample_frames for the mapInPandas shape to wire a decoder into"
     )
+
+
+# --- REAL codecs: PPM images / WAV audio (no media libs required) ---------
+#
+# The fake-decode paths above keep the original contract; the operators
+# below are REAL end-to-end: actual P6/RIFF byte encoding on attach, actual
+# header-parse + pixel/sample decode in the Arrow batches. See
+# functions/media_codec.py. (JPEG/OPUS would swap the codec lines only.)
+
+PPM_DECODED_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, channels INT, sum_pixels BIGINT"
+)
+
+
+def attach_ppm_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a valid P6 PPM image per doc, content a
+    closed-form function of doc_id (media_codec.image_pixels)."""
+    from findb_spark.functions.media_codec import encode_ppm, image_pixels
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        encode_ppm(image_pixels(int(d))) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id BIGINT, payload BINARY"
+    )
+
+
+def decode_ppm_metadata(with_payload: DataFrame) -> DataFrame:
+    """REAL image decode: P6 header parse + pixel read; emits dimensions and
+    the exact integer pixel sum (feature extraction with no float drift)."""
+    from findb_spark.functions.media_codec import decode_ppm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_ppm(bytes(payload))
+                rows.append(
+                    (doc_id, px.shape[1], px.shape[0], px.shape[2], int(px.sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "sum_pixels"]
+            )
+
+    return with_payload.mapInPandas(batches, schema=PPM_DECODED_SCHEMA)
+
+
+def resize_ppm_images(with_payload: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL resize: decode P6 -> nearest-neighbor resample -> re-encode P6.
+    Output (doc_id, payload, width, height) — a valid image column again,
+    ready for the next pipeline stage."""
+    from findb_spark.functions.media_codec import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                small = resize_nearest(decode_ppm(bytes(payload)), out_w, out_h)
+                out.append((doc_id, encode_ppm(small), out_w, out_h))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "payload", "width", "height"]
+            )
+
+    return with_payload.mapInPandas(
+        batches, schema="doc_id BIGINT, payload BINARY, width INT, height INT"
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id BIGINT, sample_rate INT, n_samples INT, "
+    "sum_sq BIGINT, zero_crossings INT"
+)
+
+
+def attach_wav_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a valid RIFF/WAV PCM16 clip per doc
+    (media_codec.audio_samples)."""
+    from findb_spark.functions.media_codec import audio_samples, encode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        encode_wav(audio_samples(int(d))) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id BIGINT, payload BINARY"
+    )
+
+
+def wav_features(with_payload: DataFrame) -> DataFrame:
+    """REAL audio feature extraction: RIFF header parse, int16 sample
+    decode, exact integer energy (sum of squares) + zero-crossing count."""
+    from findb_spark.functions.media_codec import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                s64 = s.astype("int64")
+                zc = int(np.count_nonzero(np.signbit(s64[1:]) != np.signbit(s64[:-1])))
+                rows.append((doc_id, rate, len(s), int((s64 * s64).sum()), zc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "sum_sq", "zero_crossings",
+                ],
+            )
+
+    return with_payload.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)

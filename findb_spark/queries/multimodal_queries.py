@@ -68,3 +68,70 @@ FROM documents
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_metadata(attach_payload(docs))
+
+
+@register(
+    "multimodal_ppm_decode",
+    """
+WITH d AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 5 AS BIGINT) AS w,
+         CAST(6 + doc_id % 4 AS BIGINT) AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id * 31 + r.r * 17 + c.c * 13 + ch.ch * 7) % 256 AS v
+  FROM d, range(0, 9) r(r), range(0, 12) c(c), range(0, 3) ch(ch)
+  WHERE r.r < d.h AND c.c < d.w
+)
+SELECT doc_id, CAST(MIN(w) AS INT) AS width, CAST(MIN(h) AS INT) AS height,
+       3 AS channels, CAST(SUM(v) AS BIGINT) AS sum_pixels
+FROM px GROUP BY doc_id
+""",
+    category="multimodal",
+    description=(
+        "REAL image decode: P6 PPM payloads (actual byte encoding) parsed "
+        "and pixel-summed in Arrow batches; oracle recomputes the features "
+        "from the closed-form pixel formula, so the check covers the whole "
+        "encode -> bytes -> decode -> feature path with exact integers"
+    ),
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.multimodal import attach_ppm_payload, decode_ppm_metadata
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_ppm_metadata(attach_ppm_payload(docs))
+
+
+@register(
+    "multimodal_audio_features",
+    """
+WITH s AS (
+  SELECT doc_id, i.i AS i,
+         (doc_id * 7349 + i.i * 4799) % 65536 - 32768 AS v
+  FROM documents, range(0, 256) i(i)
+),
+l AS (
+  SELECT doc_id, i, v,
+         LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id, 8000 AS sample_rate, 256 AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+                     THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+FROM l GROUP BY doc_id
+""",
+    category="multimodal",
+    description=(
+        "REAL audio decode: RIFF/WAV PCM16 payloads parsed (header + "
+        "int16 samples) with exact integer energy and zero-crossing "
+        "features; formula-based oracle checks the full codec path"
+    ),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.multimodal import attach_wav_payload, wav_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_features(attach_wav_payload(docs))

@@ -162,3 +162,41 @@ def test_lsh_incremental_equals_filtered_full(docs):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_ppm_resize_real_roundtrip(spark, sf_dir):
+    """REAL image path: encode P6 -> resize (nearest) -> decode; resized
+    pixels must equal direct nearest-neighbor sampling of the formula."""
+    import numpy as np
+
+    from findb_spark.functions.media_codec import (
+        decode_ppm,
+        image_pixels,
+        resize_nearest,
+    )
+    from findb_spark.ops.multimodal import attach_ppm_payload, resize_ppm_images
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    out = resize_ppm_images(attach_ppm_payload(docs), 4, 3).collect()
+    assert len(out) == 10
+    for r in out:
+        assert (r.width, r.height) == (4, 3)
+        got = decode_ppm(bytes(r.payload))
+        want = resize_nearest(image_pixels(r.doc_id), 4, 3)
+        assert np.array_equal(got, want)
+
+
+def test_wav_decode_real(spark, sf_dir):
+    """REAL audio path: RIFF bytes decode back to the formula samples."""
+    import numpy as np
+
+    from findb_spark.functions.media_codec import audio_samples, decode_wav
+    from findb_spark.ops.multimodal import attach_wav_payload
+
+    rows = attach_wav_payload(
+        load_table(spark, sf_dir, "documents").limit(5)
+    ).collect()
+    for r in rows:
+        rate, s = decode_wav(bytes(r.payload))
+        assert rate == 8000
+        assert np.array_equal(s, audio_samples(r.doc_id))
