@@ -56,15 +56,26 @@ def main() -> None:
     # best-of-2 per query: single-shot timings at this scale carry ±2 s
     # GC/compilation noise; the min of two executions is the steady-state
     # number (each execution still runs the complete plan to a noop sink)
+    # two numbers per query, reported separately:
+    #   build = fn(spark, sf_dir) — plan construction + analysis; for
+    #     iterative operators (connected components) this includes their
+    #     eager localCheckpoint rounds, so that work is VISIBLE, not hidden
+    #   run   = executing the built plan to a noop sink (min of 2)
+    # the headline total stays sum(run) — run cost is what scales with
+    # data on a cluster; build is driver-side latency that amortizes
     timings: dict[str, float] = {}
+    builds: dict[str, float] = {}
     for spec in specs:
-        runs = []
+        runs, bts = [], []
         for _ in range(2):
+            t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
+            bts.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[spec.name] = round(min(runs), 3)
+        builds[spec.name] = round(min(bts), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -74,6 +85,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "build": builds,
+                "build_total": round(sum(builds.values()), 3),
                 "sf": sf,
             }
         )

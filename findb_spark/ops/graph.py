@@ -187,3 +187,62 @@ def dedup_cluster_assignment(
         doc_id,
         F.coalesce(F.col("cluster_id"), F.col(doc_id)).alias("cluster_id"),
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    base: int = 1_000_000_000,
+) -> DataFrame:
+    """Fixed-point integer PageRank: ``iters`` exact Jacobi sweeps with the
+    recurrence
+
+        r0(v)    = base
+        r_{t+1}(v) = floor(0.15 * base) + floor(85 * SUM_{u->v} floor(r_t(u) / deg(u)) / 100)
+
+    Every operation is integer (floor division, exact integer sums), so the
+    result is bit-identical on any engine and independent of partitioning /
+    accumulation order — float PageRank cannot make that promise (double
+    addition is order-dependent). Dangling mass is dropped (standard
+    simplification; ranks remain a valid relative ordering).
+
+    Scale: each sweep is one join (ranks x edges on the source endpoint) +
+    one groupBy (sum per destination) — both keyed shuffles AQE coalesces;
+    lineage truncated per sweep with localCheckpoint like
+    :func:`connected_components`. Use case in an LLM pipeline: domain/source
+    authority scores for quality-weighted sampling."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e = e.persist()
+    deg = e.groupBy("u").agg(F.count("*").alias("_deg"))
+    ed = e.join(deg, "u").localCheckpoint()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    teleport = (15 * base) // 100
+    ranks = nodes.withColumn("r", F.lit(base).cast("bigint"))
+    for _ in range(iters):
+        # `div` = exact integer division (no double intermediate, so the
+        # arithmetic stays exact past 2^53 — floor(x/y) would not)
+        contrib = (
+            ed.join(ranks.select(F.col("node").alias("u"), "r"), "u")
+            .select("v", F.expr("r div _deg").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib.select(F.col("v").alias("node"), "s"), "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({teleport} + ((85 * coalesce(s, CAST(0 AS BIGINT))) div 100) AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return ranks.select("node", F.col("r").alias("rank_fx"))

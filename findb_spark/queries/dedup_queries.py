@@ -432,3 +432,87 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs_incremental(docs, F.col("doc_id") % 10 == 0)
+
+
+def _pr_iter_cte(i: int) -> str:
+    return f""",
+r{i} AS (
+  SELECT n.node,
+         CAST(150000000 + ((85 * COALESCE(SUM(r.r // d.deg), 0)) // 100) AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.v = n.node
+  LEFT JOIN r{i - 1} r ON r.node = e.u
+  LEFT JOIN deg d ON d.u = e.u
+  GROUP BY n.node
+)"""
+
+
+_PR_SQL = (
+    f"""
+WITH {_SH_CTE},
+{_SIGS_CTE},
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id
+),
+{_SIZES_CTE},
+inter AS (
+  SELECT doc1, doc2, COUNT(*) AS inter
+  FROM cand JOIN hh a ON doc1 = a.doc_id
+            JOIN hh b ON doc2 = b.doc_id AND a.h = b.h
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc1, doc2
+  FROM inter JOIN sizes sa ON doc1 = sa.doc_id JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+),
+sedges AS (
+  SELECT DISTINCT d1.source AS u, d2.source AS v
+  FROM pairs JOIN documents d1 ON doc1 = d1.doc_id
+             JOIN documents d2 ON doc2 = d2.doc_id
+  WHERE d1.source <> d2.source
+),
+edges AS (SELECT u, v FROM sedges UNION SELECT v, u FROM sedges),
+deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+nodes AS (SELECT u AS node FROM edges UNION SELECT v AS node FROM edges),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)"""
+    + "".join(_pr_iter_cte(i) for i in range(1, 11))
+    + """
+SELECT node AS source, r AS rank_fx FROM r10
+"""
+)
+
+
+@register(
+    "source_pagerank",
+    _PR_SQL,
+    category="dedup",
+    description=(
+        "Source-authority PageRank (10 exact integer Jacobi sweeps) over "
+        "the source-similarity graph (sources sharing >= 1 verified "
+        "near-dup pair) — quality-weighted sampling signal; all-integer "
+        "arithmetic makes the iteration bit-identical on any engine "
+        "(oracle: 10 unrolled SQL iterations)"
+    ),
+)
+def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.graph import pagerank_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.4).select("doc1", "doc2")
+    d1 = docs.select(F.col("doc_id").alias("doc1"), F.col("source").alias("u"))
+    d2 = docs.select(F.col("doc_id").alias("doc2"), F.col("source").alias("v"))
+    se = (
+        pairs.join(d1, "doc1")
+        .join(d2, "doc2")
+        .where(F.col("u") != F.col("v"))
+        .select("u", "v")
+    )
+    edges = se.union(se.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    pr = pagerank_int(edges, src="u", dst="v", iters=10)
+    return pr.select(F.col("node").alias("source"), "rank_fx")

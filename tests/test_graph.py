@@ -110,3 +110,23 @@ def test_star_matches_propagation(spark):
     a = {(r.node, r.cluster_id) for r in connected_components(df).collect()}
     b = {(r.node, r.cluster_id) for r in connected_components_star(df).collect()}
     assert a == b
+
+
+def test_pagerank_int_matches_model(spark):
+    from findb_spark.ops.graph import pagerank_int
+
+    edge_list = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r.node: r.rank_fx for r in pagerank_int(edges, iters=10).collect()}
+
+    base, tele = 10**9, (15 * 10**9) // 100
+    deg = {"a": 2, "b": 1, "c": 1}
+    r = {n: base for n in deg}
+    for _ in range(10):
+        contrib = {}
+        for u, v in edge_list:
+            contrib[v] = contrib.get(v, 0) + r[u] // deg[u]
+        r = {n: tele + (85 * contrib.get(n, 0)) // 100 for n in r}
+    assert got == r
+    # c has two in-edges (a->c, b->c): highest authority
+    assert max(got, key=got.get) == "c"
