@@ -180,6 +180,42 @@ def q_asof_join_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_forward",
+    f"""
+WITH {PRICES_ORACLE_CTE},
+rdedup AS (
+  SELECT asset_id, ts, MAX(value) AS value FROM prices_v GROUP BY asset_id, ts
+),
+probes AS (SELECT asset_id, ts AS probe_ts, ts - 3600 AS qts FROM rdedup),
+j AS (
+  SELECT p.asset_id, p.probe_ts, p.qts, r.ts AS matched_ts, r.value AS matched_value
+  FROM probes p ASOF LEFT JOIN rdedup r
+    ON p.asset_id = r.asset_id AND r.ts >= p.qts
+)
+SELECT asset_id, probe_ts, qts, matched_ts, matched_value FROM j
+""",
+    category="asof",
+    description=(
+        "Forward as-of join (next-known-value >= t): the same union+running-"
+        "scan formulation walked in descending time order — one shuffle, no "
+        "range explosion (oracle: DuckDB native ASOF with >=)"
+    ),
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.asof import asof_join
+
+    prices = prices_from_lineitem(spark, sf_dir)
+    rdedup = prices.groupBy("asset_id", "ts").agg(F.max("value").alias("value"))
+    probes = rdedup.select(
+        "asset_id", F.col("ts").alias("probe_ts"), (F.col("ts") - 3600).alias("qts")
+    )
+    return asof_join(
+        probes, rdedup, on="asset_id", left_time="qts", right_time="ts",
+        direction="forward",
+    )
+
+
+@register(
     "revision_stats",
     f"""
 WITH {PRICES_ORACLE_CTE}
