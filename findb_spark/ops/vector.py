@@ -52,10 +52,16 @@ def fxp_dot(a: Column, b: Column, dim: int = DIM) -> Column:
         )
         for i in range(1, dim + 1)
     ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out.cast("bigint")
+    # balanced addition tree (depth log2(dim), not dim): integer addition
+    # is associative so the value is bit-identical to the left-linear fold,
+    # but Catalyst analysis of the expression is ~2x faster at depth 7 vs
+    # depth 64 (driver-side cost that showed up as bench 'build' time)
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0].cast("bigint")
 
 
 def fxp_dot_sql(a: str, b: str, dim: int = DIM) -> str:
