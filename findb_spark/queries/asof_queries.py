@@ -240,3 +240,46 @@ def q_revision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
     )
+
+
+@register(
+    "scd2_price_intervals",
+    f"""
+WITH {PRICES_ORACLE_CTE},
+rdedup AS (
+  SELECT asset_id, date, ts, MAX(value) AS value
+  FROM prices_v GROUP BY asset_id, date, ts
+)
+SELECT asset_id, date, value,
+       ts AS valid_from_ts,
+       LEAD(ts) OVER (PARTITION BY asset_id, date ORDER BY ts) AS valid_to_ts,
+       CASE WHEN LEAD(ts) OVER (PARTITION BY asset_id, date ORDER BY ts)
+                 IS NULL THEN 1 ELSE 0 END AS is_current
+FROM rdedup
+""",
+    category="asof",
+    description=(
+        "SCD2 system-time materialization: the bitemporal revision history "
+        "as [valid_from_ts, valid_to_ts) intervals + is_current flag (one "
+        "window pass) — the warehouse view of the reference's revision "
+        "semantics (mem.rs:406-437); an as-of query is then a plain "
+        "BETWEEN filter on the intervals"
+    ),
+)
+def q_scd2_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    prices = prices_from_lineitem(spark, sf_dir)
+    rdedup = prices.groupBy("asset_id", "date", "ts").agg(
+        F.max("value").alias("value")
+    )
+    w = Window.partitionBy("asset_id", "date").orderBy("ts")
+    nxt = F.lead("ts").over(w)
+    return rdedup.select(
+        "asset_id",
+        "date",
+        "value",
+        F.col("ts").alias("valid_from_ts"),
+        nxt.alias("valid_to_ts"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
