@@ -220,3 +220,22 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from findb_spark.ops.events import hourly_anomaly
 
     return hourly_anomaly(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_json_keys",
+    """
+SELECT k AS prop_key, COUNT(*) AS n_events
+FROM events, unnest(json_keys(props)) t(k)
+GROUP BY k
+""",
+    category="events",
+    description="JSON schema discovery: explode each event's top-level property keys and count occurrences",
+)
+def events_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.explode(F.json_object_keys("props")).alias("prop_key"))
+        .groupBy("prop_key")
+        .agg(F.count("*").alias("n_events"))
+    )

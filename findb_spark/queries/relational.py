@@ -1068,3 +1068,24 @@ def stats_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in cols
     ]
     return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+@register(
+    "string_agg_statuses",
+    """
+SELECT o_orderpriority,
+       STRING_AGG(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+    category="relational",
+    description="Ordered string aggregation (STRING_AGG / LISTAGG): distinct statuses per priority, deterministic via sorted concat",
+)
+def string_agg_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set("o_orderstatus"))
+        ).alias("statuses"),
+        F.count("*").alias("n_orders"),
+    )
