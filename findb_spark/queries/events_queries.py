@@ -239,3 +239,34 @@ def events_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prop_key")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+@register(
+    "events_value_histogram",
+    """
+SELECT CASE WHEN value < 0 THEN 0
+            WHEN value >= 100 THEN 21
+            ELSE CAST(FLOOR(value / 5.0) AS BIGINT) + 1 END AS bucket,
+       COUNT(*) AS n_events,
+       MIN(value) AS min_val, MAX(value) AS max_val
+FROM events GROUP BY bucket
+""",
+    category="events",
+    description="Equi-width histogram via SQL-standard width_bucket (20 buckets over [0,100) + overflow buckets)",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(20)).alias(
+                "bucket"
+            ),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+    )

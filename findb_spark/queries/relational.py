@@ -1089,3 +1089,31 @@ def string_agg_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("statuses"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    f"""
+WITH t AS (
+  SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', l_discount FROM lineitem
+)
+SELECT l_returnflag, measure, COUNT(*) AS n, {fxp_sum_sql('val')} AS total
+FROM t GROUP BY l_returnflag, measure
+""",
+    category="relational",
+    description="UNPIVOT (wide->long) via native stack(): three measures melted to rows then aggregated; one scan, no self-union",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
+        "'discount', l_discount) AS (measure, val)",
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.count("*").alias("n"), fxp_sum(F.col("val"), "total")
+    )
