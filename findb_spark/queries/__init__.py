@@ -12,4 +12,5 @@ from findb_spark.queries import (  # noqa: F401
     udf_queries,
     tpch_suite,
     merge_queries,
+    pipeline_queries,
 )

@@ -1,0 +1,185 @@
+"""Training-data-pipeline query specs beyond the round-1 surface:
+corpus-level boilerplate span detection, weighted sampling, and a
+recursive-CTE hierarchy rollup (Spark 4 WITH RECURSIVE front end).
+
+Reference capability these extend: the reference engine has no text or
+sampling surface at all (SURVEY §2.2); these are BASELINE.json-mandate
+operators for LLM corpus curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from findb_spark.functions.hashing import hash48, hash48_duck
+from findb_spark.ops.text import shingles_duck, shingles_of
+from findb_spark.registry import register
+from findb_spark.session import load_table
+
+_SPAN_N = 5  # tokens per span
+_BOILER_DF = 3  # span is boilerplate when it appears in >= this many docs
+
+
+@register(
+    "text_boilerplate_spans",
+    f"""
+WITH t AS (SELECT doc_id, list_distinct({shingles_duck('text', _SPAN_N)}) AS sh
+           FROM documents),
+e AS (SELECT doc_id, {hash48_duck('s')} AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM t)),
+df AS (SELECT h, COUNT(*) AS df FROM e GROUP BY h),
+b AS (SELECT h FROM df WHERE df >= {_BOILER_DF}),
+per AS (
+  SELECT e.doc_id, COUNT(*) AS n_spans,
+         CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler
+  FROM e LEFT JOIN b ON e.h = b.h GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_spans, 0) AS n_spans,
+       COALESCE(per.n_boiler, 0) AS n_boiler,
+       CASE WHEN COALESCE(per.n_spans, 0) = 0 THEN 0.0
+            ELSE CAST(per.n_boiler AS DOUBLE) / per.n_spans END AS boiler_ratio
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+""",
+    category="text",
+    description=(
+        "Corpus-level boilerplate detection: distinct 5-token spans shared by "
+        ">=3 documents (the C4/CCNet duplicated-line removal analog), per-doc "
+        "boilerplate span fraction"
+    ),
+)
+def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate span scan, the C4 'remove lines seen in multiple docs'
+    pass re-expressed for span-granular corpora.
+
+    Scale design (100 TB): the span explode is a pure map (no shuffle);
+    the doc-frequency count is ONE hash aggregation with map-side combine
+    on 48-bit hashes (16 B/key, not the span text); the boilerplate set —
+    spans with df >= threshold — is tiny by Zipf (heavy spans are rare
+    distinct values), so it is explicitly broadcast back, making the
+    second pass shuffle-free. Only per-doc stats (3 numbers/doc) reach
+    the final (doc-keyed, perfectly parallel) aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    spans = (
+        docs.select("doc_id", F.split("text", " ").alias("_t"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_of(F.col("_t"), _SPAN_N))).alias("s"),
+        )
+        .select("doc_id", hash48(F.col("s")).alias("h"))
+    )
+    dfreq = spans.groupBy("h").agg(F.count("*").alias("df"))
+    boiler = dfreq.where(F.col("df") >= _BOILER_DF).select("h", F.lit(1).alias("_b"))
+    per = (
+        spans.join(F.broadcast(boiler), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("_b"), F.lit(0))).alias("n_boiler"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+        F.when(F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(F.col("n_boiler").cast("double") / F.col("n_spans"))
+        .alias("boiler_ratio"),
+    )
+
+
+_SAMPLE_K = 100
+_U48 = float((1 << 48) + 1)
+
+
+@register(
+    "sample_weighted",
+    f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ln(({hash48_duck("CAST(doc_id AS VARCHAR)")} + 1) / {_U48}) / n_chars
+           AS k
+  FROM documents
+)
+SELECT doc_id, lang, n_chars
+FROM keyed ORDER BY k DESC, doc_id LIMIT {_SAMPLE_K}
+""",
+    category="text",
+    description=(
+        "Weighted sampling without replacement (Efraimidis-Spirakis A-ES "
+        "exponential keys, weight = n_chars) — deterministic hash-derived "
+        "uniforms, reproducible on any engine"
+    ),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sample: top-k documents by the A-ES key
+    ``ln(u)/w`` (equivalent to ``u^(1/w)``), with the uniform ``u``
+    derived from ``hash48(doc_id)`` instead of an RNG so the sample is
+    reproducible across engines, reruns, and partitionings.
+
+    Scale design: the key is a pure per-row expression (codegen, no
+    Python); top-k is Spark's TakeOrderedAndProject — per-partition
+    heaps, only k rows per partition cross the wire, no global sort.
+    The float key never appears in the checked output (only the selected
+    rows do), so cross-engine ln() ULP differences cannot flip the hash
+    unless two keys collide within ~1e-15 — impossible for the hash-
+    separated uniforms here.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (hash48(F.col("doc_id").cast("string")) + 1) / F.lit(_U48)
+    key = F.ln(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(_SAMPLE_K)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register(
+    "sql_recursive_rollup",
+    """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS node, p_partkey AS pk,
+         CAST(p_retailprice AS DECIMAL(18,2)) AS price
+  FROM part
+  UNION ALL
+  SELECT node // 10, pk, price FROM anc WHERE node > 0
+)
+SELECT node, COUNT(*) AS n_desc, CAST(SUM(price) AS DOUBLE) AS subtree_retail
+FROM anc WHERE node < 100 GROUP BY node
+""",
+    category="sql",
+    description=(
+        "Recursive CTE (SQL:1999 WITH RECURSIVE, Spark 4 front end): "
+        "hierarchy rollup over the implicit decimal part-key tree "
+        "(parent = key/10) — descendant counts and subtree retail totals"
+    ),
+)
+def sql_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative/hierarchical SQL front-end coverage: Spark 4.1 executes
+    WITH RECURSIVE natively (UnionLoop iterations under AQE), which the
+    reference engine (no SQL at all — SURVEY §4.1) cannot express.
+
+    The part 'category tree' is implicit: node k's parent is k div 10,
+    so the closure walk is bounded by the key's decimal depth (~6
+    levels). Money goes through DECIMAL(18,2) per the registry parity
+    rules; the final cast to DOUBLE matches the oracle's type.
+    """
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_rcte_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT p_partkey AS node, p_partkey AS pk,
+                 CAST(p_retailprice AS DECIMAL(18,2)) AS price
+          FROM part_rcte_v
+          UNION ALL
+          SELECT node DIV 10, pk, price FROM anc WHERE node > 0
+        )
+        SELECT node, COUNT(*) AS n_desc,
+               CAST(SUM(price) AS DOUBLE) AS subtree_retail
+        FROM anc WHERE node < 100 GROUP BY node
+        """
+    )
