@@ -24,7 +24,7 @@ spread across several range partitions rather than hot-spotting one task.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from findb_spark.asof import PRICE_COLUMNS
 
@@ -89,6 +89,98 @@ def write_bucketed(
         .option("path", path)
         .saveAsTable(table_name)
     )
+
+
+def zvalue(a: Column, b: Column, bits: int = 21) -> Column:
+    """Morton (Z-order) interleave of two non-negative integer columns into
+    one bigint: bit i of ``a`` lands at position 2i, bit i of ``b`` at
+    2i+1. ``bits`` per dimension (default 21 -> 42-bit z-value, safe in a
+    signed 64-bit long). Values must fit in ``bits`` bits — callers map
+    raw keys through a compacting monotone transform first (see
+    :func:`yyyymmdd_compact`).
+
+    The whole thing is a static tree of shiftright/bitwiseAND/shiftleft
+    expressions — pure whole-stage-codegen, no UDF, no shuffle."""
+    za = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bit_a = F.shiftright(a.cast("bigint"), i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b.cast("bigint"), i).bitwiseAND(F.lit(1))
+        za = za.bitwiseOR(F.shiftleft(bit_a, 2 * i)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i + 1)
+        )
+    return za
+
+
+def yyyymmdd_compact(date_col: Column, base_year: int = 1990) -> Column:
+    """Monotone compaction of an int yyyymmdd date into a small integer
+    (~15 bits for an 80-year span): year*384 + month*32 + day. Order-
+    preserving, so range predicates on the original date map to range
+    predicates on the compact value."""
+    y = (date_col / 10000).cast("int") - base_year
+    m = ((date_col / 100) % 100).cast("int")
+    d = (date_col % 100).cast("int")
+    return (y * 384 + m * 32 + d).cast("bigint")
+
+
+def scale_to_bits(col: Column, lo: int, hi: int, bits: int) -> Column:
+    """Affine map of ``col`` from [lo, hi] onto [0, 2^bits): Z-order only
+    balances its dimensions when both occupy the SAME bit width — raw keys
+    with unequal significant bits (a 12-bit date span vs an 8-bit asset
+    span) would put all the top interleaved bits on one dimension and
+    degenerate the curve into a single-key sort."""
+    span = max(hi - lo, 0) + 1
+    return F.floor(
+        (col.cast("double") - F.lit(float(lo))) * F.lit(float(1 << bits) / span)
+    ).cast("bigint")
+
+
+def write_zorder(
+    prices: DataFrame,
+    path: str,
+    num_partitions: int,
+    mode: str = "overwrite",
+    bits: int = 16,
+) -> None:
+    """Bulk load with **Z-order clustering** on (asset_id, date).
+
+    ``cluster_prices`` (lexicographic range layout) gives perfect pruning
+    on the leading key but none on the trailing one: a date-only predicate
+    touches every asset's files. Normalizing both key columns to the same
+    ``bits``-wide scale and interleaving their bits (Morton order) bounds
+    BOTH columns' min/max ranges within every file, so Parquet file/
+    row-group stats prune on either dimension alone — the multi-
+    dimensional analog of the reference's single-key clustering contract
+    (file.rs:294-296).
+
+    At 100 TB this is the layout for tables queried by several independent
+    predicates (per-asset scans AND cross-sectional date slices): one
+    z-curve layout serves both access paths with ~sqrt(files) read instead
+    of all files. Cost: one extra tiny min/max aggregation before the load
+    shuffle (the normalization bounds). The z-value itself is a static
+    codegen expression, range-partitioned and sorted JVM-side, and dropped
+    before writing so the on-disk schema is unchanged. Equi-width scaling
+    assumes roughly uniform key densities; under heavy skew substitute
+    equi-depth (quantile) boundaries from ``approxQuantile`` — the curve
+    math is identical.
+    """
+    src = prices.select(*PRICE_COLUMNS).withColumn(
+        "_dc", yyyymmdd_compact(F.col("date"))
+    )
+    lo_a, hi_a, lo_d, hi_d = src.agg(
+        F.min("asset_id"), F.max("asset_id"), F.min("_dc"), F.max("_dc")
+    ).collect()[0]
+    z = zvalue(
+        scale_to_bits(F.col("asset_id"), lo_a, hi_a, bits),
+        scale_to_bits(F.col("_dc"), lo_d, hi_d, bits),
+        bits=bits,
+    )
+    out = (
+        src.withColumn("_z", z)
+        .repartitionByRange(num_partitions, F.col("_z"))
+        .sortWithinPartitions("_z", "ts")
+        .drop("_z", "_dc")
+    )
+    out.write.mode(mode).parquet(path)
 
 
 def read_prices(spark: SparkSession, path: str) -> DataFrame:
