@@ -37,19 +37,15 @@ def _local(uri: str) -> str:
     return uri[len("file:") :] if uri.startswith("file:") else uri
 
 
-def build_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
-    """Harvest per-file min/max stats for ``cols`` (numeric) from parquet
-    footers. Returns a small DataFrame: ``file, num_rows, {c}_min, {c}_max``.
-
-    Distributed and footer-only: file paths are parallelized across the
-    cluster and each task reads just the parquet metadata (pyarrow), so
-    the build touches no data pages.
-    """
-    files = [_local(f) for f in spark.read.parquet(path).inputFiles()]
-    schema = (
+def _schema(cols: list[str]) -> str:
+    return (
         "file string, num_rows bigint, "
         + ", ".join(f"{c}_min double, {c}_max double" for c in cols)
     )
+
+
+def _harvest_files(spark: SparkSession, files: list[str], cols: list[str]) -> DataFrame:
+    """Distributed footer-only stats harvest for an explicit file list."""
 
     def harvest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
@@ -83,7 +79,19 @@ def build_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame
 
     paths = spark.createDataFrame([(f,) for f in files], "file string")
     n_tasks = max(1, min(len(files), spark.sparkContext.defaultParallelism))
-    return paths.repartition(n_tasks).mapInPandas(harvest, schema)
+    return paths.repartition(n_tasks).mapInPandas(harvest, _schema(cols))
+
+
+def build_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """Harvest per-file min/max stats for ``cols`` (numeric) from parquet
+    footers. Returns a small DataFrame: ``file, num_rows, {c}_min, {c}_max``.
+
+    Distributed and footer-only: file paths are parallelized across the
+    cluster and each task reads just the parquet metadata (pyarrow), so
+    the build touches no data pages.
+    """
+    files = [_local(f) for f in spark.read.parquet(path).inputFiles()]
+    return _harvest_files(spark, files, cols)
 
 
 def pruned_read(
@@ -116,6 +124,24 @@ def pruned_read(
     for c, (lo, hi) in ranges.items():
         out = out.where(F.col(c).between(lo, hi))
     return out
+
+
+def update_manifest(
+    spark: SparkSession, path: str, old: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Incremental manifest refresh: harvest footers ONLY for files not
+    already covered (append-only tables — streaming sinks, daily loads).
+    Cost is O(new files), not O(table), which is what keeps the manifest
+    maintainable under continuous ingest at 100 TB; rewritten/compacted
+    tables should rebuild instead (entries for files no longer present
+    are dropped by membership)."""
+    current = {_local(f) for f in spark.read.parquet(path).inputFiles()}
+    known = {r.file for r in old.select("file").collect()}
+    new_files = sorted(current - known)
+    kept = old.where(F.col("file").isin(list(current & known)))
+    if not new_files:
+        return kept
+    return kept.unionByName(_harvest_files(spark, new_files, cols))
 
 
 def files_selected(

@@ -283,6 +283,108 @@ def ivf_assign(emb: DataFrame, n_cent: int = IVF_K) -> DataFrame:
     ).select("vec_id", "embedding", "cluster")
 
 
+MEAN_SCALE = 10**9
+
+
+def assign_to_centroids(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (broadcast codebook,
+    one corpus scan, no shuffle). ``cents``: (cent_id, cvec). Ties break
+    to the smallest centroid id. Returns (vec_id, embedding, cluster)."""
+    j = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        cosine(F.col("embedding"), F.col("cvec")).alias("_cos"),
+    )
+    return (
+        j.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cent_id"),
+                F.struct(F.col("_cos"), (-F.col("cent_id")).alias("_nc")),
+            ).alias("cluster"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", "cluster")
+    )
+
+
+def kmeans_refine_centroids(assigned: DataFrame) -> DataFrame:
+    """One Lloyd update: per-cluster element-wise mean of the member
+    vectors, computed as an **exact fixed-point sum** (per element
+    ``floor(x*1e9+0.5)`` int64, summed exactly, divided once) so the
+    refined centroids are bit-identical doubles on any engine and any
+    partitioning — a raw float mean would vary with accumulation order
+    and break oracle parity.
+
+    Plan shape: posexplode (pure map) -> ONE hash aggregation on
+    (cluster, pos) with map-side combine -> tiny (K x dim rows) regroup
+    into arrays. Nothing grows with corpus size except the first
+    aggregation's input, which combines map-side. Returns
+    (cent_id, cvec: array<double>). Empty clusters drop out (standard
+    Lloyd behavior)."""
+    elems = assigned.select(
+        "cluster", F.posexplode("embedding").alias("pos", "v")
+    )
+    means = elems.groupBy("cluster", "pos").agg(
+        (
+            F.sum(
+                F.floor(F.col("v").cast("double") * MEAN_SCALE + F.lit(0.5))
+            ).cast("double")
+            / MEAN_SCALE
+            / F.count("*")
+        ).alias("cv")
+    )
+    return (
+        means.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.getField("cv"),
+            ).alias("cvec")
+        )
+        .select(F.col("cluster").alias("cent_id"), "cvec")
+    )
+
+
+def kmeans_cluster_profile(emb: DataFrame, n_cent: int = IVF_K) -> DataFrame:
+    """One full Lloyd iteration over the IVF codebook (deterministic
+    hash-sample init -> assign -> fixed-point mean update -> re-assign),
+    profiled per refined cluster: member count + mean cosine to the
+    refined centroid (fixed-point mean, oracle-exact).
+
+    This is the training loop of a real IVF/k-means index expressed as
+    pure DataFrame algebra — each iteration is one broadcast assignment
+    pass + one map-side-combined aggregation, so iterations cost O(n*K)
+    with no shuffle proportional to pair counts. More iterations = loop
+    this function's internals (see tests for the quality ladder)."""
+    cents0 = ivf_centroids(emb, n_cent)
+    asg1 = assign_to_centroids(emb, cents0)
+    cents1 = kmeans_refine_centroids(asg1)
+    asg2 = emb.crossJoin(F.broadcast(cents1)).select(
+        "vec_id",
+        "cent_id",
+        cosine(F.col("embedding"), F.col("cvec")).alias("_cos"),
+    )
+    best = asg2.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct(F.col("cent_id"), F.col("_cos")),
+            F.struct(F.col("_cos"), (-F.col("cent_id")).alias("_nc")),
+        ).alias("b")
+    )
+    per_vec = best.select(
+        F.col("b.cent_id").alias("cluster"), F.col("b._cos").alias("cos")
+    )
+    return per_vec.groupBy("cluster").agg(
+        F.count("*").alias("n_vecs"),
+        (
+            F.sum(F.floor(F.col("cos") * MEAN_SCALE + F.lit(0.5))).cast("double")
+            / MEAN_SCALE
+            / F.count("*")
+        ).alias("avg_cos"),
+    )
+
+
 def ivf_topk(
     emb: DataFrame, k: int = 5, n_cent: int = IVF_K, nprobe: int = 1
 ) -> DataFrame:

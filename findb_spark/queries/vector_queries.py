@@ -161,6 +161,64 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vec_ivf_kmeans",
+    f"""
+WITH cents0 AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  ORDER BY {hash48_duck('CAST(vec_id AS VARCHAR)')}, vec_id LIMIT {IVF_K}
+),
+sc1 AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         {cosine_sql('e.embedding', 'c.cvec')} AS cos
+  FROM embeddings e CROSS JOIN cents0 c
+),
+asg1 AS (
+  SELECT vec_id, embedding, cent_id AS cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+    FROM sc1) WHERE rn = 1
+),
+el AS (
+  SELECT cluster, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+  FROM asg1
+),
+cm AS (
+  SELECT cluster, pos,
+         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / COUNT(*) AS cv
+  FROM el GROUP BY cluster, pos
+),
+cents1 AS (
+  SELECT cluster AS cent_id, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY cluster
+),
+sc2 AS (
+  SELECT e.vec_id, c.cent_id,
+         {cosine_sql('e.embedding', 'c.cvec')} AS cos
+  FROM embeddings e CROSS JOIN cents1 c
+),
+asg2 AS (
+  SELECT vec_id, cent_id AS cluster, cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+    FROM sc2) WHERE rn = 1
+)
+SELECT cluster, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(FLOOR(cos * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000000.0 / COUNT(*) AS avg_cos
+FROM asg2 GROUP BY cluster
+""",
+    category="vector",
+    description=(
+        "IVF codebook training: one k-means Lloyd iteration (deterministic "
+        "init, exact fixed-point element means) profiled per refined cluster "
+        "— the iterative-ML shape with bit-exact cross-engine parity"
+    ),
+)
+def vec_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.vector import kmeans_cluster_profile
+
+    return kmeans_cluster_profile(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "vec_label_stats",
     f"""
 WITH n AS (

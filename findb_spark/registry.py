@@ -53,6 +53,19 @@ _SPECS: dict[str, QuerySpec] = {}
 #: window queries already carry green rows from the previous round and rotate
 #: behind.  Names not yet registered are ignored, so this list never breaks
 #: registration.
+#:
+#: ROTATION PLAN (next round): once CORRECTNESS_r02 lands green for this
+#: prefix, swap it for the still-unchecked tail so every query eventually
+#: carries a hard-signal row — priority order: the TPC-H completion suite
+#: (q9..q22), merge/SCD2/profiling (merge_upsert_orders, scd2_price_intervals,
+#: stats_profile_lineitem, snapshot_time_travel), the round-2 additions
+#: (text_boilerplate_spans, sample_weighted, sql_recursive_rollup,
+#: vec_ivf_kmeans, text_pack_sequences, text_contamination, vec_quantize_int8,
+#: source_pagerank, dedup_clusters_star, dedup_lsh_incremental,
+#: asof_join_forward, string_agg_statuses, unpivot_lineitem_measures,
+#: events_value_histogram, events_json_keys), then any remaining relational
+#: tail.  Keep a handful of previously-red-then-fixed names one extra round
+#: for confirmation.
 _CHECK_FIRST: tuple[str, ...] = (
     # dedup family (documents table)
     "dedup_exact",

@@ -200,3 +200,50 @@ def test_wav_decode_real(spark, sf_dir):
         rate, s = decode_wav(bytes(r.payload))
         assert rate == 8000
         assert np.array_equal(s, audio_samples(r.doc_id))
+
+
+def test_kmeans_lloyd_improves_mean_cosine(spark, sf_dir):
+    """Lloyd iterations over the IVF codebook must not degrade cluster
+    quality: mean member-to-centroid cosine rises sharply on the first
+    refinement and stays non-decreasing (to fixed-point tolerance) after.
+    Deterministic init -> this is a regression pin, not a flaky bound."""
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.vector import (
+        assign_to_centroids,
+        cosine,
+        ivf_centroids,
+        kmeans_refine_centroids,
+    )
+    from findb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+
+    def mean_cos(asg, cents):
+        j = asg.join(cents, asg.cluster == cents.cent_id).select(
+            cosine(F.col("embedding"), F.col("cvec")).alias("c")
+        )
+        return j.agg(F.avg("c")).collect()[0][0]
+
+    cents = ivf_centroids(emb)
+    asg = assign_to_centroids(emb, cents)
+    scores = [mean_cos(asg, cents)]
+    for _ in range(2):
+        cents = kmeans_refine_centroids(asg)
+        asg = assign_to_centroids(emb.select("vec_id", "embedding"), cents)
+        scores.append(mean_cos(asg, cents))
+    assert scores[1] > scores[0] + 0.05  # first Lloyd step is a big win
+    assert scores[2] >= scores[1] - 1e-9  # then monotone (deterministic)
+
+
+def test_kmeans_profile_covers_corpus(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.vector import kmeans_cluster_profile
+    from findb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    prof = kmeans_cluster_profile(emb)
+    agg = prof.agg(F.sum("n_vecs"), F.count("*")).collect()[0]
+    assert agg[0] == emb.count()  # every vector lands in exactly one cluster
+    assert agg[1] <= 64

@@ -99,3 +99,42 @@ def test_pruned_read_empty_selection_keeps_schema(spark, layouts):
     out = pruned_read(spark, zman, {"asset_id": (10**9, 10**9 + 1)})
     assert out.count() == 0
     assert out.columns == spark.read.parquet(zpath).columns
+
+
+def test_update_manifest_incremental_equals_rebuild(spark, sf_dir, tmp_path):
+    from findb_spark.manifest import build_manifest, update_manifest
+    from findb_spark.prices import prices_from_lineitem
+
+    path = str(tmp_path / "inc")
+    prices = prices_from_lineitem(spark, sf_dir)
+    old_part = prices.where(F.col("date") < 19970101)
+    new_part = prices.where(F.col("date") >= 19970101)
+    old_part.repartition(4).write.mode("overwrite").parquet(path)
+    man0 = build_manifest(spark, path, ["asset_id", "date"]).cache()
+    n0 = man0.count()
+    new_part.repartition(3).write.mode("append").parquet(path)
+    incr = update_manifest(spark, path, man0, ["asset_id", "date"])
+    full = build_manifest(spark, path, ["asset_id", "date"])
+    a = {tuple(r) for r in incr.collect()}
+    b = {tuple(r) for r in full.collect()}
+    assert a == b and len(a) > n0
+    # no-op refresh returns the same manifest
+    again = update_manifest(spark, path, incr, ["asset_id", "date"])
+    assert {tuple(r) for r in again.collect()} == a
+
+
+def test_asof_range_through_manifest_matches_and_prunes(spark, layouts):
+    """End-to-end descent analogy: the flagship as-of query resolved
+    through the manifest reads fewer files and returns identical rows."""
+    from findb_spark.asof import asof_range
+    from findb_spark.manifest import files_selected
+
+    zpath, _, zman, _ = layouts
+    full_tbl = spark.read.parquet(zpath)
+    want = asof_range(full_tbl, 7, 19960101, 19961231, 10**10).collect()
+    rng = {"asset_id": (7, 7), "date": (19960101, 19961231)}
+    assert files_selected(zman, rng) < N_FILES
+    got = asof_range(
+        pruned_read(spark, zman, rng), 7, 19960101, 19961231, 10**10
+    ).collect()
+    assert got == want and len(got) > 0
