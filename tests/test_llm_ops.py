@@ -217,23 +217,28 @@ def test_kmeans_lloyd_improves_mean_cosine(spark, sf_dir):
     )
     from findb_spark.session import load_table
 
+    # cache scoped to this test: a leaked full-table InMemoryRelation would
+    # substitute into later plans (cache manager matches analyzed subplans)
+    # and defeat column pruning, breaking test_quantize_reads_only_needed_columns
     emb = load_table(spark, sf_dir, "embeddings").cache()
+    try:
+        def mean_cos(asg, cents):
+            j = asg.join(cents, asg.cluster == cents.cent_id).select(
+                cosine(F.col("embedding"), F.col("cvec")).alias("c")
+            )
+            return j.agg(F.avg("c")).collect()[0][0]
 
-    def mean_cos(asg, cents):
-        j = asg.join(cents, asg.cluster == cents.cent_id).select(
-            cosine(F.col("embedding"), F.col("cvec")).alias("c")
-        )
-        return j.agg(F.avg("c")).collect()[0][0]
-
-    cents = ivf_centroids(emb)
-    asg = assign_to_centroids(emb, cents)
-    scores = [mean_cos(asg, cents)]
-    for _ in range(2):
-        cents = kmeans_refine_centroids(asg)
-        asg = assign_to_centroids(emb.select("vec_id", "embedding"), cents)
-        scores.append(mean_cos(asg, cents))
-    assert scores[1] > scores[0] + 0.05  # first Lloyd step is a big win
-    assert scores[2] >= scores[1] - 1e-9  # then monotone (deterministic)
+        cents = ivf_centroids(emb)
+        asg = assign_to_centroids(emb, cents)
+        scores = [mean_cos(asg, cents)]
+        for _ in range(2):
+            cents = kmeans_refine_centroids(asg)
+            asg = assign_to_centroids(emb.select("vec_id", "embedding"), cents)
+            scores.append(mean_cos(asg, cents))
+        assert scores[1] > scores[0] + 0.05  # first Lloyd step is a big win
+        assert scores[2] >= scores[1] - 1e-9  # then monotone (deterministic)
+    finally:
+        emb.unpersist()
 
 
 def test_kmeans_profile_covers_corpus(spark, sf_dir):
