@@ -126,12 +126,11 @@ def jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4, n: int = 3) ->
     intersection on candidates only, so results are identical to
     `jaccard_pairs`.
 
-    Costs one extra aggregate (df) + one window (per-doc rank) over
-    (doc_id, hash) int pairs — linear — which only pays off once
-    sum(df^2) dominates; at driver scale the naive join is faster, so
-    this variant is the documented 100 TB form (same relationship as
-    simhash_banded_pairs to simhash_pairs)."""
-    from pyspark.sql import Window
+    Costs one extra aggregate (df) + one groupBy (per-doc df-sorted
+    shingle array) over (doc_id, hash) int pairs — linear — which only
+    pays off once sum(df^2) dominates; at driver scale the naive join is
+    faster, so this variant is the documented 100 TB form (same
+    relationship as simhash_banded_pairs to simhash_pairs)."""
     from pyspark.storagelevel import StorageLevel
 
     # hash the shingle arrays ONCE up front: every downstream stage —
@@ -144,35 +143,43 @@ def jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4, n: int = 3) ->
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    hh = arrs.select(
-        "doc_id", F.explode(F.col("harr")).alias("shingle")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hh = arrs.select("doc_id", F.explode(F.col("harr")).alias("shingle"))
 
     dfreq = hh.groupBy("shingle").agg(F.count("*").alias("_df"))
-    rnk = Window.partitionBy("doc_id").orderBy("_df", "shingle")
-    ranked = hh.join(dfreq, "shingle").select(
-        "doc_id", "shingle", F.row_number().over(rnk).alias("_rnk")
-    )
-    plen = arrs.select(
-        "doc_id",
-        F.size("harr").alias("_sz"),
-        (
-            F.size("harr") - F.ceil(F.lit(threshold) * F.size("harr")) + 1
-        ).alias("_plen"),
-    )
+    # per-doc df-ascending shingle order in ONE doc_id aggregate:
+    # array_sort(collect_list(struct(df, shingle))) is deterministic
+    # regardless of collect order and replaces the row_number window +
+    # the separate size/prefix-length join (two stages -> one)
+    sz = F.size("_sorted")
+    plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
     pref = (
-        ranked.join(plen, "doc_id")
-        .where(F.col("_rnk") <= F.col("_plen"))
-        .select("doc_id", "shingle", "_rnk", "_sz")
+        hh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "shingle"))).alias("_sorted"))
+        .select(
+            "doc_id",
+            sz.alias("_sz"),
+            F.posexplode(
+                F.slice(F.transform(F.col("_sorted"), lambda s: s["shingle"]), F.lit(1), plen)
+            ).alias("_pos", "shingle"),
+        )
+        .select("doc_id", "shingle", (F.col("_pos") + 1).alias("_rnk"), "_sz")
     )
     x, y = pref.alias("x"), pref.alias("y")
-    # PPJoin position filter (lossless): J >= t needs overlap >=
-    # ceil(t/(1+t)*(|A|+|B|)); a shared prefix element at ranks (i, j) caps
-    # the remaining overlap at 1 + min(|A|-i, |B|-j) because both arrays
-    # are sorted by the same global (df, hash) order. The FIRST shared
-    # element of any qualifying pair always passes the cap, so keeping
-    # every passing element is a superset of the qualifying pairs —
-    # observed 2.6x candidate reduction on the driver corpus.
+    # Lossless candidate filters from the PPJoin family:
+    # - length filter: J >= t forces t*|A| <= |B| <= |A|/t, so wildly
+    #   different-sized docs never pair (the doc_id< ordering is arbitrary,
+    #   so apply both directions via the symmetric t*max <= min form);
+    # - position filter: J >= t needs overlap >= ceil(t/(1+t)*(|A|+|B|));
+    #   a shared prefix element at ranks (i, j) caps the remaining overlap
+    #   at 1 + min(|A|-i, |B|-j) because both arrays are sorted by the same
+    #   global (df, hash) order. The FIRST shared element of any qualifying
+    #   pair always passes both caps, so keeping every passing element is a
+    #   superset of the qualifying pairs.
+    lenok = (
+        F.ceil(F.lit(threshold) * F.greatest(F.col("x._sz"), F.col("y._sz")))
+        <= F.least(F.col("x._sz"), F.col("y._sz"))
+    )
     minov = F.ceil(F.lit(threshold / (1 + threshold)) * (F.col("x._sz") + F.col("y._sz")))
     ub = 1 + F.least(
         F.col("x._sz") - F.col("x._rnk"), F.col("y._sz") - F.col("y._rnk")
@@ -182,6 +189,7 @@ def jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4, n: int = 3) ->
             y,
             (F.col("x.shingle") == F.col("y.shingle"))
             & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & lenok
             & (ub >= minov),
         )
         .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
