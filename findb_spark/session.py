@@ -71,10 +71,14 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-provided parquet table (TESTDATA.md).
 
-    The events table is written with TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default; read nanos as long and convert to a
-    microsecond TimestampType (truncation — matching DuckDB's ns->us view of
-    the same file).
+    The events table's ``ts`` has shipped in two physical flavors across
+    testdata generations — TIMESTAMP(NANOS) (which Spark's parquet reader
+    rejects by default; read nanos as long, truncate to micros) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark reads as
+    TIMESTAMP_NTZ). Normalize both to a session-tz TimestampType: the
+    session timezone is pinned to UTC, so the NTZ->LTZ cast preserves the
+    underlying epoch-micros value and ``unix_micros`` arithmetic matches
+    the DuckDB oracle's ``epoch_us`` over the same file bit-for-bit.
     """
     path = table_path(sf_dir, name)
     if name != "events":
@@ -84,4 +88,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and f.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
