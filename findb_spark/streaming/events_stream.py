@@ -30,29 +30,32 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: raw file schema — ts is TIMESTAMP(NANOS) in the parquet, read as long
-RAW_EVENT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Open the events table as a file-source stream (ts converted to a
-    microsecond timestamp, matching findb_spark.session.load_table)."""
+    """Open the events table as a file-source stream (ts normalized to a
+    session-tz microsecond timestamp, matching findb_spark.session.load_table).
+
+    A file-source stream needs an explicit schema; the events parquet has
+    shipped ``ts`` as both TIMESTAMP(NANOS) (reads as long under
+    nanosAsLong) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as
+    TIMESTAMP_NTZ) across testdata generations, so take the authoritative
+    schema from a footer-only batch read of the same file and normalize
+    the same way the batch path does (session tz is UTC, so the NTZ->LTZ
+    cast preserves epoch micros)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(RAW_EVENT_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in batch_schema.fields)["ts"]
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_stream(

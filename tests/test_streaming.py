@@ -186,10 +186,9 @@ def test_stream_merge_snapshot_matches_batch_latest(spark, sf_dir, tmp_path):
     stream = read_events_stream(spark, sf_dir).select(*cols)
     stream_merge_snapshot(stream, snap, ckpt)
 
-    batch = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    batch = batch.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    ).select(*cols)
+    from findb_spark.session import load_table
+
+    batch = load_table(spark, sf_dir, "events").select(*cols)
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     want = {
         tuple(r)
