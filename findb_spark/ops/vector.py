@@ -438,6 +438,50 @@ def ivf_topk(
     ).where(F.col("rank") <= k)
 
 
+def semantic_dedup_pairs(
+    emb: DataFrame, threshold: float = 0.4, n_cent: int = IVF_K
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: coarse-quantize every
+    vector to its IVF cluster (:func:`ivf_assign` — broadcast codebook, one
+    corpus scan), then compare pairs **within a cluster only** (equi-join
+    on the cluster id) and keep cosine >= ``threshold``.
+
+    This is the pattern of Abbas et al., "SemDeDup" (arXiv:2303.09540):
+    k-means the embedding space, then dedup inside each cluster — the
+    cross-cluster pairs an exact all-pairs scan would also consider are
+    exactly the distant pairs that cannot be semantic duplicates. Versus
+    `near_dup_pairs` (exact O(n^2) baseline) the candidate set shrinks to
+    O(sum c_i^2) ~ n^2/K for balanced clusters; at corpus scale K grows
+    with n (K ~ n/target_cluster_size), holding per-cluster work constant
+    while the join stays a plain hash shuffle on the cluster id.
+
+    Output: (cluster, v1, v2, cos_sim), v1 < v2. Recall vs the exact scan
+    = the fraction of true near-dup pairs co-assigned by the codebook
+    (tests pin both containment and the recall floor)."""
+    assigned = ivf_assign(emb, n_cent).withColumn("_nrm", norm(F.col("embedding")))
+    x = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("e1"),
+        F.col("_nrm").alias("n1"),
+    )
+    y = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("e2"),
+        F.col("_nrm").alias("n2"),
+    )
+    sim = (fxp_dot(F.col("e1"), F.col("e2")).cast("double") / FXP_SCALE) / (
+        F.col("n1") * F.col("n2")
+    )
+    return (
+        x.join(y, on="cluster")
+        .where(F.col("v1") < F.col("v2"))
+        .select("cluster", "v1", "v2", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame, query: DataFrame, k: int = 5, multiprobe: bool = False
 ) -> DataFrame:

@@ -13,4 +13,5 @@ from findb_spark.queries import (  # noqa: F401
     tpch_suite,
     merge_queries,
     pipeline_queries,
+    quality_queries,
 )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from findb_spark.ops.diff import snapshot_diff
 from findb_spark.ops.merge import merge_into
 from findb_spark.queries.parity import fxp_sum, fxp_sum_sql
 from findb_spark.registry import register
@@ -58,13 +59,8 @@ FROM merged GROUP BY o_orderstatus
 """
 
 
-@register(
-    "merge_upsert_orders",
-    _MERGE_ORACLE,
-    category="merge",
-    description="MERGE INTO snapshot algebra: update/delete/insert in one full-outer pass, post-merge per-status aggregate",
-)
-def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _merged_orders(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(orders, post-merge snapshot) under the module's deterministic feed."""
     orders = load_table(spark, sf_dir, "orders")
     upd = (
         orders.where(F.col("o_orderkey") % 7 == 0)
@@ -86,7 +82,67 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete=F.col("s.o_orderkey") % 21 == 0,
         insert=True,
     )
+    return orders, merged
+
+
+@register(
+    "merge_upsert_orders",
+    _MERGE_ORACLE,
+    category="merge",
+    description="MERGE INTO snapshot algebra: update/delete/insert in one full-outer pass, post-merge per-status aggregate",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, merged = _merged_orders(spark, sf_dir)
     return merged.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         fxp_sum(F.col("o_totalprice"), "sum_total"),
+    )
+
+
+# the merged CTE body shared with _MERGE_ORACLE, reused to diff in SQL
+_MERGED_CTE = _MERGE_ORACLE.split("merged AS (")[1].rsplit(")\nSELECT", 1)[0]
+
+
+@register(
+    "snapshot_diff_orders",
+    f"""
+WITH tgt AS (SELECT * FROM orders),
+upd AS (
+  SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
+         o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+ins AS (
+  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+merged AS ({_MERGED_CTE}),
+d AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'update'
+         END AS change,
+         o.o_orderstatus AS old_o_orderstatus, o.o_totalprice AS old_o_totalprice,
+         n.o_orderstatus AS new_o_orderstatus, n.o_totalprice AS new_o_totalprice
+  FROM tgt o FULL OUTER JOIN merged n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, change, old_o_orderstatus, old_o_totalprice,
+       new_o_orderstatus, new_o_totalprice
+FROM d WHERE change IS NOT NULL
+""",
+    category="merge",
+    description=(
+        "CDC changelog derivation: diff a snapshot against its post-MERGE "
+        "version (one full-outer sort-merge join on the key), exactly "
+        "inverting merge_into — insert/delete/update rows only"
+    ),
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _merged_orders(spark, sf_dir)
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"], compare=["o_orderstatus", "o_totalprice"]
     )

@@ -219,6 +219,45 @@ def vec_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic",
+    f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  ORDER BY {hash48_duck('CAST(vec_id AS VARCHAR)')}, vec_id LIMIT {IVF_K}
+),
+sc AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         {cosine_sql('e.embedding', 'c.cvec')} AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+asg AS (
+  SELECT vec_id, embedding, cent_id AS cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+    FROM sc) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cluster, a.vec_id AS v1, b.vec_id AS v2,
+         {cosine_sql('a.embedding', 'b.embedding')} AS cos_sim
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT cluster, v1, v2, cos_sim FROM pairs WHERE cos_sim >= 0.4
+""",
+    category="vector",
+    description=(
+        "SemDeDup-style semantic near-dup pairs (arXiv:2303.09540): IVF "
+        "coarse-quantize, compare only within a cluster — candidates shrink "
+        "from O(n^2) to O(n^2/K) with K scaling alongside the corpus"
+    ),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.vector import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
     "vec_label_stats",
     f"""
 WITH n AS (

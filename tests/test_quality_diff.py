@@ -1,0 +1,113 @@
+"""Unit tests for the round-2 quality/CDC operators: snapshot_diff,
+dq_audit, scrub_patterns, semantic_dedup_pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from findb_spark.ops.diff import snapshot_diff
+from findb_spark.ops.quality import dq_audit, scrub_patterns
+from findb_spark.session import load_table
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k INT, s STRING, v DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, None, 40.0), (5, "e", 50.0)],
+        "k INT, s STRING, v DOUBLE",
+    )
+    got = {
+        r.k: (r.change, r.old_s, r.new_s)
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    # 1 unchanged (dropped), 4 unchanged with null value (null-safe compare)
+    assert got == {
+        2: ("update", "b", "B"),
+        3: ("delete", "c", None),
+        5: ("insert", None, "e"),
+    }
+
+
+def test_snapshot_diff_inverts_merge(spark, sf_dir):
+    """diff(orders, merge(orders, feed)) recovers exactly the feed's
+    insert/delete/update key sets."""
+    from findb_spark.queries.merge_queries import _merged_orders
+
+    old, new = _merged_orders(spark, sf_dir)
+    d = snapshot_diff(
+        old, new, keys=["o_orderkey"], compare=["o_orderstatus", "o_totalprice"]
+    )
+    by_change = {
+        r.change: r.n for r in d.groupBy("change").agg(F.count("*").alias("n")).collect()
+    }
+    keys = [r.o_orderkey for r in old.select("o_orderkey").collect()]
+    want_delete = sum(1 for k in keys if k % 21 == 0)
+    want_insert = sum(1 for k in keys if k % 97 == 0)
+    want_update = sum(1 for k in keys if k % 7 == 0 and k % 21 != 0)
+    assert by_change.get("delete", 0) == want_delete
+    assert by_change.get("insert", 0) == want_insert
+    assert by_change.get("update", 0) == want_update
+
+
+def test_dq_audit_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10, 5.0),
+            (1, 20, -1.0),  # dup key + nonpositive value
+            (2, None, 3.0),  # null fk
+            (3, 99, 4.0),  # orphan fk
+        ],
+        "k INT, fk INT, v DOUBLE",
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "id INT")
+    rep = {
+        r.check: (r.n_violations, r.n_checked)
+        for r in dq_audit(
+            df,
+            row_rules={
+                "null_fk": F.col("fk").isNull(),
+                "nonpositive_v": F.col("v") <= 0,
+            },
+            unique_key=["k"],
+            fk=(dim, "fk", "id"),
+        ).collect()
+    }
+    assert rep["null_fk"] == (1, 4)
+    assert rep["nonpositive_v"] == (1, 4)
+    assert rep["unique:k"] == (1, 4)
+    assert rep["fk:fk"] == (1, 4)  # null fk not an orphan; 99 is
+
+
+def test_scrub_patterns_counts_and_masks(spark):
+    df = spark.createDataFrame(
+        [("call 555123456 or 42",), ("clean",)], "t STRING"
+    )
+    out = scrub_patterns(
+        df, "t", {"longid": "[0-9]{6,}", "digits": "[0-9]+"}
+    ).collect()
+    rows = {r.t: r for r in out}
+    r = rows["call 555123456 or 42"]
+    assert (r.n_longid, r.n_digits) == (1, 2)
+    assert r.t_scrubbed == "call [REDACTED] or [REDACTED]"
+    assert rows["clean"].t_scrubbed == "clean"
+
+
+def test_semantic_dedup_is_cluster_restricted_exact(spark, sf_dir):
+    """Semantic pairs == exact near-dup pairs whose endpoints the codebook
+    co-assigns (no false positives; misses are exactly the cross-cluster
+    pairs — the SemDeDup tradeoff)."""
+    from findb_spark.ops.vector import ivf_assign, near_dup_pairs, semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = {(r.v1, r.v2) for r in semantic_dedup_pairs(emb, threshold=0.4).collect()}
+    exact = {(r.v1, r.v2) for r in near_dup_pairs(emb, threshold=0.4).collect()}
+    cluster = {r.vec_id: r.cluster for r in ivf_assign(emb).collect()}
+    want = {(a, b) for (a, b) in exact if cluster[a] == cluster[b]}
+    assert sem == want
+    assert sem <= exact
+    # the codebook should co-assign a nontrivial share of true near-dups
+    if exact:
+        assert len(sem) / len(exact) > 0.2
