@@ -155,6 +155,7 @@ def asof_join(
     right_time: str = "ts",
     value_cols: tuple[str, ...] = ("ts", "value"),
     direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Generic as-of join: for every left row, attach the right row with the
     largest ``right_time <= left_time`` for the same key — the
@@ -175,7 +176,16 @@ def asof_join(
     columns + ``matched_<c>`` for each requested right value column (NULL
     when nothing is known yet — same semantics as the reference iterator
     yielding nothing before the first revision, file.rs:543-556).
+
+    ``tolerance`` (pandas ``merge_asof(tolerance=...)`` semantics): a match
+    farther than ``tolerance`` time units from ``left_time`` is discarded
+    (all matched columns null). Requires ``right_time`` in ``value_cols``
+    so the matched time is available; applied as a pure post-projection —
+    the plan (one shuffle, running scan) is unchanged, so staleness
+    filtering is free at any scale.
     """
+    if tolerance is not None and right_time not in value_cols:
+        raise ValueError("tolerance requires right_time in value_cols")
     l_cols = [c for c in left.columns]
     tagged_r = right.select(
         F.col(on),
@@ -215,11 +225,26 @@ def asof_join(
             for c in value_cols
         ],
     )
-    return matched.where(F.col("_is_q") == 1).select(
+    out = matched.where(F.col("_is_q") == 1).select(
         on,
         *[F.col(f"_l_{c}").alias(c) for c in l_cols if c != on],
         *[F.col(f"matched_{c}") for c in value_cols],
     )
+    if tolerance is not None:
+        mt = F.col(f"matched_{right_time}")
+        lt = F.col(left_time)
+        stale = (
+            (lt - mt) > tolerance if direction == "backward" else (mt - lt) > tolerance
+        )
+        out = out.select(
+            on,
+            *[c for c in l_cols if c != on],
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(f"matched_{c}")).alias(f"matched_{c}")
+                for c in value_cols
+            ],
+        )
+    return out
 
 
 def point_lookup(df: DataFrame, key_col: str, key: int) -> DataFrame:

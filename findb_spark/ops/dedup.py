@@ -222,6 +222,49 @@ def jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4, n: int = 3) ->
     ).where(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> DataFrame:
+    """Asymmetric shingle-containment pairs: C(A in B) = |A ∩ B| / |A|.
+
+    Jaccard misses subset relationships — a short document quoted whole
+    inside a long one has tiny Jaccard but containment ~1.0, and that
+    quote-inclusion shape is exactly what a training-data pipeline must
+    catch (the long doc re-teaches the short one). Emits both directions
+    per unordered pair (cont1 = containment of doc1 in doc2's direction
+    |A∩B|/|A|, cont2 = |A∩B|/|B|) and keeps pairs where EITHER clears the
+    threshold.
+
+    Same inverted-index candidate join as :func:`jaccard_pairs` (cost
+    sum(df^2) over shingles — bounded by stop-shingle capping at corpus
+    scale); the asymmetric scores are pure projection on the counted
+    intersection, so the plan is identical to the Jaccard form."""
+    from pyspark.storagelevel import StorageLevel
+
+    arrs = shingle_arrays(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = arrs.select(
+        "doc_id",
+        F.explode(F.transform(F.col("sharr"), lambda s: hash48(s))).alias("shingle"),
+    )
+    sizes = arrs.select("doc_id", F.size("sharr").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            (F.col("inter") / F.col("sa.sz")).alias("cont1"),
+            (F.col("inter") / F.col("sb.sz")).alias("cont2"),
+        )
+        .where((F.col("cont1") >= threshold) | (F.col("cont2") >= threshold))
+    )
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """k=16 MinHash signature per document (columns mh0..mh15).
 

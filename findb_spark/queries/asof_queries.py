@@ -216,6 +216,45 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_tolerance",
+    f"""
+WITH {PRICES_ORACLE_CTE},
+rdedup AS (
+  SELECT asset_id, ts, MAX(value) AS value FROM prices_v GROUP BY asset_id, ts
+),
+probes AS (SELECT asset_id, ts AS probe_ts, ts + 90000 AS qts FROM rdedup),
+j AS (
+  SELECT p.asset_id, p.probe_ts, p.qts, r.ts AS matched_ts, r.value AS matched_value
+  FROM probes p ASOF LEFT JOIN rdedup r
+    ON p.asset_id = r.asset_id AND r.ts <= p.qts
+)
+SELECT asset_id, probe_ts, qts,
+       CASE WHEN qts - matched_ts > 3600 THEN NULL ELSE matched_ts END AS matched_ts,
+       CASE WHEN qts - matched_ts > 3600 THEN NULL ELSE matched_value END AS matched_value
+FROM j
+""",
+    category="asof",
+    description=(
+        "As-of join with a staleness tolerance (pandas merge_asof "
+        "tolerance semantics): matches older than the window are nulled in "
+        "a pure post-projection — same one-shuffle running-scan plan"
+    ),
+)
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.asof import asof_join
+
+    prices = prices_from_lineitem(spark, sf_dir)
+    rdedup = prices.groupBy("asset_id", "ts").agg(F.max("value").alias("value"))
+    probes = rdedup.select(
+        "asset_id", F.col("ts").alias("probe_ts"), (F.col("ts") + 90000).alias("qts")
+    )
+    return asof_join(
+        probes, rdedup, on="asset_id", left_time="qts", right_time="ts",
+        tolerance=3600,
+    )
+
+
+@register(
     "revision_stats",
     f"""
 WITH {PRICES_ORACLE_CTE}

@@ -12,6 +12,7 @@ from findb_spark.ops.dedup import (
     PERM_PARAMS,
     ROWS_PER_BAND,
     SIMHASH_BITS,
+    containment_pairs,
     exact_dedup_stats,
     jaccard_pairs,
     jaccard_pairs_prefix,
@@ -97,6 +98,32 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
 )
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_prefix(load_table(spark, sf_dir, "documents"), threshold=0.4)
+
+
+@register(
+    "dedup_containment",
+    f"""
+WITH {_SH_CTE},
+shh AS (SELECT doc_id, {hash48_duck('shingle')} AS shingle FROM sh),
+{_SIZES_CTE},
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+  FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, inter / sa.sz AS cont1, inter / sb.sz AS cont2
+FROM inter JOIN sizes sa ON doc1 = sa.doc_id JOIN sizes sb ON doc2 = sb.doc_id
+WHERE inter / sa.sz >= 0.5 OR inter / sb.sz >= 0.5
+""",
+    category="dedup",
+    description=(
+        "Asymmetric shingle-containment pairs |A∩B|/|A| — catches quote/"
+        "subset inclusion that Jaccard misses; same inverted-index "
+        "candidate join, asymmetric scores as pure projection"
+    ),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
 _MH_COLS_SQL = ",\n       ".join(

@@ -4,7 +4,7 @@ batch semantics here, streaming twins in findb_spark.streaming)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from findb_spark.ops.events import event_type_pivot, sessionize, tumbling_agg
 from findb_spark.registry import register
@@ -32,6 +32,47 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "events_type_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n,
+       n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM t
+""",
+    category="events",
+    description=(
+        "Markov transition matrix over per-user event sequences: one lag "
+        "window (shuffle on user_id) + tiny (|types|^2-row) aggregate; "
+        "row probabilities via a window over the aggregated matrix"
+    ),
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    pw = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") / F.sum("n").over(pw).cast("double")).alias("p"),
     )
 
 

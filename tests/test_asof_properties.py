@@ -148,3 +148,41 @@ def test_asof_join_forward_matches_pandas(spark, rows, probes):
         for r in m.itertuples()
     }
     assert got == want
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(rows=RIGHT_ROWS, probes=PROBES, tol=st.integers(0, 10))
+def test_asof_join_tolerance_matches_pandas(spark, rows, probes, tol):
+    """tolerance=t must equal pandas merge_asof(tolerance=t): matches
+    farther than t from the probe time are discarded (nulls)."""
+    from findb_spark.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(k, t, float(v)) for k, t, v in rows],
+        schema="asset_id BIGINT, ts BIGINT, value DOUBLE",
+    )
+    left = spark.createDataFrame(probes, schema="asset_id BIGINT, qts BIGINT")
+    got = {
+        (r.asset_id, r.qts): (r.matched_ts, r.matched_value)
+        for r in asof_join(left, right, tolerance=tol).collect()
+    }
+    rdf = pd.DataFrame(rows, columns=["asset_id", "ts", "value"]).sort_values("ts")
+    ldf = pd.DataFrame(probes, columns=["asset_id", "qts"]).sort_values("qts")
+    m = pd.merge_asof(
+        ldf, rdf, left_on="qts", right_on="ts", by="asset_id",
+        direction="backward", tolerance=tol,
+    )
+    want = {
+        (int(r.asset_id), int(r.qts)): (
+            None if pd.isna(r.ts) else int(r.ts),
+            None if pd.isna(r.value) else float(r.value),
+        )
+        for r in m.itertuples()
+    }
+    assert got == want
