@@ -6,11 +6,12 @@ hot path):
 
 - :func:`dq_audit` folds every per-row rule (null / range / custom
   predicate) into **one aggregate over one scan** — ``sum(case when
-  violated)`` per rule — then unions the two rules that genuinely need
-  their own plan shape: key uniqueness (one groupBy on the key) and
-  referential integrity (one left-anti join against the dimension,
-  broadcast when the dimension is small). At 100 TB the fact table is
-  read once, not once per rule.
+  violated)`` per rule, unpivoted to long format with one explode — then
+  unions the two rules that genuinely need their own plan shape: key
+  uniqueness (one groupBy on the key) and referential integrity (one
+  left join against the dimension — broadcast when small — whose single
+  aggregate yields orphan count and total together). At 100 TB the fact
+  table is read once for all row rules, not once per rule.
 - :func:`scrub_patterns` applies an ordered dict of named regexes to a
   string column: each pattern's matches are counted (``regexp_count``)
   and replaced with a mask token. Counting and replacing are JVM-side
@@ -38,8 +39,8 @@ def dq_audit(
     ``unique_key``: declares the row-identity columns; violations = rows
     beyond the first per key.
     ``fk``: (dim_df, fact_col, dim_col) — violations = fact rows whose
-    ``fact_col`` has no match in ``dim_col`` (left-anti join; Catalyst
-    broadcasts the dim side when it is small).
+    non-null ``fact_col`` has no match in ``dim_col`` (left join;
+    Catalyst broadcasts the dim side when it is small).
     """
     n_total = F.count("*")
     aggs = [n_total.alias("_n")] + [
@@ -47,13 +48,22 @@ def dq_audit(
         for name, cond in row_rules.items()
     ]
     one_pass = df.agg(*aggs)
+    # unpivot the wide single-row aggregate into long format with ONE
+    # explode — a union of per-rule selects over `one_pass` would make
+    # Spark recompute the scan+aggregate subtree once per rule
+    kv = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col(f"_v_{name}").cast("bigint").alias("n_violations"),
+            )
+            for name in row_rules
+        ]
+    )
     parts = [
         one_pass.select(
-            F.lit(name).alias("check"),
-            F.col(f"_v_{name}").cast("bigint").alias("n_violations"),
-            F.col("_n").cast("bigint").alias("n_checked"),
-        )
-        for name in row_rules
+            F.col("_n").cast("bigint").alias("n_checked"), F.explode(kv).alias("_kv")
+        ).select("_kv.check", "_kv.n_violations", "n_checked")
     ]
     if unique_key:
         dup = df.groupBy(*unique_key).agg(F.count("*").alias("_c"))
@@ -66,16 +76,27 @@ def dq_audit(
         )
     if fk is not None:
         dim, fact_col, dim_col = fk
-        orphans = df.where(F.col(fact_col).isNotNull()).join(
-            dim.select(F.col(dim_col).alias(fact_col)).distinct(),
+        # left join (dim side broadcast when small) + one aggregate gives
+        # orphan count AND total in a single pass — an anti-join would need
+        # a second scan of `df` just to report n_checked
+        j = df.select(fact_col).join(
+            dim.select(F.col(dim_col).alias(fact_col))
+            .distinct()
+            .withColumn("_dim_hit", F.lit(1)),
             on=fact_col,
-            how="left_anti",
+            how="left",
         )
         parts.append(
-            orphans.agg(F.count("*").cast("bigint").alias("n_violations")).crossJoin(
-                df.agg(F.count("*").cast("bigint").alias("n_checked"))
-            ).select(
-                F.lit(f"fk:{fact_col}").alias("check"), "n_violations", "n_checked"
+            j.agg(
+                F.lit(f"fk:{fact_col}").alias("check"),
+                F.sum(
+                    F.when(
+                        F.col(fact_col).isNotNull() & F.col("_dim_hit").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_violations"),
+                F.count("*").cast("bigint").alias("n_checked"),
             )
         )
     out = parts[0]

@@ -58,7 +58,8 @@ SELECT 'fk:o_custkey', n_violations, n_checked FROM fk
     description=(
         "Declarative data-quality audit over orders: null/range/domain rules "
         "folded into ONE scan-aggregate, plus key-uniqueness (one groupBy) "
-        "and referential integrity vs customer (broadcast left-anti join)"
+        "and referential integrity vs customer (broadcast left join, one "
+        "aggregate for orphans + total)"
     ),
 )
 def dq_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

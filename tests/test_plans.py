@@ -143,3 +143,36 @@ def test_pack_sequences_window_is_sharded(spark):
     assert "shard" in p
     # a global window would show an Exchange SinglePartition before the sort
     assert "SinglePartition" not in p
+
+
+def test_dq_audit_row_rules_single_scan(spark):
+    """All row rules fold into ONE scan-aggregate of orders; only the
+    uniqueness and FK branches add scans (3 total, not one per rule)."""
+    p = _plan(spark, "dq_orders_audit")
+    # each scan appears twice in formatted output (tree + details):
+    # row-rules scan + uniqueness scan + FK fact scan + FK dim scan = 4
+    assert p.count("Scan parquet") <= 8, p.count("Scan parquet")
+    # FK check broadcasts the dimension (customer) for the orphan join
+    assert "BroadcastHashJoin" in p
+
+
+def test_snapshot_diff_is_single_join_per_snapshot_pair(spark):
+    """The changelog derivation is ONE join of old vs new (plus the merge
+    that builds 'new') — no window, no extra exchanges beyond the joins."""
+    p = _plan(spark, "snapshot_diff_orders")
+    assert "Window" not in p
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """Within-cluster pairing is an equi-join on the cluster id; the only
+    cartesian allowed is the tiny broadcast codebook assignment."""
+    p = _plan(spark, "dedup_semantic")
+    assert "CartesianProduct" not in p
+
+
+def test_transition_matrix_single_user_shuffle(spark):
+    """The lag window shuffles once on user_id; the probability window
+    runs over the tiny aggregated matrix."""
+    p = _plan(spark, "events_type_transitions")
+    # one scan == two mentions (tree + details)
+    assert p.count("Scan parquet") == 2
