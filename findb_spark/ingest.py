@@ -101,3 +101,23 @@ def ingest_orc(
         F.col("value").cast("string"),
     )
     return _normalize(raw, drop_malformed)
+
+
+def ingest_binary(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Ingest raw media/blob files through Spark's built-in ``binaryFile``
+    source: one row per file with (path, modificationTime, length,
+    content: binary) — the raw-asset entry point of the multimodal
+    pipeline (findb_spark.ops.multimodal consumes the ``content`` bytes).
+
+    Scale notes: the source is splittable BY FILE (one task per file), so
+    millions of small assets parallelize naturally; pair with
+    ``spark.sql.files.maxPartitionBytes`` / ``binaryFile`` packing so a
+    few multi-GB videos don't straggle a stage. Filters on path/length
+    push down to the file index (no content read for pruned files) —
+    predicate-prune first, decode later."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -166,3 +166,53 @@ def monthly_ohlc_bars(prices: DataFrame) -> DataFrame:
             F.count("*").alias("n_rev"),
         )
     )
+
+
+def drawdown(daily: DataFrame) -> DataFrame:
+    """Running-peak drawdown per asset: dd = value / max_so_far - 1.
+
+    ``max`` is order-independent (no fixed-point needed) and the division
+    is one identical double op on both engines, so the output is
+    deterministic under any partitioning. One window over the same
+    asset_id exchange every other series op uses."""
+    w = _w().rowsBetween(Window.unboundedPreceding, 0)
+    run_max = F.max("value").over(w)
+    return daily.select(
+        "asset_id",
+        "date",
+        "value",
+        run_max.alias("run_max"),
+        (F.col("value") / run_max - 1.0).alias("drawdown"),
+    )
+
+
+def ewma(daily: DataFrame, alpha: float = 0.2, n_terms: int = 10) -> DataFrame:
+    """Windowed exponential moving average: the ``n_terms``-term truncation
+    of the EWMA recursion, emitted once a full window of history exists.
+
+    True EWMA is a non-associative recursion (every prefix matters); the
+    K-term truncation is the standard scale-safe form — at alpha=0.2 the
+    dropped tail weighs (1-a)^10 ~ 0.107 of a renormalized window — and
+    becomes a FIXED expression over K lag columns: one window shuffle on
+    asset_id, no iteration, no UDF. Weights are Python-float literals
+    embedded identically in both engines' plans, and the K-term product
+    sum is the same left-associated double expression tree, so parity is
+    bit-exact without fixed-point tricks."""
+    w = _w()
+    weights = [alpha * (1.0 - alpha) ** k for k in range(n_terms)]
+    norm = sum(weights)
+    acc = None
+    for k, wt in enumerate(weights):
+        term = F.lag("value", k).over(w) * F.lit(wt)
+        acc = term if acc is None else acc + term
+    return (
+        daily.select(
+            "asset_id",
+            "date",
+            "value",
+            (acc / F.lit(norm)).alias("ewma"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .where(F.col("_rn") >= n_terms)
+        .drop("_rn")
+    )

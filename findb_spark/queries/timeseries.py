@@ -391,3 +391,58 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from findb_spark.ops.finance import monthly_ohlc_bars
 
     return monthly_ohlc_bars(prices_from_lineitem(spark, sf_dir))
+
+
+@register(
+    "ts_drawdown",
+    f"""
+WITH {_DAILY_CTE}
+SELECT asset_id, date, value,
+       MAX(value) OVER (PARTITION BY asset_id ORDER BY date
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max,
+       value / MAX(value) OVER (PARTITION BY asset_id ORDER BY date
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - 1.0 AS drawdown
+FROM daily
+""",
+    category="timeseries",
+    description="Running-peak drawdown per asset (order-independent max window, one shuffle)",
+)
+def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.finance import drawdown
+
+    return drawdown(_daily(spark, sf_dir))
+
+
+def _ewma_sql(alpha: float = 0.2, n_terms: int = 10) -> str:
+    weights = [alpha * (1.0 - alpha) ** k for k in range(n_terms)]
+    norm = sum(weights)
+    terms = " + ".join(
+        f"LAG(value, {k}) OVER w * {w!r}" for k, w in enumerate(weights)
+    )
+    return f"""
+WITH {_DAILY_CTE},
+e AS (
+  SELECT asset_id, date, value,
+         ({terms}) / {norm!r} AS ewma,
+         ROW_NUMBER() OVER w AS rn
+  FROM daily
+  WINDOW w AS (PARTITION BY asset_id ORDER BY date)
+)
+SELECT asset_id, date, value, ewma FROM e WHERE rn >= {n_terms}
+"""
+
+
+@register(
+    "ts_ewma",
+    _ewma_sql(),
+    category="timeseries",
+    description=(
+        "10-term truncated EWMA as a fixed lag-expression window (no "
+        "recursion/UDF; weight literals identical in both engines)"
+    ),
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.finance import ewma
+
+    return ewma(_daily(spark, sf_dir), alpha=0.2, n_terms=10)

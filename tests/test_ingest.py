@@ -69,3 +69,19 @@ def test_ingest_orc_matches_csv(spark, tmp_path):
     assert set(rows) == {1580463000, 40}
     assert all(r.asset_id == 7 and r.date == 20200131 for r in rows.values())
     assert rows[40].value == 101.5
+
+
+def test_ingest_binary_reads_files(spark, tmp_path):
+    from findb_spark.ingest import ingest_binary
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02payload")
+    (tmp_path / "b.bin").write_bytes(b"other")
+    (tmp_path / "skip.txt").write_bytes(b"nope")
+    df = ingest_binary(spark, str(tmp_path), glob="*.bin")
+    rows = {r.path.rsplit("/", 1)[-1]: (r.length, bytes(r.content)) for r in df.collect()}
+    assert rows == {
+        "a.bin": (10, b"\x00\x01\x02payload"),
+        "b.bin": (5, b"other"),
+    }
+    # length predicate prunes before content is read
+    assert df.where("length > 5").count() == 1
