@@ -248,6 +248,7 @@ SELECT cluster, v1, v2, cos_sim FROM pairs WHERE cos_sim >= 0.4
         "coarse-quantize, compare only within a cluster — candidates shrink "
         "from O(n^2) to O(n^2/K) with K scaling alongside the corpus"
     ),
+    bench=True,
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from findb_spark.ops.vector import semantic_dedup_pairs

@@ -63,9 +63,12 @@ _SPECS: dict[str, QuerySpec] = {}
 #: vec_ivf_kmeans, text_pack_sequences, text_contamination, vec_quantize_int8,
 #: source_pagerank, dedup_clusters_star, dedup_lsh_incremental,
 #: asof_join_forward, string_agg_statuses, unpivot_lineitem_measures,
-#: events_value_histogram, events_json_keys), then any remaining relational
-#: tail.  Keep a handful of previously-red-then-fixed names one extra round
-#: for confirmation.
+#: events_value_histogram, events_json_keys, dedup_semantic,
+#: dedup_containment, snapshot_diff_orders, dq_orders_audit,
+#: pii_scrub_names, asof_join_tolerance, events_type_transitions,
+#: ts_drawdown, ts_ewma), then any remaining relational tail.  Keep a
+#: handful of previously-red-then-fixed names one extra round for
+#: confirmation.
 _CHECK_FIRST: tuple[str, ...] = (
     # dedup family (documents table)
     "dedup_exact",

@@ -101,6 +101,7 @@ def workload(spark, sf_dir: str) -> dict[str, float]:
 
 def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
     from findb_spark.ops.dedup import (
+        containment_pairs,
         jaccard_pairs,
         minhash_lsh_pairs,
         simhash_banded_pairs,
@@ -112,6 +113,7 @@ def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
         "minhash_lsh": timed(lambda: minhash_lsh_pairs(docs).count()),
         "simhash_banded": timed(lambda: simhash_banded_pairs(docs).count()),
         "ngram_jaccard": timed(lambda: jaccard_pairs(docs).count()),
+        "containment": timed(lambda: containment_pairs(docs).count()),
         "text_quality": timed(lambda: quality_score(docs).count()),
     }
 
