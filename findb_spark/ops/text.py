@@ -173,3 +173,43 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         (top_tf / n).alias("top_token_share"),
         dup_bigram_ratio.alias("dup_bigram_ratio"),
     )
+
+
+def bigram_novelty(docs: DataFrame) -> DataFrame:
+    """Corpus-grounded novelty/fluency proxy per document: document-
+    frequency statistics of its distinct word bigrams.
+
+    A fluent document re-uses word transitions the corpus has seen
+    (high mean df); boilerplate scores extreme (every bigram shared),
+    gibberish scores df~1 everywhere. This is the log-free skeleton of a
+    bigram-LM perplexity score — exact integer df sums instead of
+    ln(p) (libm logs are not bit-reproducible across engines, so the
+    deterministic form stays in counts).
+
+    Plan: one explode -> df hash-aggregate (map-side combined) -> one
+    re-join of bigrams to their df -> per-doc aggregate. Joins/aggregates
+    run on 48-bit bigram hashes, never the strings."""
+    from findb_spark.functions.hashing import hash48
+
+    arrs = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_t")
+    ).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles_of(F.col("_t"), 2), lambda s: hash48(s))
+        ).alias("_bh"),
+    )
+    bg = arrs.select("doc_id", F.explode("_bh").alias("bh"))
+    dfreq = bg.groupBy("bh").agg(F.count("*").alias("_df"))
+    return (
+        bg.join(dfreq, "bh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum("_df").cast("double") / F.count("*")).alias("mean_df"),
+            (
+                F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("unique_share"),
+        )
+    )

@@ -1117,3 +1117,57 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return melted.groupBy("l_returnflag", "measure").agg(
         F.count("*").alias("n"), fxp_sum(F.col("val"), "total")
     )
+
+
+@register(
+    "customer_rfm",
+    f"""
+WITH base AS (
+  SELECT o_custkey AS c_custkey,
+         MAX(o_orderdate) AS last_order_date,
+         COUNT(*) AS n_orders,
+         {fxp_sum_sql('o_totalprice')} AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, last_order_date, n_orders, total_spend,
+       NTILE(4) OVER (ORDER BY last_order_date DESC, c_custkey) AS r_band,
+       NTILE(4) OVER (ORDER BY n_orders DESC, c_custkey) AS f_band,
+       NTILE(4) OVER (ORDER BY total_spend DESC, c_custkey) AS m_band
+FROM base
+""",
+    category="relational",
+    description=(
+        "RFM customer segmentation: one orders aggregate + three ntile "
+        "bands with total deterministic orderings (quartile windows over "
+        "the already-aggregated per-customer table, not the fact table)"
+    ),
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/frequency/monetary quartile bands per customer.
+
+    The heavy input (orders) is reduced by ONE map-side-combined
+    aggregate before any window; the three ntile windows then run over
+    the per-customer table — dimension-sized, orders of magnitude
+    smaller than the fact table. An unpartitioned window is still a
+    single ordered pass: if the customer dimension itself stops fitting
+    one task (billions of customers), swap exact ntile for
+    approx_percentile quartile cuts + a CASE band assignment — same
+    output contract, fully parallel, at the cost of boundary-exactness."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order_date"),
+        F.count("*").alias("n_orders"),
+        fxp_sum(F.col("o_totalprice"), "total_spend"),
+    )
+    rw = Window.orderBy(F.desc("last_order_date"), "c_custkey")
+    fw = Window.orderBy(F.desc("n_orders"), "c_custkey")
+    mw = Window.orderBy(F.desc("total_spend"), "c_custkey")
+    return base.select(
+        "c_custkey",
+        "last_order_date",
+        "n_orders",
+        "total_spend",
+        F.ntile(4).over(rw).alias("r_band"),
+        F.ntile(4).over(fw).alias("f_band"),
+        F.ntile(4).over(mw).alias("m_band"),
+    )

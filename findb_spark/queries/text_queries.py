@@ -452,3 +452,33 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_shared") >= 3, 1).otherwise(0)).alias("n_contaminated"),
         F.max("n_shared").alias("max_shared"),
     )
+
+
+@register(
+    "text_bigram_novelty",
+    f"""
+WITH bg AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform({shingles_duck('text', 2)},
+                                             s -> {hash48_duck('s')}))) AS bh
+  FROM documents
+),
+dfreq AS (SELECT bh, COUNT(*) AS df FROM bg GROUP BY bh)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(df) AS DOUBLE) / COUNT(*) AS mean_df,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS unique_share
+FROM bg JOIN dfreq USING (bh)
+GROUP BY doc_id
+""",
+    category="text",
+    description=(
+        "Corpus-grounded bigram novelty per doc (df stats of its word "
+        "transitions — the log-free bigram-LM fluency skeleton; exact "
+        "integer sums, joins on 48-bit hashes)"
+    ),
+)
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.text import bigram_novelty
+
+    return bigram_novelty(load_table(spark, sf_dir, "documents"))
