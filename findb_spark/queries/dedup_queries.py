@@ -543,3 +543,103 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = se.union(se.select(F.col("v").alias("u"), F.col("u").alias("v")))
     pr = pagerank_int(edges, src="u", dst="v", iters=10)
     return pr.select(F.col("node").alias("source"), "rank_fx")
+
+
+_TEXT_PAIRS_CTE = f"""
+bands2 AS ({_BANDS_SQL}),
+cand2 AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+  FROM bands2 x JOIN bands2 y
+    ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id
+),
+{_SIZES_CTE},
+inter2 AS (
+  SELECT doc1, doc2, COUNT(*) AS inter
+  FROM cand2 JOIN hh a ON doc1 = a.doc_id
+             JOIN hh b ON doc2 = b.doc_id AND a.h = b.h
+  GROUP BY 1, 2
+),
+tp AS (
+  SELECT doc1, doc2, inter / (sa.sz + sb.sz - inter) AS jaccard
+  FROM inter2 JOIN sizes sa ON doc1 = sa.doc_id JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+)
+""".strip()
+
+
+def _fused_sql() -> str:
+    from findb_spark.ops.vector import IVF_K, cosine_sql
+
+    return f"""
+WITH {_SH_CTE},
+{_SIGS_CTE},
+{_TEXT_PAIRS_CTE},
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  ORDER BY {hash48_duck('CAST(vec_id AS VARCHAR)')}, vec_id LIMIT {IVF_K}
+),
+vsc AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         {cosine_sql('e.embedding', 'c.cvec')} AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+vasg AS (
+  SELECT vec_id, embedding, cent_id AS cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+    FROM vsc) WHERE rn = 1
+),
+vp AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         {cosine_sql('a.embedding', 'b.embedding')} AS cos_sim
+  FROM vasg a JOIN vasg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.4
+)
+SELECT COALESCE(tp.doc1, vp.v1) AS doc1,
+       COALESCE(tp.doc2, vp.v2) AS doc2,
+       tp.jaccard, vp.cos_sim,
+       CASE WHEN tp.doc1 IS NOT NULL AND vp.v1 IS NOT NULL THEN 'both'
+            WHEN tp.doc1 IS NOT NULL THEN 'text_only'
+            ELSE 'vector_only' END AS verdict
+FROM tp FULL OUTER JOIN vp ON tp.doc1 = vp.v1 AND tp.doc2 = vp.v2
+"""
+
+
+@register(
+    "dedup_fused",
+    _fused_sql(),
+    category="dedup",
+    description=(
+        "Fused dedup verdict: MinHash-LSH text pairs FULL OUTER JOIN "
+        "SemDeDup embedding pairs on the (doc1, doc2) key — per pair, "
+        "surface-form and semantic signals plus which fired (both / "
+        "text_only / vector_only). Composition of two scale-path "
+        "operators; the join runs on pair keys, both inputs already "
+        "candidate-pruned"
+    ),
+)
+def dedup_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.vector import semantic_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tp = minhash_lsh_pairs(docs, threshold=0.4)
+    vp = semantic_dedup_pairs(emb, threshold=0.4).select(
+        F.col("v1"), F.col("v2"), F.col("cos_sim")
+    )
+    j = tp.join(
+        vp, (F.col("doc1") == F.col("v1")) & (F.col("doc2") == F.col("v2")), "full_outer"
+    )
+    verdict = (
+        F.when(F.col("doc1").isNotNull() & F.col("v1").isNotNull(), F.lit("both"))
+        .when(F.col("doc1").isNotNull(), F.lit("text_only"))
+        .otherwise(F.lit("vector_only"))
+    )
+    return j.select(
+        F.coalesce("doc1", "v1").alias("doc1"),
+        F.coalesce("doc2", "v2").alias("doc2"),
+        "jaccard",
+        "cos_sim",
+        verdict.alias("verdict"),
+    )
