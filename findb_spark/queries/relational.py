@@ -1171,3 +1171,64 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(fw).alias("f_band"),
         F.ntile(4).over(mw).alias("m_band"),
     )
+
+
+@register(
+    "winsorize_revenue",
+    f"""
+WITH cuts AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.01) AS p01,
+         quantile_cont(l_extendedprice, 0.99) AS p99
+  FROM lineitem GROUP BY l_returnflag
+),
+w AS (
+  SELECT l.l_returnflag,
+         CASE WHEN l_extendedprice < p01 THEN p01
+              WHEN l_extendedprice > p99 THEN p99
+              ELSE l_extendedprice END AS wp,
+         CASE WHEN l_extendedprice < p01 OR l_extendedprice > p99
+              THEN 1 ELSE 0 END AS clamped
+  FROM lineitem l JOIN cuts USING (l_returnflag)
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(clamped) AS BIGINT) AS n_clamped,
+       {fxp_sum_sql('wp')} AS sum_winsorized
+FROM w GROUP BY l_returnflag
+""",
+    category="relational",
+    description=(
+        "Winsorization (p01/p99 outlier clamping) per group: exact "
+        "percentile cuts on a tiny grouped aggregate broadcast back over "
+        "the fact scan — the robust-statistics cleaning pass"
+    ),
+)
+def winsorize_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-group cut table is |groups| rows — Catalyst broadcasts it,
+    so the fact table is scanned twice (once for cuts, once to clamp) but
+    never shuffled for the join; both aggregates combine map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    w = li.join(F.broadcast(cuts), "l_returnflag").select(
+        "l_returnflag",
+        F.when(F.col("l_extendedprice") < F.col("p01"), F.col("p01"))
+        .when(F.col("l_extendedprice") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("l_extendedprice"))
+        .alias("wp"),
+        F.when(
+            (F.col("l_extendedprice") < F.col("p01"))
+            | (F.col("l_extendedprice") > F.col("p99")),
+            1,
+        )
+        .otherwise(0)
+        .alias("clamped"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("clamped").cast("bigint").alias("n_clamped"),
+        fxp_sum(F.col("wp"), "sum_winsorized"),
+    )
