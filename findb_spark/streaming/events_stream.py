@@ -332,3 +332,58 @@ def read_merge_snapshot(
             raise ValueError(f"version {version} not in {vs}")
         return spark.read.parquet(f"{snapshot_dir}/v={version}")
     return spark.read.parquet(f"{snapshot_dir}/v={vs[-1]}")
+
+
+TRANS_STATE_SCHEMA = StructType([StructField("last_type", StringType())])
+TRANS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("prev_type", StringType()),
+        StructField("next_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def user_transition_stream(events: DataFrame) -> DataFrame:
+    """Stateful streaming twin of the batch Markov transition matrix
+    (queries.events_queries.events_type_transitions): per user, the state
+    is just the LAST event_type seen; each microbatch sorts the user's
+    new rows by event time, counts its (prev -> next) transitions —
+    including the cross-batch edge recovered from state — and emits the
+    per-batch delta counts. Downstream sums deltas per (prev, next).
+
+    State is O(1) per user (one string), unlike a windowed approach that
+    would buffer events; this is the canonical applyInPandasWithState
+    shape: tiny state + delta emission."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            batch = pd.concat(frames).sort_values(["ts", "event_id"])
+            et = batch["event_type"].tolist()
+            prev = ([last] if last is not None else [None]) + et[:-1]
+            pairs = pd.DataFrame({"prev_type": prev, "next_type": et}).dropna()
+            last = et[-1]
+            state.update((last,))
+            if len(pairs):
+                counts = (
+                    pairs.groupby(["prev_type", "next_type"], as_index=False)
+                    .size()
+                    .rename(columns={"size": "n"})
+                )
+                counts.insert(0, "user_id", key[0])
+                yield counts
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TRANS_SCHEMA,
+        stateStructType=TRANS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

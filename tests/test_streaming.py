@@ -225,3 +225,30 @@ def test_merge_snapshot_time_travel(spark, sf_dir, tmp_path):
     assert v0.count() == latest.count() > 0
     with pytest.raises(ValueError):
         read_merge_snapshot(spark, snap, version=99)
+
+
+def test_stateful_transition_stream_matches_batch(spark, stream, batch_events):
+    """Summed per-batch transition deltas == the batch lag-window matrix
+    (aggregated over users)."""
+    from pyspark.sql import Window
+
+    from findb_spark.streaming.events_stream import user_transition_stream
+
+    _replay(user_transition_stream(stream), "trans", mode="update")
+    got = {
+        (r.prev_type, r.next_type): r.n
+        for r in spark.sql(
+            "SELECT prev_type, next_type, SUM(n) AS n FROM trans"
+            " GROUP BY prev_type, next_type"
+        ).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = batch_events.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    want = {
+        (r.prev_type, r.next_type): r.n
+        for r in seq.groupBy("prev_type", "next_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and len(got) > 0
