@@ -183,3 +183,64 @@ def sql_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc WHERE node < 100 GROUP BY node
         """
     )
+
+
+@register(
+    "pipeline_corpus_curation",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+kept AS (SELECT doc_id, lang, n_tokens FROM toks WHERE n_tokens >= 20),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({shingles_duck('text')})) AS shingle
+  FROM documents
+),
+shh AS (SELECT doc_id, {hash48_duck('shingle')} AS shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+  FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dup2 AS (
+  SELECT DISTINCT doc2 FROM inter
+  JOIN sizes sa ON doc1 = sa.doc_id JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+),
+survivors AS (
+  SELECT k.* FROM kept k WHERE NOT EXISTS (SELECT 1 FROM dup2 d WHERE d.doc2 = k.doc_id)
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM survivors GROUP BY lang
+""",
+    category="pipeline",
+    description=(
+        "End-to-end corpus curation in ONE declarative plan: length/quality "
+        "gate -> greedy near-dup removal (drop the higher-id doc of every "
+        "verified Jaccard pair, keeping the canonical lower id) -> "
+        "per-language doc/token budget. The composition a training-data "
+        "pipeline runs nightly; every stage is an already-verified operator"
+    ),
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy near-dup removal note: dropping doc2 of every pair is the
+    standard 'keep first seen' policy (canonical = smallest doc_id). The
+    transitive-component variant is `dedup_clusters_apply`; this one
+    composes without an iterative step, so the whole pipeline stays a
+    single Catalyst plan — filter and dedup fuse into the same shuffles
+    the standalone operators use."""
+    from findb_spark.ops.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    kept = toks.where(F.col("n_tokens") >= 20)
+    dup2 = jaccard_pairs(docs, threshold=0.4).select("doc2").distinct()
+    survivors = kept.join(dup2, kept.doc_id == dup2.doc2, "left_anti")
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
