@@ -111,3 +111,31 @@ def test_semantic_dedup_is_cluster_restricted_exact(spark, sf_dir):
     # the codebook should co-assign a nontrivial share of true near-dups
     if exact:
         assert len(sem) / len(exact) > 0.2
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """cont_max = inter/min(szA,szB) >= inter/union = J, so every Jaccard
+    pair at >= 0.5 must surface as a containment pair at >= 0.5."""
+    from findb_spark.ops.dedup import containment_pairs, jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    jp = {(r.doc1, r.doc2) for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    cp = {(r.doc1, r.doc2) for r in containment_pairs(docs, threshold=0.5).collect()}
+    assert jp <= cp
+
+
+def test_bigram_novelty_separates_shared_from_unique(spark):
+    from findb_spark.ops.text import bigram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c d"),       # exact copy: every bigram df=2
+            (3, "x y z w"),       # disjoint: every bigram df=1
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.mean_df, r.unique_share) for r in bigram_novelty(docs).collect()}
+    assert got[1] == (3, 2.0, 0.0)
+    assert got[2] == (3, 2.0, 0.0)
+    assert got[3] == (3, 1.0, 1.0)
