@@ -121,3 +121,36 @@ def ingest_binary(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def ingest_text_log(
+    spark: SparkSession,
+    path: str,
+    pattern: str,
+    fields: dict[str, str],
+    drop_malformed: bool = True,
+) -> DataFrame:
+    """Parse unstructured text lines (``spark.read.text``) into typed
+    columns with one regex: field i comes from capture group i+1 of
+    ``pattern``, typed via ``try_cast`` (ANSI-safe — a malformed line
+    NULLs out instead of killing the executor, matching the CSV/JSON
+    quarantine contract).
+
+    The whole parse is a codegen projection over a splittable text scan —
+    the standard log-ingestion entry at any scale. ``fields`` maps column
+    name -> Spark SQL type in group order."""
+    raw = spark.read.text(path)
+    cols = [
+        F.regexp_extract(F.col("value"), pattern, i + 1)
+        .try_cast(t)
+        .alias(name)
+        for i, (name, t) in enumerate(fields.items())
+    ]
+    out = raw.select(*cols)
+    if drop_malformed:
+        keep = None
+        for name in fields:
+            c = F.col(name).isNotNull()
+            keep = c if keep is None else keep & c
+        out = out.where(keep)
+    return out

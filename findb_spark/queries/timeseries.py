@@ -446,3 +446,73 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from findb_spark.ops.finance import ewma
 
     return ewma(_daily(spark, sf_dir), alpha=0.2, n_terms=10)
+
+
+@register(
+    "corr_matrix_assets",
+    f"""
+WITH {_DAILY_CTE},
+d AS (
+  SELECT asset_id, date, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM daily WHERE asset_id <= 10
+),
+p AS (
+  SELECT a.asset_id AS a1, b.asset_id AS a2,
+         COUNT(*) AS n,
+         SUM(a.v) AS sx, SUM(b.v) AS sy,
+         SUM(a.v * b.v) AS sxy,
+         SUM(a.v * a.v) AS sxx, SUM(b.v * b.v) AS syy
+  FROM d a JOIN d b ON a.date = b.date AND a.asset_id < b.asset_id
+  GROUP BY 1, 2
+)
+SELECT a1, a2, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr
+FROM p WHERE n >= 2
+""",
+    category="timeseries",
+    description=(
+        "Pairwise asset correlation matrix: date-aligned self-join + exact "
+        "integer moment sums (one shuffle on date, Pearson from closed "
+        "form). At K assets the join is K^2-per-date — for wide K pivot "
+        "to per-date vectors and matrix-multiply instead"
+    ),
+)
+def corr_matrix_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = (
+        _daily(spark, sf_dir)
+        .where(F.col("asset_id") <= 10)
+        .select(
+            "asset_id",
+            "date",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.date") == F.col("b.date"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .groupBy(F.col("a.asset_id").alias("a1"), F.col("b.asset_id").alias("a2"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("a.v").alias("sx"),
+            F.sum("b.v").alias("sy"),
+            F.sum(F.col("a.v") * F.col("b.v")).alias("sxy"),
+            F.sum(F.col("a.v") * F.col("a.v")).alias("sxx"),
+            F.sum(F.col("b.v") * F.col("b.v")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    den = F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd) * F.sqrt(
+        nd * F.col("syy").cast("double") - syd * syd
+    )
+    return p.where(F.col("n") >= 2).select("a1", "a2", "n", (num / den).alias("corr"))

@@ -85,3 +85,23 @@ def test_ingest_binary_reads_files(spark, tmp_path):
     }
     # length predicate prunes before content is read
     assert df.where("length > 5").count() == 1
+
+
+def test_ingest_text_log_parses_and_quarantines(spark, tmp_path):
+    from findb_spark.ingest import ingest_text_log
+
+    log = tmp_path / "prices.log"
+    log.write_text(
+        "PRICE asset=3 date=20200101 value=1.5\n"
+        "PRICE asset=4 date=20200202 value=2.25\n"
+        "GARBAGE line without fields\n"
+        "PRICE asset=x date=20200303 value=9.0\n"  # malformed asset -> dropped
+    )
+    df = ingest_text_log(
+        spark,
+        str(log),
+        r"PRICE asset=(\d+) date=(\d+) value=([0-9.]+)",
+        {"asset_id": "bigint", "date": "int", "value": "double"},
+    )
+    rows = {(r.asset_id, r.date, r.value) for r in df.collect()}
+    assert rows == {(3, 20200101, 1.5), (4, 20200202, 2.25)}
