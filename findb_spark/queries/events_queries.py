@@ -311,3 +311,30 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_val"),
         )
     )
+
+
+@register(
+    "events_hll_rollup",
+    None,  # sketch estimates are engine-specific: rows-only contract
+    category="events",
+    description=(
+        "Reusable-sketch distinct counting: per-day HLL sketches "
+        "(hll_sketch_agg) merged into weekly estimates with hll_union_agg "
+        "— the store-partials-merge-cheap pattern that replaces "
+        "recounting raw data at 100 TB; estimates are engine-specific so "
+        "the driver records a rows-only check"
+    ),
+)
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), F.col("event_type")
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    weekly = daily.groupBy(
+        F.date_trunc("week", "day").alias("week"), F.col("event_type")
+    ).agg(F.hll_union_agg("sketch").alias("wsketch"))
+    return weekly.select(
+        F.unix_micros("week").alias("week_us"),
+        "event_type",
+        F.hll_sketch_estimate("wsketch").alias("approx_users"),
+    )

@@ -1232,3 +1232,37 @@ def winsorize_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("clamped").cast("bigint").alias("n_clamped"),
         fxp_sum(F.col("wp"), "sum_winsorized"),
     )
+
+
+@register(
+    "robust_mad",
+    """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       ANY_VALUE(med) AS median_price,
+       quantile_cont(abs(l_extendedprice - med), 0.5) AS mad_price,
+       COUNT(*) AS n_rows
+FROM lineitem l JOIN med USING (l_returnflag)
+GROUP BY l.l_returnflag
+""",
+    category="relational",
+    description=(
+        "Median absolute deviation per group: exact median cuts broadcast "
+        "back over the fact scan, second exact percentile over the "
+        "residuals — the robust dispersion twin of winsorize_revenue"
+    ),
+)
+def robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    j = li.join(F.broadcast(med), "l_returnflag")
+    return j.groupBy("l_returnflag").agg(
+        F.first("med").alias("median_price"),
+        F.expr("percentile(abs(l_extendedprice - med), 0.5)").alias("mad_price"),
+        F.count("*").alias("n_rows"),
+    )
