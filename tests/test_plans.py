@@ -176,3 +176,18 @@ def test_transition_matrix_single_user_shuffle(spark):
     p = _plan(spark, "events_type_transitions")
     # one scan == two mentions (tree + details)
     assert p.count("Scan parquet") == 2
+
+
+def test_winsorize_broadcasts_cuts_no_fact_shuffle_join(spark):
+    """The per-group percentile cut table broadcasts; the fact table is
+    never shuffled for the join."""
+    p = _plan(spark, "winsorize_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_corr_matrix_single_date_shuffle(spark):
+    """The pairwise correlation self-join shuffles on date; no cartesian."""
+    p = _plan(spark, "corr_matrix_assets")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
