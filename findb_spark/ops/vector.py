@@ -458,7 +458,15 @@ def semantic_dedup_pairs(
     Output: (cluster, v1, v2, cos_sim), v1 < v2. Recall vs the exact scan
     = the fraction of true near-dup pairs co-assigned by the codebook
     (tests pin both containment and the recall floor)."""
-    assigned = ivf_assign(emb, n_cent).withColumn("_nrm", norm(F.col("embedding")))
+    from pyspark.storagelevel import StorageLevel
+
+    # both sides of the within-cluster self-join read `assigned`; without a
+    # persist the whole O(n*K) codebook-assignment subtree runs twice
+    assigned = (
+        ivf_assign(emb, n_cent)
+        .withColumn("_nrm", norm(F.col("embedding")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     x = assigned.select(
         F.col("cluster"),
         F.col("vec_id").alias("v1"),
