@@ -1266,3 +1266,59 @@ def robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(abs(l_extendedprice - med), 0.5)").alias("mad_price"),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "pareto_part_revenue",
+    f"""
+WITH base AS (
+  SELECT l_partkey, {fxp_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+cents AS (
+  SELECT l_partkey, revenue,
+         CAST(FLOOR(revenue * 100 + 0.5) AS BIGINT) AS rc
+  FROM base
+),
+r AS (
+  SELECT l_partkey, revenue,
+         ROW_NUMBER() OVER (ORDER BY rc DESC, l_partkey) AS rnk,
+         CAST(SUM(rc) OVER (ORDER BY rc DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / CAST(SUM(rc) OVER () AS DOUBLE) AS cum_share
+  FROM cents
+)
+SELECT l_partkey, revenue, rnk, cum_share FROM r WHERE rnk <= 100
+""",
+    category="relational",
+    description=(
+        "Pareto concentration: per-part revenue ranked with running share "
+        "of total (exact integer cents in both windows) — top-100 cut. "
+        "Windows run over the aggregated dimension-sized table"
+    ),
+)
+def pareto_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_partkey").agg(
+        fxp_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+    cents = base.select(
+        "l_partkey",
+        "revenue",
+        F.floor(F.col("revenue") * 100 + F.lit(0.5)).cast("bigint").alias("rc"),
+    )
+    ow = Window.orderBy(F.desc("rc"), "l_partkey")
+    cw = ow.rowsBetween(Window.unboundedPreceding, 0)
+    tw = Window.partitionBy()
+    return (
+        cents.select(
+            "l_partkey",
+            "revenue",
+            F.row_number().over(ow).alias("rnk"),
+            (
+                F.sum("rc").over(cw).cast("double")
+                / F.sum("rc").over(tw).cast("double")
+            ).alias("cum_share"),
+        )
+        .where(F.col("rnk") <= 100)
+    )
