@@ -348,3 +348,41 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("mse"),
     )
+
+
+@register(
+    "vec_ann_lsh_multiprobe",
+    f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q0 AS (
+  SELECT vec_id AS query_id, embedding AS qv, {_bucket_sql('embedding')} AS qbucket
+  FROM embeddings WHERE vec_id < 3
+),
+q AS (
+  SELECT query_id, qv, unnest([qbucket,
+         {", ".join(f"xor(qbucket, {1 << j})" for j in range(N_PLANES))}]) AS qbucket
+  FROM q0
+),
+scored AS (
+  SELECT DISTINCT query_id, vec_id, {cosine_sql('embedding', 'qv')} AS cos_sim
+  FROM corpus JOIN q ON bucket = qbucket AND vec_id != query_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored)
+SELECT query_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
+""",
+    category="vector",
+    description=(
+        f"Multiprobe LSH ANN: probe the query bucket plus all {N_PLANES} "
+        "hamming-1 neighbors (one flipped hyperplane) — the standard "
+        "recall fix for boundary vectors; probe list stays broadcast"
+    ),
+)
+def vec_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        ann_lsh_topk(emb, _queryset(spark, sf_dir), k=5, multiprobe=True)
+        .withColumnRenamed("rank", "rnk")
+    )

@@ -387,3 +387,37 @@ def user_transition_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dq_monitor(
+    stream_df: DataFrame,
+    row_rules: dict,
+    path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming data-quality monitor: every microbatch runs the same
+    one-scan rule aggregate the batch auditor uses
+    (findb_spark.ops.quality.dq_audit row rules), stamps the epoch id,
+    and appends the long-format report to an audit table. The ingest
+    pipeline gets a per-batch violation ledger without a second pass
+    over landed data; summed over epochs, n_checked reconciles exactly
+    with rows ingested (the audit IS the ingest accounting).
+
+    Cross-batch rules (global key uniqueness, referential integrity) are
+    batch jobs over the landed table by nature — run `dq_audit` with
+    `unique_key`/`fk` against the sink on a schedule instead."""
+    from findb_spark.ops.quality import dq_audit
+
+    def audit(batch_df: DataFrame, epoch_id: int) -> None:
+        report = dq_audit(batch_df, row_rules=row_rules).withColumn(
+            "epoch_id", F.lit(epoch_id).cast("bigint")
+        )
+        report.write.mode("append").parquet(path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(audit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

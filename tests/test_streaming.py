@@ -252,3 +252,34 @@ def test_stateful_transition_stream_matches_batch(spark, stream, batch_events):
         for r in seq.groupBy("prev_type", "next_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_dq_monitor_reconciles_with_batch(spark, sf_dir, tmp_path):
+    """Per-epoch audit reports summed over the replay must equal the batch
+    auditor's row-rule counts on the same data."""
+    from findb_spark.ops.quality import dq_audit
+    from findb_spark.streaming.events_stream import (
+        read_events_stream,
+        stream_dq_monitor,
+    )
+
+    rules = {
+        "null_user": F.col("user_id").isNull(),
+        "nonpositive_value": F.col("value") <= 0,
+    }
+    out, ckpt = str(tmp_path / "audit"), str(tmp_path / "ckpt")
+    stream_dq_monitor(read_events_stream(spark, sf_dir), rules, out, ckpt)
+    got = {
+        r.check: (r.v, r.c)
+        for r in spark.read.parquet(out)
+        .groupBy("check")
+        .agg(F.sum("n_violations").alias("v"), F.sum("n_checked").alias("c"))
+        .collect()
+    }
+    from findb_spark.session import load_table
+
+    want = {
+        r.check: (r.n_violations, r.n_checked)
+        for r in dq_audit(load_table(spark, sf_dir, "events"), row_rules=rules).collect()
+    }
+    assert got == want and len(got) == 2
