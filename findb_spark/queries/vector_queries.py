@@ -386,3 +386,64 @@ def vec_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_lsh_topk(emb, _queryset(spark, sf_dir), k=5, multiprobe=True)
         .withColumnRenamed("rank", "rnk")
     )
+
+
+_SEM_PAIRS_CTE = f"""
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  ORDER BY {hash48_duck('CAST(vec_id AS VARCHAR)')}, vec_id LIMIT {IVF_K}
+),
+sc AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         {cosine_sql('e.embedding', 'c.cvec')} AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+asg AS (
+  SELECT vec_id, embedding, cent_id AS cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+    FROM sc) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.4
+)
+""".strip()
+
+
+@register(
+    "dedup_clusters_semantic",
+    f"""
+WITH RECURSIVE {_SEM_PAIRS_CTE},
+edges AS (SELECT v1 AS a, v2 AS b FROM pairs
+          UNION ALL SELECT v2, v1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
+SELECT e.vec_id, COALESCE(c.cluster_id, e.vec_id) AS cluster_id
+FROM embeddings e LEFT JOIN comp c USING (vec_id)
+""",
+    category="vector",
+    description=(
+        "Semantic dedup clustering: connected components (min-label "
+        "propagation) over SemDeDup within-cluster cosine pairs — every "
+        "vector labeled with its duplicate-component canonical id "
+        "(oracle: recursive-CTE transitive closure)"
+    ),
+)
+def dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.graph import connected_components
+    from findb_spark.ops.vector import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(emb, threshold=0.4).select("v1", "v2")
+    comp = connected_components(pairs, src="v1", dst="v2")
+    return emb.select("vec_id").join(
+        comp.withColumnRenamed("node", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+    )
