@@ -43,8 +43,10 @@ def dq_audit(
     Catalyst broadcasts the dim side when it is small).
     """
     n_total = F.count("*")
+    # coalesce: sum over zero rows is NULL, but an empty batch (a real
+    # state for the streaming monitor) must report 0 violations, not NULL
     aggs = [n_total.alias("_n")] + [
-        F.sum(F.when(cond, 1).otherwise(0)).alias(f"_v_{name}")
+        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).alias(f"_v_{name}")
         for name, cond in row_rules.items()
     ]
     one_pass = df.agg(*aggs)
@@ -70,8 +72,10 @@ def dq_audit(
         parts.append(
             dup.agg(
                 F.lit("unique:" + ",".join(unique_key)).alias("check"),
-                F.sum(F.col("_c") - 1).cast("bigint").alias("n_violations"),
-                F.sum("_c").cast("bigint").alias("n_checked"),
+                F.coalesce(F.sum(F.col("_c") - 1), F.lit(0))
+                .cast("bigint")
+                .alias("n_violations"),
+                F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("n_checked"),
             )
         )
     if fk is not None:
@@ -89,10 +93,13 @@ def dq_audit(
         parts.append(
             j.agg(
                 F.lit(f"fk:{fact_col}").alias("check"),
-                F.sum(
-                    F.when(
-                        F.col(fact_col).isNotNull() & F.col("_dim_hit").isNull(), 1
-                    ).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col(fact_col).isNotNull() & F.col("_dim_hit").isNull(), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
                 .cast("bigint")
                 .alias("n_violations"),

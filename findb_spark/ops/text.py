@@ -106,12 +106,20 @@ def shingles_of(t: Column, n: int = 3) -> Column:
     inline ``F.split(...)`` — an inline split is re-evaluated inside every
     ``element_at`` of the lambda (3n splits of the full text per shingle,
     O(tokens^2) per document; observed 5.5 s -> 0.4 s on 5k docs)."""
-    count = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    count = F.size(t) - (n - 1)
     parts = lambda i: [F.element_at(t, i + j) for j in range(n)]  # noqa: E731
-    return F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(" ", *parts(i)),
-    )
+    # guard BEFORE sequence: F.sequence(1, c) with c < 1 counts DOWNWARD
+    # ([1, 0], [1, 0, -1], ...), so a doc shorter than n tokens would
+    # evaluate element_at(t, 0) — an ANSI-mode runtime error — instead of
+    # yielding no shingles. (DuckDB's range(1, c+1) is end-exclusive and
+    # already empty there; this keeps both engines at "empty array".)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", *parts(i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles(col: Column, n: int = 3) -> Column:

@@ -139,3 +139,26 @@ def test_bigram_novelty_separates_shared_from_unique(spark):
     assert got[1] == (3, 2.0, 0.0)
     assert got[2] == (3, 2.0, 0.0)
     assert got[3] == (3, 1.0, 1.0)
+
+
+def test_shingles_short_docs_yield_empty_not_error(spark):
+    """Docs shorter than the shingle width must produce an empty shingle
+    array (matching DuckDB's end-exclusive range), not an ANSI
+    element_at(0) error from F.sequence counting downward."""
+    from findb_spark.ops.dedup import jaccard_pairs, minhash_signatures
+    from findb_spark.ops.text import shingles_of
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, "a b c d")],
+        "doc_id BIGINT, text STRING",
+    )
+    sh = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", shingles_of(F.split("text", " "), 3).alias("s")
+        ).collect()
+    }
+    assert sh == {1: [], 2: [], 3: ["a b c", "b c d"]}
+    # the whole dedup stack survives short docs
+    assert jaccard_pairs(docs).count() == 0
+    assert minhash_signatures(docs).count() == 3
