@@ -286,14 +286,22 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def _band_keys(sigs: DataFrame) -> DataFrame:
+    # docs with no shingles (shorter than the shingle width) have all-NULL
+    # signatures, which concat_ws would collapse to the SAME empty band key
+    # for every such doc — making every short-doc pair an LSH candidate
+    # (quadratic in the short-doc count, and short titles/codes are common
+    # in crawls). They cannot be shingle near-dups by definition, so drop
+    # them before banding.
     bands = []
     for j in range(N_BANDS):
         cols = [F.col(f"mh{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
         bands.append(
             F.struct(F.lit(j).alias("band_id"), F.concat_ws("_", *cols).alias("bk"))
         )
-    return sigs.select("doc_id", F.explode(F.array(*bands)).alias("band")).select(
-        "doc_id", "band.band_id", "band.bk"
+    return (
+        sigs.where(F.col("mh0").isNotNull())
+        .select("doc_id", F.explode(F.array(*bands)).alias("band"))
+        .select("doc_id", "band.band_id", "band.bk")
     )
 
 

@@ -43,11 +43,11 @@ def dq_audit(
     Catalyst broadcasts the dim side when it is small).
     """
     n_total = F.count("*")
-    # coalesce: sum over zero rows is NULL, but an empty batch (a real
-    # state for the streaming monitor) must report 0 violations, not NULL
+    # count_if is a count aggregate: NULL-safe on the predicate and 0 (not
+    # NULL) over zero rows — an empty batch (a real state for the
+    # streaming monitor) must report 0 violations
     aggs = [n_total.alias("_n")] + [
-        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).alias(f"_v_{name}")
-        for name, cond in row_rules.items()
+        F.count_if(cond).alias(f"_v_{name}") for name, cond in row_rules.items()
     ]
     one_pass = df.agg(*aggs)
     # unpivot the wide single-row aggregate into long format with ONE
@@ -93,14 +93,7 @@ def dq_audit(
         parts.append(
             j.agg(
                 F.lit(f"fk:{fact_col}").alias("check"),
-                F.coalesce(
-                    F.sum(
-                        F.when(
-                            F.col(fact_col).isNotNull() & F.col("_dim_hit").isNull(), 1
-                        ).otherwise(0)
-                    ),
-                    F.lit(0),
-                )
+                F.count_if(F.col(fact_col).isNotNull() & F.col("_dim_hit").isNull())
                 .cast("bigint")
                 .alias("n_violations"),
                 F.count("*").cast("bigint").alias("n_checked"),

@@ -196,7 +196,13 @@ def bigram_novelty(docs: DataFrame) -> DataFrame:
 
     Plan: one explode -> df hash-aggregate (map-side combined) -> one
     re-join of bigrams to their df -> per-doc aggregate. Joins/aggregates
-    run on 48-bit bigram hashes, never the strings."""
+    run on 48-bit bigram hashes, never the strings.
+
+    Output contract: documents with fewer than two tokens have no bigrams
+    and therefore NO output row (the DuckDB oracle's unnest drops them
+    identically). A quality gate joining these features back onto the
+    corpus should left-join and treat the absent row as its own signal
+    (degenerate-length document), not inner-join them away silently."""
     from findb_spark.functions.hashing import hash48
 
     arrs = docs.select(

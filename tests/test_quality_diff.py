@@ -162,3 +162,35 @@ def test_shingles_short_docs_yield_empty_not_error(spark):
     # the whole dedup stack survives short docs
     assert jaccard_pairs(docs).count() == 0
     assert minhash_signatures(docs).count() == 3
+
+
+def test_short_docs_do_not_collide_in_lsh_bands(spark):
+    """Docs with no shingles have all-NULL signatures; they must be
+    excluded from banding, not collapse onto one shared empty band key
+    (which would make every short-doc pair a candidate — quadratic)."""
+    from findb_spark.ops.dedup import _band_keys, minhash_lsh_pairs, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, "other pair"), (4, "a b c d e")],
+        "doc_id BIGINT, text STRING",
+    )
+    bands = _band_keys(minhash_signatures(docs))
+    assert {r.doc_id for r in bands.collect()} == {4}
+    assert minhash_lsh_pairs(docs).count() == 0
+
+
+def test_dq_audit_empty_input_reports_zeroes(spark):
+    """An empty batch (streaming monitor's empty microbatch) must report
+    0 violations / 0 checked — never NULL."""
+    e = spark.createDataFrame([], "k INT, s STRING")
+    dim = spark.createDataFrame([(1,)], "id INT")
+    rep = {
+        r.check: (r.n_violations, r.n_checked)
+        for r in dq_audit(
+            e,
+            row_rules={"null_s": F.col("s").isNull()},
+            unique_key=["k"],
+            fk=(dim, "k", "id"),
+        ).collect()
+    }
+    assert rep == {"null_s": (0, 0), "unique:k": (0, 0), "fk:k": (0, 0)}
