@@ -20,6 +20,15 @@ Scale design (100 TB posture):
 
 Every hash is functions.hashing.hash48 (md5-derived) so the DuckDB oracle
 reproduces signatures bit-for-bit.
+
+Persist lifetime: these operators persist small reused intermediates
+(doc_id + ints) and return LAZY DataFrames, so they cannot unpersist
+before the caller executes — an eager unpersist would reintroduce the
+multi-evaluation the persist exists to prevent. The blocks live until
+session end (or ``spark.catalog.clearCache()``); they are MEMORY_AND_DISK,
+so under pressure Spark's LRU eviction degrades them to disk/recompute
+rather than OOM. Long-lived sessions sweeping many corpora should
+clearCache() between sweeps.
 """
 
 from __future__ import annotations
@@ -271,11 +280,17 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     Array-native: shingle hashes are computed once into an array column
     (one md5 per shingle), then each permutation is an ``array_min`` over a
     cheap affine transform — no explode, no groupBy, zero shuffles (the
-    explode+16-min-aggregates formulation shuffles every shingle row)."""
+    explode+16-min-aggregates formulation shuffles every shingle row).
+
+    Documents shorter than the shingle width have no shingles and
+    therefore NO signature row (array_min over an empty array would be an
+    all-NULL non-signature; the DuckDB oracle's GROUP BY emits no row for
+    them either, and banding must exclude them regardless — see
+    :func:`_band_keys`)."""
     harr = shingle_arrays(docs, n).select(
         "doc_id",
         F.transform(F.col("sharr"), lambda s: hash48(s)).alias("harr"),
-    )
+    ).where(F.size("harr") > 0)
     mins = [
         F.array_min(
             F.transform(F.col("harr"), lambda h: perm_hash(h, a, b))

@@ -110,20 +110,14 @@ SELECT asset_id, date, ts, value FROM f WHERE rn = 1
     bench=True,
 )
 def q_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.asof import _latest_revision
+
     prices = prices_from_lineitem(spark, sf_dir, 19960101, 19961231)
     filtered = prices.where(
         F.col("date").between(19960101, 19961231) & (F.col("ts") <= ASOF_2000)
     )
-    return (
-        filtered.groupBy("asset_id", "date")
-        .agg(
-            F.max_by(
-                F.struct(F.col("ts"), F.col("value")),
-                F.struct(F.col("ts"), F.col("value")),
-            ).alias("_r")
-        )
-        .select("asset_id", "date", F.col("_r.ts").alias("ts"), F.col("_r.value").alias("value"))
-    )
+    # the load-bearing tie-break semantics live in ONE place (asof.py)
+    return _latest_revision(["asset_id", "date"], filtered)
 
 
 @register(

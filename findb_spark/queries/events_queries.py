@@ -100,14 +100,16 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
 s AS (
-  SELECT user_id, tus,
+  SELECT user_id, event_id, tus,
          CASE WHEN LAG(tus) OVER w IS NULL
                 OR tus - LAG(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_start
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
 ),
 g AS (
+  -- event_id tiebreak keeps the running sum deterministic when a user
+  -- has two events at the same microsecond (matches the Spark window)
   SELECT user_id, tus,
-         SUM(is_start) OVER (PARTITION BY user_id ORDER BY tus
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY tus, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_num
   FROM s
 )

@@ -27,8 +27,11 @@ from findb_spark.queries.parity import fxp_sum, fxp_sum_sql
 from findb_spark.registry import register
 from findb_spark.session import load_table
 
-_MERGE_ORACLE = f"""
-WITH tgt AS (SELECT * FROM orders),
+#: change-feed + post-merge snapshot CTEs, composed into BOTH the
+#: merge oracle and the snapshot-diff oracle (one definition — no
+#: string surgery to drift)
+_FEED_AND_MERGED_CTES = """
+tgt AS (SELECT * FROM orders),
 upd AS (
   SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
          o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority
@@ -53,6 +56,10 @@ merged AS (
   SELECT s.* FROM src s WHERE NOT EXISTS
     (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
 )
+""".strip()
+
+_MERGE_ORACLE = f"""
+WITH {_FEED_AND_MERGED_CTES}
 SELECT o_orderstatus, COUNT(*) AS n_orders,
        {fxp_sum_sql('o_totalprice')} AS sum_total
 FROM merged GROUP BY o_orderstatus
@@ -99,26 +106,10 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# the merged CTE body shared with _MERGE_ORACLE, reused to diff in SQL
-_MERGED_CTE = _MERGE_ORACLE.split("merged AS (")[1].rsplit(")\nSELECT", 1)[0]
-
-
 @register(
     "snapshot_diff_orders",
     f"""
-WITH tgt AS (SELECT * FROM orders),
-upd AS (
-  SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
-         o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority
-  FROM orders WHERE o_orderkey % 7 = 0
-),
-ins AS (
-  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
-         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-  FROM orders WHERE o_orderkey % 97 = 0
-),
-src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
-merged AS ({_MERGED_CTE}),
+WITH {_FEED_AND_MERGED_CTES},
 d AS (
   SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
          CASE WHEN o.o_orderkey IS NULL THEN 'insert'

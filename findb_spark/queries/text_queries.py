@@ -244,14 +244,17 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(df, "tok").select(
+    # corpus size as a broadcast 1-row aggregate inside the SAME plan (an
+    # eager docs.count() here would run a separate full-scan job at
+    # plan-build time — mirrors the oracle's CROSS JOIN n)
+    n = docs.agg(F.count("*").alias("_n_docs"))
+    scored = tf.join(df, "tok").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "tok",
         "tf",
         (
             F.col("tf").cast("double")
-            * (F.lit(float(n_docs + 1)) / (F.col("df") + 1).cast("double"))
+            * ((F.col("_n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double"))
         ).alias("score"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")

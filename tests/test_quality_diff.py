@@ -159,15 +159,16 @@ def test_shingles_short_docs_yield_empty_not_error(spark):
         ).collect()
     }
     assert sh == {1: [], 2: [], 3: ["a b c", "b c d"]}
-    # the whole dedup stack survives short docs
+    # the whole dedup stack survives short docs; shingle-less docs carry
+    # no signature row (matching the oracle's GROUP BY)
     assert jaccard_pairs(docs).count() == 0
-    assert minhash_signatures(docs).count() == 3
+    assert minhash_signatures(docs).count() == 1
 
 
 def test_short_docs_do_not_collide_in_lsh_bands(spark):
-    """Docs with no shingles have all-NULL signatures; they must be
-    excluded from banding, not collapse onto one shared empty band key
-    (which would make every short-doc pair a candidate — quadratic)."""
+    """Docs with no shingles carry no signature row and must not reach
+    banding — a shared all-NULL signature would collapse onto one empty
+    band key and make every short-doc pair a candidate (quadratic)."""
     from findb_spark.ops.dedup import _band_keys, minhash_lsh_pairs, minhash_signatures
 
     docs = spark.createDataFrame(
