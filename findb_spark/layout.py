@@ -169,6 +169,8 @@ def write_zorder(
     lo_a, hi_a, lo_d, hi_d = src.agg(
         F.min("asset_id"), F.max("asset_id"), F.min("_dc"), F.max("_dc")
     ).collect()[0]
+    if lo_a is None:
+        raise ValueError("write_zorder: input has no rows (no z-curve bounds)")
     z = zvalue(
         scale_to_bits(F.col("asset_id"), lo_a, hi_a, bits),
         scale_to_bits(F.col("_dc"), lo_d, hi_d, bits),
@@ -209,9 +211,15 @@ def scan_metrics(df: DataFrame) -> list[dict[str, int]]:
     cluster-scale equivalent of the reference's golden leaf-page counts
     (file.rs:709)."""
     # fresh Dataset -> fresh physical plan: listing-phase metrics (numFiles,
-    # numPartitions) are only populated on a plan's first execution
+    # numPartitions) are only populated on a plan's first execution.
+    # Execute via a JVM-side count over the SAME QueryExecution's RDD: the
+    # full plan runs distributed and its scan metrics populate, but no row
+    # ever reaches the driver or crosses to Python (a collect() here would
+    # ship the whole relation driver-side — an OOM at the 100 TB scale
+    # this helper exists to observe; a noop-sink write would execute a
+    # DIFFERENT QueryExecution whose metrics we cannot walk).
     df = df.select(df.columns)
-    df.collect()
+    df._jdf.queryExecution().toRdd().count()
     out: list[dict[str, int]] = []
 
     def walk(node) -> None:
@@ -264,8 +272,16 @@ def compact(
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     total_bytes = fs.getContentSummary(jvm_path).getLength()
     n_parts = max(1, -(-total_bytes // target_file_bytes))
-    out = cluster_prices(df.select(*PRICE_COLUMNS), int(n_parts))
-    out.write.mode("overwrite").parquet(dest_path)
+    # preserve the hive month-partition level when the source has one —
+    # dropping it would silently disable partition pruning (and the asof
+    # partition-predicate derivation) after every compaction
+    has_month = "date_month" in df.columns
+    cols = list(PRICE_COLUMNS) + (["date_month"] if has_month else [])
+    out = cluster_prices(df.select(*cols), int(n_parts))
+    w = out.write.mode("overwrite")
+    if has_month:
+        w = w.partitionBy("date_month")
+    w.parquet(dest_path)
     compacted = spark.read.parquet(dest_path)
     return {
         "files_before": files_before,

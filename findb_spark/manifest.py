@@ -94,33 +94,58 @@ def build_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame
     return _harvest_files(spark, files, cols)
 
 
+def _overlap_cond(ranges: Mapping[str, tuple[float, float]]):
+    """Stats-overlap predicate over manifest rows. A file with NULL
+    min/max for a column (footer stats absent: statistics disabled at
+    write, NaN-poisoned double chunks, or a column added after the file
+    was written) MAY contain matching rows — treat it as a match; pruning
+    may only ever skip files that provably cannot match."""
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        stats_missing = F.col(f"{c}_min").isNull() | F.col(f"{c}_max").isNull()
+        cond = cond & (
+            stats_missing
+            | (
+                (F.col(f"{c}_max") >= F.lit(float(lo)))
+                & (F.col(f"{c}_min") <= F.lit(float(hi)))
+            )
+        )
+    return cond
+
+
 def pruned_read(
     spark: SparkSession,
     manifest: DataFrame,
     ranges: Mapping[str, tuple[float, float]],
+    base_path: str | None = None,
 ) -> DataFrame:
     """Read only the files whose stats overlap every ``col: (lo, hi)``
     range (inclusive), then re-apply the exact predicates. The manifest
     filter is the index seek; the residual ``where`` keeps correctness
     independent of stats granularity — identical to how the reference's
-    scan re-checks keys after the descent (file.rs:543-556)."""
-    cond = F.lit(True)
-    for c, (lo, hi) in ranges.items():
-        cond = (
-            cond
-            & (F.col(f"{c}_max") >= F.lit(float(lo)))
-            & (F.col(f"{c}_min") <= F.lit(float(hi)))
-        )
-    files = [r.file for r in manifest.where(cond).select("file").collect()]
+    scan re-checks keys after the descent (file.rs:543-556).
+
+    ``base_path``: REQUIRED for hive-partitioned tables (e.g. layout's
+    ``date_month=`` directories) — an explicit leaf-file read performs no
+    partition discovery, so without the basePath option the partition
+    columns would silently vanish from the returned schema."""
+
+    def _read(*fs: str) -> DataFrame:
+        r = spark.read
+        if base_path is not None:
+            r = r.option("basePath", base_path)
+        return r.parquet(*fs)
+
+    files = [r.file for r in manifest.where(_overlap_cond(ranges)).select("file").collect()]
     if not files:
         # preserve schema on empty selection
         any_file = manifest.select("file").limit(1).collect()
-        base = spark.read.parquet(any_file[0].file) if any_file else None
+        base = _read(any_file[0].file) if any_file else None
         if base is None:
             raise ValueError("empty manifest")
         out = base.limit(0)
     else:
-        out = spark.read.parquet(*files)
+        out = _read(*files)
     for c, (lo, hi) in ranges.items():
         out = out.where(F.col(c).between(lo, hi))
     return out
@@ -148,12 +173,7 @@ def files_selected(
     manifest: DataFrame, ranges: Mapping[str, tuple[float, float]]
 ) -> int:
     """How many files a ``pruned_read`` with these ranges would open —
-    the engine's ``pages_read`` analog at file granularity."""
-    cond = F.lit(True)
-    for c, (lo, hi) in ranges.items():
-        cond = (
-            cond
-            & (F.col(f"{c}_max") >= F.lit(float(lo)))
-            & (F.col(f"{c}_min") <= F.lit(float(hi)))
-        )
-    return manifest.where(cond).count()
+    the engine's ``pages_read`` analog at file granularity (same predicate
+    builder as pruned_read, so the count can never disagree with what it
+    actually opens)."""
+    return manifest.where(_overlap_cond(ranges)).count()

@@ -84,7 +84,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     if name != "events":
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    return normalize_events_ts(spark.read.parquet(path))
+
+
+def normalize_events_ts(df):
+    """Normalize an events DataFrame's ``ts`` to a session-tz TimestampType
+    regardless of physical flavor (bigint nanos-as-long, TIMESTAMP_NTZ, or
+    already TimestampType). Shared by the batch reader above and the
+    streaming source (streaming.events_stream.read_events_stream) so the
+    stream/batch twins can never desynchronize on a new physical flavor."""
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

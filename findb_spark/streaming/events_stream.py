@@ -41,21 +41,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema from a footer-only batch read of the same file and normalize
     the same way the batch path does (session tz is UTC, so the NTZ->LTZ
     cast preserves epoch micros)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import os
 
+    from findb_spark.session import normalize_events_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = dict((f.name, f.dataType.simpleString()) for f in batch_schema.fields)["ts"]
-    if ts_type == "bigint":
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if ts_type == "timestamp_ntz":
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return normalize_events_ts(raw)
 
 
 def tumbling_stream(
@@ -247,6 +244,21 @@ def stream_to_parquet(
     q.awaitTermination()
 
 
+def _list_versions(snapshot_dir: str) -> list[int]:
+    """Sorted epoch versions present in a merge-snapshot directory (the
+    one directory-listing parse shared by the writer's baseline pick and
+    the reader's time travel)."""
+    import os
+
+    if not os.path.isdir(snapshot_dir):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(snapshot_dir)
+        if d.startswith("v=")
+    )
+
+
 def stream_merge_snapshot(
     stream_df: DataFrame,
     snapshot_dir: str,
@@ -264,24 +276,16 @@ def stream_merge_snapshot(
 
     Per micro-batch: reduce the batch to its latest row per key (window
     rank — late/duplicate rows within a batch collapse), then merge into
-    the previous snapshot (update on match, insert on miss)."""
-    import os
+    the previous snapshot (update on match, insert on miss).
 
+    Replay safety: the merge BASELINE for epoch N is the newest version
+    STRICTLY BELOW N. A crash between writing v=N and committing batch N
+    to the checkpoint replays epoch N; baselining on "newest" would then
+    read v=N while overwriting v=N (Spark refuses: cannot overwrite a
+    path being read) — or worse, merge against a partially-written v=N."""
     from pyspark.sql import Window
 
     from findb_spark.ops.merge import merge_into
-
-    def _latest_version(spark: SparkSession):
-        if not os.path.isdir(snapshot_dir):
-            return None
-        vs = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(snapshot_dir)
-            if d.startswith("v=")
-        )
-        return (
-            spark.read.parquet(f"{snapshot_dir}/v={vs[-1]}") if vs else None
-        )
 
     def _apply(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
@@ -291,7 +295,10 @@ def stream_merge_snapshot(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        target = _latest_version(spark)
+        vs = [v for v in _list_versions(snapshot_dir) if v < epoch]
+        target = (
+            spark.read.parquet(f"{snapshot_dir}/v={vs[-1]}") if vs else None
+        )
         if target is None:
             merged = src
         else:
@@ -320,13 +327,7 @@ def read_merge_snapshot(
     newest by default, or a specific epoch for time travel (every epoch's
     full snapshot is retained, so any historical state can be queried or
     diffed; a table format would expose the same thing as VERSION AS OF)."""
-    import os
-
-    vs = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(snapshot_dir)
-        if d.startswith("v=")
-    )
+    vs = _list_versions(snapshot_dir)
     if version is not None:
         if version not in vs:
             raise ValueError(f"version {version} not in {vs}")
@@ -355,7 +356,17 @@ def user_transition_stream(events: DataFrame) -> DataFrame:
 
     State is O(1) per user (one string), unlike a windowed approach that
     would buffer events; this is the canonical applyInPandasWithState
-    shape: tiny state + delta emission."""
+    shape: tiny state + delta emission.
+
+    Ordering contract: rows are event-time-sorted WITHIN a microbatch,
+    but the cross-batch edge uses arrival order — an event arriving in a
+    later batch than a chronologically-later event is counted in arrival
+    order, diverging from the batch twin's global (ts, event_id) order.
+    Equivalence holds when batches arrive in event-time order (true for
+    the ordered file replay; true for Kafka within a key-partitioned
+    topic). For genuinely disordered sources, buffer behind a watermark
+    (keep a small sorted tail in state, emit only below the watermark) —
+    the standard reorder-buffer upgrade, at the cost of O(buffer) state."""
 
     def update(
         key: tuple[Any, ...],

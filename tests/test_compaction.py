@@ -23,3 +23,30 @@ def test_compact_merges_small_files(spark, tmp_path):
         for r in asof_range(spark.read.parquet(dst), 0, 20200115, 20200405, 20).collect()
     ]
     assert got == [(20200331, 120.0), (20200229, 12.0), (20200131, 3.0)]
+
+
+def test_compact_preserves_month_partitions(spark, tmp_path):
+    """Compacting a month-partitioned table must keep the date_month hive
+    level (dropping it would silently disable partition pruning)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "frag_hive")
+    dst = str(tmp_path / "comp_hive")
+    write_prices(golden_prices(spark), src, num_partitions=6, date_bucket="month")
+    stats = compact(spark, src, dst)
+    out = spark.read.parquet(dst)
+    assert "date_month" in out.columns
+    assert stats["rows"] == golden_prices(spark).count()
+    # partition directories survive: a month predicate prunes the listing
+    months = {r.date_month for r in out.select("date_month").distinct().collect()}
+    assert months == {202001, 202002, 202003, 202004}
+    # the month predicate prunes the listing (scan_metrics is the
+    # filter-aware view; inputFiles() lists the whole FileIndex)
+    from findb_spark.layout import scan_metrics
+
+    full_files = sum(m.get("numFiles", 0) for m in scan_metrics(out))
+    pruned_files = sum(
+        m.get("numFiles", 0)
+        for m in scan_metrics(out.where(F.col("date_month") == 202003))
+    )
+    assert 0 < pruned_files < full_files

@@ -138,3 +138,37 @@ def test_asof_range_through_manifest_matches_and_prunes(spark, layouts):
         pruned_read(spark, zman, rng), 7, 19960101, 19961231, 10**10
     ).collect()
     assert got == want and len(got) > 0
+
+
+def test_overlap_cond_null_stats_may_match(spark):
+    """Files with absent footer stats (NULL min/max) must be READ, never
+    pruned — pruning may only skip files that provably cannot match."""
+    from findb_spark.manifest import _overlap_cond
+
+    man = spark.createDataFrame(
+        [
+            ("f_ok", 1, 0.0, 10.0),
+            ("f_null", 1, None, None),
+            ("f_out", 1, 100.0, 200.0),
+        ],
+        "file STRING, num_rows INT, v_min DOUBLE, v_max DOUBLE",
+    )
+    kept = {r.file for r in man.where(_overlap_cond({"v": (0, 50)})).collect()}
+    assert kept == {"f_ok", "f_null"}
+
+
+def test_pruned_read_base_path_keeps_partition_columns(spark, tmp_path):
+    """pruned_read over a hive-partitioned table keeps the partition
+    column when base_path is passed."""
+    from findb_spark.layout import write_prices
+    from findb_spark.manifest import build_manifest, pruned_read
+    from findb_spark.prices import golden_prices
+
+    path = str(tmp_path / "hive_prices")
+    write_prices(golden_prices(spark), path, date_bucket="month")
+    man = build_manifest(spark, path, ["asset_id", "date"])
+    out = pruned_read(
+        spark, man, {"date": (20200101, 20200331)}, base_path=path
+    )
+    assert "date_month" in out.columns
+    assert out.count() == golden_prices(spark).where("date <= 20200331").count()
