@@ -187,18 +187,27 @@ def asof_join(
     if tolerance is not None and right_time not in value_cols:
         raise ValueError("tolerance requires right_time in value_cols")
     l_cols = [c for c in left.columns]
+    # ALL requested right columns travel in ONE struct: a single
+    # last(ignorenulls) then selects one whole right row. Independent
+    # per-column lasts would stitch a "torn row" whenever a value column
+    # contains NULLs (each column's last non-null can come from a
+    # DIFFERENT revision — e.g. matched_ts from the newest row with
+    # matched_value from an older one, which would also let a stale value
+    # slip past the tolerance check).
+    r_types = dict(right.dtypes)
+    vs_type = "struct<" + ",".join(f"{c}:{r_types[c]}" for c in value_cols) + ">"
     tagged_r = right.select(
         F.col(on),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_q"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_vs"),
         *[F.lit(None).alias(f"_l_{c}") for c in l_cols if c != on],
     )
     tagged_l = left.select(
         F.col(on),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_q"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
+        F.lit(None).cast(vs_type).alias("_vs"),
         *[F.col(c).alias(f"_l_{c}") for c in l_cols if c != on],
     )
     if direction not in ("backward", "forward"):
@@ -212,7 +221,7 @@ def asof_join(
     t_order = F.col("_t") if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(t_order, "_is_q", *[F.col(f"_v_{c}").asc_nulls_last() for c in value_cols])
+        .orderBy(t_order, "_is_q", F.col("_vs").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = unioned.select(
@@ -221,7 +230,7 @@ def asof_join(
         "_is_q",
         *[F.col(f"_l_{c}") for c in l_cols if c != on],
         *[
-            F.last(F.col(f"_v_{c}"), ignorenulls=True).over(w).alias(f"matched_{c}")
+            F.last(F.col("_vs"), ignorenulls=True).over(w)[c].alias(f"matched_{c}")
             for c in value_cols
         ],
     )

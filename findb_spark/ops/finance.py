@@ -20,19 +20,16 @@ def daily_series(
     prices: DataFrame, asof_ts: int, max_asset: int | None = None
 ) -> DataFrame:
     """As-of snapshot as a daily series: per (asset_id, date) the latest
-    revision with ts <= asof_ts; columns (asset_id, date, value)."""
+    revision with ts <= asof_ts; columns (asset_id, date, value).
+
+    The tie-break contract lives in ONE place — asof._latest_revision."""
+    from findb_spark.asof import _latest_revision
+
     f = prices.where(F.col("ts") <= asof_ts)
     if max_asset is not None:
         f = f.where(F.col("asset_id") <= max_asset)
-    return (
-        f.groupBy("asset_id", "date")
-        .agg(
-            F.max_by(
-                F.struct(F.col("ts"), F.col("value")),
-                F.struct(F.col("ts"), F.col("value")),
-            ).alias("_r")
-        )
-        .select("asset_id", "date", F.col("_r.value").alias("value"))
+    return _latest_revision(["asset_id", "date"], f).select(
+        "asset_id", "date", "value"
     )
 
 

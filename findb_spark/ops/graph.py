@@ -58,7 +58,11 @@ def connected_components(
         .withColumn("cluster_id", F.col("node"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    # decimal(38,0): a bigint sum of 64-bit labels overflows (ANSI mode —
+    # the session default — raises rather than wraps; same guard as
+    # _fingerprint below)
+    _label_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).first()[0]
 
     for _ in range(max_iter):
         # each node offers its label to every neighbor; a node keeps the
@@ -73,7 +77,7 @@ def connected_components(
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        cur_sum = labels.agg(_label_sum).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -238,8 +242,14 @@ def pagerank_int(
             nodes.join(contrib.select(F.col("v").alias("node"), "s"), "node", "left")
             .select(
                 "node",
+                # decimal(38,0) product: 85 * s overflows bigint once the
+                # hub contribution sum nears total rank mass on ~1e8+
+                # node graphs (ANSI raises); the div-100 result fits
+                # bigint again whenever s itself does. DuckDB computes
+                # the same product in int128 — values stay identical.
                 F.expr(
-                    f"CAST({teleport} + ((85 * coalesce(s, CAST(0 AS BIGINT))) div 100) AS BIGINT)"
+                    f"CAST({teleport} + ((CAST(85 AS DECIMAL(38,0)) *"
+                    " coalesce(s, CAST(0 AS BIGINT))) div 100) AS BIGINT)"
                 ).alias("r"),
             )
             .localCheckpoint()

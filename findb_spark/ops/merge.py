@@ -54,6 +54,13 @@ def merge_into(
                   refs allowed) are dropped instead of updated.
     ``insert``  — whether unmatched source rows become new target rows
                   (schema: target columns taken from the source row).
+
+    A NULL ``delete`` predicate result keeps the row (ANSI MERGE treats an
+    unknown condition as not satisfied — dropping on NULL would be silent
+    data loss). Like the raw join it wraps (and unlike Delta, which
+    raises), a source with DUPLICATE merge keys fans matched target rows
+    out into one row per source match — deduplicate the source first
+    (e.g. latest-per-key) if that is not intended.
     """
     out_cols = target.columns
     missing = [c for c in out_cols if c not in source.columns]
@@ -71,16 +78,28 @@ def merge_into(
     matched = F.col(f"t.{_T_FLAG}").isNotNull() & F.col(f"s.{_S_FLAG}").isNotNull()
     t_only = F.col(f"s.{_S_FLAG}").isNull()
 
-    keep = matched & (F.lit(True) if delete is None else ~delete)
+    # NULL delete-condition => not deleted (coalesce, NOT raw negation:
+    # matched & ~NULL is NULL and where() would silently drop the row)
+    not_deleted = (
+        F.lit(True) if delete is None else ~F.coalesce(delete, F.lit(False))
+    )
+    keep = matched & not_deleted
     keep = keep | t_only | (F.lit(insert) & F.col(f"t.{_T_FLAG}").isNull())
 
     update = update or {}
+
+    def _insert_value(c: str) -> Column:
+        # only reachable when insert=True (the keep filter excludes
+        # source-only rows otherwise); with insert=False the source may be
+        # keys-only, so referencing s.<c> would fail analysis
+        return F.col(f"s.{c}") if insert else F.col(f"t.{c}")
+
     projected = [
         F.when(
             matched, update[c] if c in update else F.col(f"t.{c}")
         )
         .when(t_only, F.col(f"t.{c}"))
-        .otherwise(F.col(f"s.{c}"))
+        .otherwise(_insert_value(c))
         .alias(c)
         for c in out_cols
     ]

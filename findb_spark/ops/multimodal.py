@@ -34,12 +34,14 @@ DECODED_SCHEMA = (
 def attach_payload(docs: DataFrame) -> DataFrame:
     """Attach a deterministic synthetic binary payload (md5 digest bytes of
     the text) plus source metadata — stands in for real image bytes."""
+    # project the payload once, then measure it — inlining the md5 twice
+    # would evaluate it twice per row (Catalyst does not reliably CSE
+    # across projection expressions)
     return docs.select(
         "doc_id",
         F.unhex(F.md5(F.col("text"))).alias("payload"),
         F.lit("image/fake").alias("media_type"),
-        F.octet_length(F.unhex(F.md5(F.col("text")))).alias("n_bytes"),
-    )
+    ).withColumn("n_bytes", F.octet_length("payload"))
 
 
 def _decode_image_bytes(payload: bytes) -> tuple[int, int, int, str]:

@@ -186,3 +186,20 @@ def test_asof_join_tolerance_matches_pandas(spark, rows, probes, tol):
         for r in m.itertuples()
     }
     assert got == want
+
+
+def test_asof_join_null_values_not_torn(spark):
+    """All matched_* columns must come from the SAME right row even when a
+    value column holds NULLs (no per-column last-non-null stitching)."""
+    from findb_spark.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 100, 7.0), (1, 200, None)], "asset_id BIGINT, ts BIGINT, value DOUBLE"
+    )
+    left = spark.createDataFrame([(1, 250)], "asset_id BIGINT, qts BIGINT")
+    r = asof_join(left, right).collect()[0]
+    assert (r.matched_ts, r.matched_value) == (200, None)
+    # with a tolerance that only the newest row satisfies, the stale
+    # non-null value must NOT slip through attached to the newest ts
+    r2 = asof_join(left, right, tolerance=60).collect()[0]
+    assert (r2.matched_ts, r2.matched_value) == (200, None)

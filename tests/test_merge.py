@@ -134,3 +134,41 @@ def test_merge_property_random_cases(spark):
         )
         got = {r.k: (r.tag, r.v) for r in out.collect()}
         assert got == model, (case, tgt_rows, src_rows, insert)
+
+
+def test_merge_null_delete_condition_keeps_row(spark):
+    """ANSI MERGE: an unknown (NULL) delete condition is NOT satisfied —
+    the matched row must be updated/kept, not silently dropped."""
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.merge import merge_into
+
+    t = spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING")
+    s = spark.createDataFrame([(1, "A", None), (2, "B", "D")], "k BIGINT, v STRING, op STRING")
+    out = {
+        r.k: r.v
+        for r in merge_into(
+            t,
+            s.select("k", "v", "op"),
+            on=["k"],
+            update={"v": F.col("s.v")},
+            delete=F.col("s.op") == "D",
+            insert=False,
+        ).collect()
+    }
+    assert out == {1: "A"}  # k=2 deleted; k=1's NULL condition kept+updated
+
+
+def test_merge_delete_only_with_keys_only_source(spark):
+    """insert=False must not require the source to carry target columns."""
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.merge import merge_into
+
+    t = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k BIGINT, v STRING")
+    s = spark.createDataFrame([(2,)], "k BIGINT")
+    out = {
+        r.k: r.v
+        for r in merge_into(t, s, on=["k"], delete=F.lit(True), insert=False).collect()
+    }
+    assert out == {1: "a", 3: "c"}
