@@ -140,8 +140,13 @@ def ingest_text_log(
     the standard log-ingestion entry at any scale. ``fields`` maps column
     name -> Spark SQL type in group order."""
     raw = spark.read.text(path)
+    # regexp_extract returns '' (not NULL) when the pattern does not match;
+    # for string-typed fields try_cast('') passes through, so a garbage
+    # line would survive as a row of empty strings. nullif('') restores
+    # the NULLs-out contract for every field type (a genuinely-empty
+    # optional capture group also reads as NULL — documented semantics).
     cols = [
-        F.regexp_extract(F.col("value"), pattern, i + 1)
+        F.nullif(F.regexp_extract(F.col("value"), pattern, i + 1), F.lit(""))
         .try_cast(t)
         .alias(name)
         for i, (name, t) in enumerate(fields.items())

@@ -33,7 +33,7 @@ clearCache() between sweeps.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from findb_spark.functions.hashing import hash48, perm_hash, permutation_params
 from findb_spark.ops.text import shingles_of
@@ -92,6 +92,35 @@ def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, threshold: float) ->
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def _verify_pairs(cand: DataFrame, arrs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc1, doc2) pairs: fetch
+    both documents' hashed distinct-shingle arrays and intersect them
+    in-expression — two hash joins on doc ids, zero extra shuffles (the
+    4-stage join-through-the-inverted-index + groupBy + two size joins it
+    replaces). ``arrs``: (doc_id, harr). Shared by every banded/prefix
+    candidate generator so the formula lives in one place."""
+    a1 = arrs.select(F.col("doc_id").alias("doc1"), F.col("harr").alias("_a1"))
+    a2 = arrs.select(F.col("doc_id").alias("doc2"), F.col("harr").alias("_a2"))
+    scored = (
+        cand.join(a1, "doc1")
+        .join(a2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.size(F.array_intersect("_a1", "_a2")).alias("inter"),
+            F.size("_a1").alias("_s1"),
+            F.size("_a2").alias("_s2"),
+        )
+    )
+    return scored.select(
+        "doc1",
+        "doc2",
+        (F.col("inter") / (F.col("_s1") + F.col("_s2") - F.col("inter"))).alias(
+            "jaccard"
+        ),
+    ).where(F.col("jaccard") >= threshold)
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> DataFrame:
@@ -159,8 +188,20 @@ def jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4, n: int = 3) ->
     # array_sort(collect_list(struct(df, shingle))) is deterministic
     # regardless of collect order and replaces the row_number window +
     # the separate size/prefix-length join (two stages -> one)
+    # _rceil: epsilon-relaxed ceil. ceil(t*s) in IEEE-754 doubles
+    # OVER-estimates whenever the true product is an exact integer but the
+    # float product lands epsilon above it (t=0.4, s=5: float 0.4*5 =
+    # 2.0000000000000004 -> ceil 3, true 2) — which would shorten the
+    # prefix / tighten the filters below the lossless bound and silently
+    # DROP qualifying pairs. Subtracting 1e-9 inside the ceil can only
+    # lower the bound by at most 1 (under-prune: a few extra candidates,
+    # discarded by the exact verification) — lossless is preserved for
+    # every threshold.
+    def _rceil(x):
+        return F.ceil(x - F.lit(1e-9))
+
     sz = F.size("_sorted")
-    plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
+    plen = (sz - _rceil(F.lit(threshold) * sz) + 1).cast("int")
     pref = (
         hh.join(dfreq, "shingle")
         .groupBy("doc_id")
@@ -186,10 +227,12 @@ def jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4, n: int = 3) ->
     #   pair always passes both caps, so keeping every passing element is a
     #   superset of the qualifying pairs.
     lenok = (
-        F.ceil(F.lit(threshold) * F.greatest(F.col("x._sz"), F.col("y._sz")))
+        _rceil(F.lit(threshold) * F.greatest(F.col("x._sz"), F.col("y._sz")))
         <= F.least(F.col("x._sz"), F.col("y._sz"))
     )
-    minov = F.ceil(F.lit(threshold / (1 + threshold)) * (F.col("x._sz") + F.col("y._sz")))
+    minov = _rceil(
+        F.lit(threshold / (1 + threshold)) * (F.col("x._sz") + F.col("y._sz"))
+    )
     ub = 1 + F.least(
         F.col("x._sz") - F.col("x._rnk"), F.col("y._sz") - F.col("y._rnk")
     )
@@ -204,31 +247,9 @@ def jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4, n: int = 3) ->
         .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
         .distinct()
     )
-    # verification: fetch both documents' (distinct) hashed shingle arrays
-    # and intersect them in-expression — two hash joins on doc_id, zero
-    # extra shuffles, versus the 4-stage join-through-the-inverted-index +
-    # groupBy + two size joins it replaces. |A ∩ B| over the 48-bit hash
-    # arrays is exactly what the oracle's hash-equality join counts.
-    a1 = arrs.select(F.col("doc_id").alias("doc1"), F.col("harr").alias("_a1"))
-    a2 = arrs.select(F.col("doc_id").alias("doc2"), F.col("harr").alias("_a2"))
-    scored = (
-        cand.join(a1, "doc1")
-        .join(a2, "doc2")
-        .select(
-            "doc1",
-            "doc2",
-            F.size(F.array_intersect("_a1", "_a2")).alias("inter"),
-            F.size("_a1").alias("_sz1"),
-            F.size("_a2").alias("_sz2"),
-        )
-    )
-    return scored.select(
-        "doc1",
-        "doc2",
-        (F.col("inter") / (F.col("_sz1") + F.col("_sz2") - F.col("inter"))).alias(
-            "jaccard"
-        ),
-    ).where(F.col("jaccard") >= threshold)
+    # |A ∩ B| over the 48-bit hash arrays is exactly what the oracle's
+    # hash-equality join counts
+    return _verify_pairs(cand, arrs, threshold)
 
 
 def containment_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> DataFrame:
@@ -301,12 +322,11 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def _band_keys(sigs: DataFrame) -> DataFrame:
-    # docs with no shingles (shorter than the shingle width) have all-NULL
-    # signatures, which concat_ws would collapse to the SAME empty band key
-    # for every such doc — making every short-doc pair an LSH candidate
-    # (quadratic in the short-doc count, and short titles/codes are common
-    # in crawls). They cannot be shingle near-dups by definition, so drop
-    # them before banding.
+    # invariant guard: minhash_signatures emits no row for shingle-less
+    # docs, so mh0 is never NULL here — but a NULL signature slipping in
+    # (a differently-built sigs input) would concat_ws to a SHARED empty
+    # band key and make every such doc pair a candidate (quadratic), so
+    # the filter stays as defense.
     bands = []
     for j in range(N_BANDS):
         cols = [F.col(f"mh{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
@@ -343,32 +363,14 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> Da
         .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
         .distinct()
     )
-    arrs = shingle_arrays(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sh = arrs.select(
-        "doc_id",
-        F.explode(F.transform(F.col("sharr"), lambda s: hash48(s))).alias("shingle"),
-    )
-    sizes = arrs.select("doc_id", F.size("sharr").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        cand.join(a, F.col("doc1") == F.col("a.doc_id"))
-        .join(b, (F.col("doc2") == F.col("b.doc_id")) & (F.col("a.shingle") == F.col("b.shingle")))
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+    arrs = (
+        shingle_arrays(docs, n)
         .select(
-            "doc1",
-            "doc2",
-            (F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))).alias(
-                "jaccard"
-            ),
+            "doc_id", F.transform(F.col("sharr"), lambda s: hash48(s)).alias("harr")
         )
-        .where(F.col("jaccard") >= threshold)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return _verify_pairs(cand, arrs, threshold)
 
 
 SIMHASH_BITS = 48
@@ -509,23 +511,4 @@ def minhash_lsh_pairs_incremental(
         .select("doc_id", F.transform(F.col("sharr"), lambda s: hash48(s)).alias("harr"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a1 = arrs.select(F.col("doc_id").alias("doc1"), F.col("harr").alias("_a1"))
-    a2 = arrs.select(F.col("doc_id").alias("doc2"), F.col("harr").alias("_a2"))
-    scored = (
-        cand.join(a1, "doc1")
-        .join(a2, "doc2")
-        .select(
-            "doc1",
-            "doc2",
-            F.size(F.array_intersect("_a1", "_a2")).alias("inter"),
-            F.size("_a1").alias("_s1"),
-            F.size("_a2").alias("_s2"),
-        )
-    )
-    return scored.select(
-        "doc1",
-        "doc2",
-        (F.col("inter") / (F.col("_s1") + F.col("_s2") - F.col("inter"))).alias(
-            "jaccard"
-        ),
-    ).where(F.col("jaccard") >= threshold)
+    return _verify_pairs(cand, arrs, threshold)

@@ -260,27 +260,11 @@ def ivf_centroids(emb: DataFrame, k: int = IVF_K) -> DataFrame:
 
 
 def ivf_assign(emb: DataFrame, n_cent: int = IVF_K) -> DataFrame:
-    """IVF coarse quantization: each vector joins the cluster of its
-    max-cosine centroid from the fixed-``n_cent`` codebook
-    (:func:`ivf_centroids`).
-
-    The codebook is broadcast, so assignment is one scan of the corpus
-    with no shuffle — the plan shape a trained k-means codebook would use
-    identically at 100 TB. Ties break to the smallest centroid id.
-    Returns (vec_id, embedding, cluster)."""
-    cents = ivf_centroids(emb, n_cent)
-    j = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        cosine(F.col("embedding"), F.col("cvec")).alias("_cos"),
-    )
-    return j.groupBy("vec_id").agg(
-        F.max_by(
-            F.col("cent_id"), F.struct(F.col("_cos"), (-F.col("cent_id")).alias("_nc"))
-        ).alias("cluster"),
-        F.first("embedding").alias("embedding"),
-    ).select("vec_id", "embedding", "cluster")
+    """IVF coarse quantization with the fixed-``n_cent`` deterministic
+    codebook: :func:`ivf_centroids` + :func:`assign_to_centroids` (the
+    assignment plan — broadcast codebook, one corpus scan, smallest-id
+    tiebreak — lives in ONE place). Returns (vec_id, embedding, cluster)."""
+    return assign_to_centroids(emb, ivf_centroids(emb, n_cent))
 
 
 MEAN_SCALE = 10**9
@@ -403,8 +387,13 @@ def ivf_topk(
     fraction ~nprobe/K; buying more recall per probe requires a trained
     (k-means) codebook, which drops into `ivf_centroids`' slot without
     changing this plan shape."""
-    assigned = ivf_assign(emb, n_cent).withColumn("_nrm", norm(F.col("embedding")))
+    # build the codebook once and share it between assignment and the
+    # probe list (two ivf_centroids calls would scan the corpus twice for
+    # the same 64 rows)
     cents = ivf_centroids(emb, n_cent)
+    assigned = assign_to_centroids(emb, cents).withColumn(
+        "_nrm", norm(F.col("embedding"))
+    )
     q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     ).withColumn("_qnrm", norm(F.col("qv")))

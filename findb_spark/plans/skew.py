@@ -33,13 +33,22 @@ def salted_join(
     itself shuffles big rows uniformly even when one key dominates."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (right/full would double-count)")
-    # salt derived from row CONTENT (every big-side column), not from
-    # monotonically_increasing_id(): content-hashing is stable across task
-    # retries / recomputation of the big side, so a recomputed partition
-    # lands each row in the same salt bucket it first hashed to.
+    # salt derived from row CONTENT (every big-side column) MIXED WITH the
+    # input partition id, not from monotonically_increasing_id():
+    # content-hashing alone is retry-stable but sends fully-duplicated
+    # rows of a hot key (a common skew shape) to ONE bucket — mixing the
+    # partition id spreads duplicates that arrive in different input
+    # partitions while staying stable across task retries (a retried task
+    # recomputes the same partition). Residual limit: identical rows
+    # co-located in one input partition still share a bucket; if that is
+    # the dominant shape, pre-spread them with a within-partition
+    # row_number (costs a sort) before salting.
     b = big.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int"),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns], F.spark_partition_id()),
+            F.lit(salt),
+        ).cast("int"),
     )
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
