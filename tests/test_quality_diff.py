@@ -195,3 +195,20 @@ def test_dq_audit_empty_input_reports_zeroes(spark):
         ).collect()
     }
     assert rep == {"null_s": (0, 0), "unique:k": (0, 0), "fk:k": (0, 0)}
+
+
+def test_prefix_jaccard_lossless_across_thresholds(spark, sf_dir):
+    """The PPJoin prefix/length/position filters must be lossless for ANY
+    threshold: jaccard_pairs_prefix == jaccard_pairs exactly (the
+    float-ceil over-estimation regression dropped pairs at thresholds
+    whose t*size product is an exact integer)."""
+    from findb_spark.ops.dedup import jaccard_pairs, jaccard_pairs_prefix
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    for t in (0.07, 0.25, 0.4, 0.5):
+        naive = {(r.doc1, r.doc2) for r in jaccard_pairs(docs, threshold=t).collect()}
+        pref = {
+            (r.doc1, r.doc2)
+            for r in jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert pref == naive, f"threshold {t}: {naive - pref} lost, {pref - naive} extra"
