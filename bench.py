@@ -23,7 +23,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # parse 'sfN.N' basenames; any other directory naming reports sf=0.0
+    # rather than crashing the benchmark before a single query runs
+    import re
+
+    m = re.fullmatch(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    try:
+        sf = float(m.group(1)) if m else 0.0
+    except ValueError:
+        sf = 0.0
 
     from findb_spark.registry import all_specs
     from findb_spark.session import get_spark

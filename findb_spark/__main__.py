@@ -23,24 +23,30 @@ TABLES = (
 
 
 def main(argv: list[str] | None = None) -> int:
-    ap = argparse.ArgumentParser(prog="findb_spark")
-    ap.add_argument(
+    # the common options live on a parent parser shared by every
+    # subcommand, so `query NAME --sf-dir D` (the documented form, options
+    # AFTER the subcommand) parses — argparse hands post-subcommand args
+    # to the subparser only
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument(
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
         help="directory of driver parquet tables",
     )
-    ap.add_argument("--limit", type=int, default=20, help="rows to show")
+    common.add_argument("--limit", type=int, default=20, help="rows to show")
+
+    ap = argparse.ArgumentParser(prog="findb_spark", parents=[common])
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    sub.add_parser("list", help="list registered queries")
+    sub.add_parser("list", help="list registered queries", parents=[common])
 
-    qp = sub.add_parser("query", help="run a registered query by name")
+    qp = sub.add_parser("query", help="run a registered query by name", parents=[common])
     qp.add_argument("name")
 
-    sp = sub.add_parser("sql", help="run ad-hoc SQL over the driver tables")
+    sp = sub.add_parser("sql", help="run ad-hoc SQL over the driver tables", parents=[common])
     sp.add_argument("statement")
 
-    apq = sub.add_parser("asof", help="bitemporal as-of range query")
+    apq = sub.add_parser("asof", help="bitemporal as-of range query", parents=[common])
     apq.add_argument("--asset", type=int, required=True)
     apq.add_argument("--start", type=int, required=True, help="yyyymmdd")
     apq.add_argument("--end", type=int, required=True, help="yyyymmdd")

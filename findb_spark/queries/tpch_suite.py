@@ -18,9 +18,16 @@ original's *operator shape*; only the filter columns differ.
 
 Scale notes (100 TB posture): every subquery here decorrelates to a
 broadcast scalar or an aggregated semi-join — no per-row recomputation, no
-nested-loop correlation. The lineitem fact is always scanned once per query
-with dims broadcast; the double-aggregation queries (Q13/Q16) shuffle on the
-first grouping key only, with the second aggregation over the (much smaller)
+nested-loop correlation. Hard ``F.broadcast`` hints are reserved for sides
+bounded by CONSTRUCTION (nation/region at 25/5 rows, 1-row decorrelated
+aggregates); part/supplier/customer grow with SF, so their join strategy is
+left to the autoBroadcastJoinThreshold + AQE — they still broadcast when
+actually small, and degrade to shuffle joins instead of OOMing the build
+side at cluster scale. The lineitem fact scans once per query except Q21's
+three self-correlated aliases (l1/l2/l3 — inherent to its EXISTS/NOT EXISTS
+shape; a shared scan would need a pre-aggregated per-order supplier
+profile). The double-aggregation queries (Q13/Q16) shuffle on the first
+grouping key only, with the second aggregation over the (much smaller)
 grouped output.
 
 Parity: money aggregates via fixed-point sums (queries/parity.py); ratios
@@ -32,7 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from findb_spark.queries.parity import fxp_avg_sql, fxp_sum, fxp_sum_sql
+from findb_spark.queries.parity import fxp_avg, fxp_avg_sql, fxp_sum, fxp_sum_sql
 from findb_spark.registry import register
 from findb_spark.session import load_table
 
@@ -75,8 +82,8 @@ def q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
@@ -171,8 +178,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .where(pair)
@@ -232,10 +239,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.sum(F.floor(national * 100 + F.lit(0.5))).cast("double") / 100
     den = F.sum(F.floor(volume * 100 + F.lit(0.5))).cast("double") / 100
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .join(F.broadcast(region), F.col("n2_region") == region.r_regionkey)
@@ -282,8 +289,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity") * F.lit(0.1)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
@@ -327,7 +334,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(fxp_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
@@ -485,7 +492,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(max_rev))
         .where(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -521,8 +528,8 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     excluded = load_table(spark, sf_dir, "supplier").where(F.col("s_name").like("%7"))
     return (
-        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -554,14 +561,10 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10)
     )
     per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (
-            F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5))).cast("double")
-            / 100
-            / F.count("*")
-        ).alias("avg_qty")
+        fxp_avg(F.col("l_quantity"), "avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(per_part, li.l_partkey == F.col("pk"))
         .where(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
         .agg((fxp_sum(F.col("l_extendedprice"), "s")))
@@ -605,7 +608,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_3", "NATION_7")
     )
     heavy = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(fxp_sum(F.col("l_quantity"), "qty"))
         .where(F.col("qty") > 60.0)
@@ -670,7 +673,7 @@ def q21_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        base.join(F.broadcast(supp), base.l_suppkey == supp.s_suppkey)
+        base.join(supp, base.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -705,11 +708,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
-        (
-            F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))).cast("double")
-            / 100
-            / F.count("*")
-        ).alias("avg_bal")
+        fxp_avg(F.col("c_acctbal"), "avg_bal")
     )
     return (
         cust.join(F.broadcast(avg_bal))

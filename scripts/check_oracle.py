@@ -31,6 +31,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently checking nothing would green-light a gate
+        # that verified nothing
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        return 1
     n_checked = n_failed = n_noora = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
