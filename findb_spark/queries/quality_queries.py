@@ -12,7 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from findb_spark.functions.hashing import hash48_duck
 from findb_spark.ops.quality import dq_audit, scrub_patterns
+from findb_spark.ops.text import shingles_duck
 from findb_spark.registry import register
 from findb_spark.session import load_table
 
@@ -115,4 +117,82 @@ def pii_scrub_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_longid").cast("bigint").alias("n_longid"),
         F.col("n_digits").cast("bigint").alias("n_digits"),
         "c_name_scrubbed",
+    )
+
+
+@register(
+    "source_quality_profile",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+h AS (SELECT doc_id, source, {hash48_duck('text')} AS th FROM documents),
+dupc AS (SELECT th, COUNT(*) AS c FROM h GROUP BY th),
+dupflag AS (
+  SELECT h.doc_id, CASE WHEN dupc.c > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM h JOIN dupc USING (th)
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform({shingles_duck('text', 2)},
+                                             s -> {hash48_duck('s')}))) AS bh
+  FROM documents
+),
+dfreq AS (SELECT bh, COUNT(*) AS df FROM bg GROUP BY bh),
+nov AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS unique_share
+  FROM bg JOIN dfreq USING (bh) GROUP BY doc_id
+)
+SELECT t.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(d.is_dup) AS BIGINT) AS n_exact_dups,
+       CAST(SUM(CAST(FLOOR(COALESCE(nov.unique_share, 0.0) * 1000000000.0 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 1000000000.0 / COUNT(*)
+         AS mean_unique_share
+FROM toks t
+JOIN dupflag d USING (doc_id)
+LEFT JOIN nov USING (doc_id)
+GROUP BY t.source
+""",
+    category="quality",
+    description=(
+        "Per-source quality scorecard — the keep/drop governance table of "
+        "a crawl pipeline: doc/token budget, exact-dup rate, mean bigram "
+        "novelty (fixed-point mean; sub-2-token docs count as 0), all "
+        "composed in one plan from already-verified signal operators"
+    ),
+)
+def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.functions.hashing import hash48
+    from findb_spark.ops.text import bigram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    h = docs.select("doc_id", hash48(F.col("text")).alias("th"))
+    dupc = h.groupBy("th").agg(F.count("*").alias("c"))
+    dupflag = h.join(dupc, "th").select(
+        "doc_id", F.when(F.col("c") > 1, 1).otherwise(0).alias("is_dup")
+    )
+    nov = bigram_novelty(docs).select("doc_id", "unique_share")
+    per_doc = toks.join(dupflag, "doc_id").join(nov, "doc_id", "left")
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("is_dup").cast("bigint").alias("n_exact_dups"),
+        (
+            F.sum(
+                F.floor(
+                    F.coalesce(F.col("unique_share"), F.lit(0.0)) * 1_000_000_000.0
+                    + F.lit(0.5)
+                )
+            ).cast("double")
+            / 1_000_000_000.0
+            / F.count("*")
+        ).alias("mean_unique_share"),
     )
