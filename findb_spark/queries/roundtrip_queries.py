@@ -1,0 +1,214 @@
+"""End-to-end ROUNDTRIP query specs — driver-checkable hard signal for
+engine components that are not themselves expressible as a single
+DataFrame: ingestion connectors (reference O1/O2, file.rs:591-604), the
+literal findb ``.db`` bulk writer + Spark DataSource (O4,
+file.rs:296-379), and Structured Streaming replays.
+
+Each spec is still a pure function of (spark, sf_dir): it derives a
+deterministic dataset from the driver tables, pushes it through the
+component under test (write CSV -> ingest_csv; export .db -> DataSource
+read; availableNow stream replay), and returns an aggregate the DuckDB
+oracle recomputes DIRECTLY from the parquet tables.  A green row
+therefore certifies the whole loop lossless, not just the final
+aggregate.  Scratch files go under /tmp (mode overwrite — reruns
+converge); nothing driver-visible depends on the scratch state.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from findb_spark.prices import PRICES_ORACLE_CTE, prices_from_lineitem
+from findb_spark.queries.parity import fxp_sum, fxp_sum_sql
+from findb_spark.registry import register
+from findb_spark.session import load_table
+
+_SCRATCH = "/tmp/findb_spark_roundtrip"
+
+
+def _scratch(sf_dir: str, leaf: str) -> str:
+    d = os.path.join(_SCRATCH, os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, leaf)
+
+
+@register(
+    "roundtrip_csv_ingest",
+    f"""
+WITH {PRICES_ORACLE_CTE}
+SELECT asset_id % 5 AS bucket,
+       COUNT(*) AS n,
+       MIN(date) AS min_date,
+       MAX(date) AS max_date,
+       CAST(SUM(ts) AS BIGINT) AS sum_ts,
+       {fxp_sum_sql('value')} AS sum_value
+FROM prices_v WHERE asset_id % 20 = 0
+GROUP BY bucket
+""",
+    category="roundtrip",
+    description=(
+        "O1+O2 hard signal: prices derived from lineitem are rendered to "
+        "headerless CSV with ISO dates/timestamps (the reference's "
+        "pre-conversion form), re-ingested through ingest_csv's "
+        "try_cast/ISO-normalization path, and aggregated; the oracle "
+        "recomputes the aggregate straight from parquet — green means the "
+        "CSV render + ISO parse loop is lossless"
+    ),
+)
+def roundtrip_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ingest import ingest_csv
+
+    src = prices_from_lineitem(spark, sf_dir).where(F.col("asset_id") % 20 == 0)
+    # the reference's RAW form: ISO date ('YYYY-MM-DD'), ISO timestamp;
+    # session tz is UTC so epoch -> ISO -> epoch is exact for integral
+    # seconds, and Spark's CSV writer emits shortest-roundtrip doubles
+    raw = src.select(
+        F.col("asset_id").cast("string"),
+        F.concat(
+            F.substring(F.col("date").cast("string"), 1, 4),
+            F.lit("-"),
+            F.substring(F.col("date").cast("string"), 5, 2),
+            F.lit("-"),
+            F.substring(F.col("date").cast("string"), 7, 2),
+        ).alias("date"),
+        F.date_format(F.timestamp_seconds("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("value").cast("string"),
+    )
+    path = _scratch(sf_dir, "prices_csv")
+    raw.write.mode("overwrite").csv(path)
+    back = ingest_csv(spark, path)
+    return back.groupBy((F.col("asset_id") % 5).alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("date").alias("min_date"),
+        F.max("date").alias("max_date"),
+        F.sum("ts").cast("bigint").alias("sum_ts"),
+        fxp_sum(F.col("value"), "sum_value"),
+    )
+
+
+@register(
+    "roundtrip_findb_db",
+    f"""
+WITH {PRICES_ORACLE_CTE}
+SELECT COUNT(*) AS n,
+       COUNT(DISTINCT asset_id) AS n_assets,
+       MIN(date) AS min_date,
+       MAX(date) AS max_date,
+       -- the .db leaf slot stores value as IEEE float32 (reference format);
+       -- model that quantization so both engines sum identical doubles
+       {fxp_sum_sql('CAST(CAST(value AS REAL) AS DOUBLE)', 10000)} AS sum_value
+FROM prices_v WHERE asset_id % 50 = 0
+""",
+    category="roundtrip",
+    description=(
+        "O4 hard signal: prices exported to the reference's literal .db "
+        "B+tree file format (bulk bottom-up build, file.rs:296-379) and "
+        "read back through the Python DataSource (leaf-range partitions + "
+        "key-range pruning); oracle recomputes from parquet with the "
+        "format's float32 value quantization modeled explicitly"
+    ),
+)
+def roundtrip_findb_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.sources.findb_file import export_prices_db, read_prices_db
+
+    src = prices_from_lineitem(spark, sf_dir).where(F.col("asset_id") % 50 == 0)
+    path = _scratch(sf_dir, "prices.db")
+    export_prices_db(src, path)
+    back = read_prices_db(spark, path)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("asset_id").alias("n_assets"),
+        F.min("date").alias("min_date"),
+        F.max("date").alias("max_date"),
+        fxp_sum(F.col("value"), "sum_value", scale=10000),
+    )
+
+
+def _replay_to_memory(df: DataFrame, mode: str = "complete") -> str:
+    """Run an availableNow replay into a uniquely-named memory sink and
+    return the sink table name (bounded: memory sinks are test/driver
+    scale only — a production job writes parquet/Kafka instead)."""
+    name = f"rt_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+@register(
+    "roundtrip_stream_tumbling",
+    """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    category="roundtrip",
+    description=(
+        "Streaming hard signal: the watermarked tumbling-window stream "
+        "replayed availableNow over the events file must equal the batch "
+        "aggregate the oracle computes — exactly-once replay + "
+        "event-time windowing certified by the driver, not just pytest"
+    ),
+)
+def roundtrip_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.streaming.events_stream import (
+        read_events_stream,
+        tumbling_stream,
+    )
+
+    name = _replay_to_memory(tumbling_stream(read_events_stream(spark, sf_dir)))
+    return spark.table(name).select(
+        "bucket_start_us", "event_type", "n_events", "sum_value"
+    )
+
+
+@register(
+    "roundtrip_stream_sessionize",
+    """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+s AS (
+  SELECT user_id, event_id, tus,
+         CASE WHEN LAG(tus) OVER w IS NULL
+                OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_start
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+g AS (
+  SELECT user_id, tus,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+  FROM s
+)
+SELECT user_id,
+       MIN(tus) AS session_start_us,
+       MAX(tus) AS session_end_us,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id, session_num
+""",
+    category="roundtrip",
+    description=(
+        "Streaming-state hard signal: native session_window (gap-merged "
+        "per-user sessions) replayed availableNow must equal the batch "
+        "lag/cumsum sessionization the oracle computes — pins the "
+        "strict-> gap boundary cross-engine AND cross-mode"
+    ),
+)
+def roundtrip_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.streaming.events_stream import (
+        read_events_stream,
+        session_window_stream,
+    )
+
+    name = _replay_to_memory(session_window_stream(read_events_stream(spark, sf_dir)))
+    return spark.table(name).select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
+    )

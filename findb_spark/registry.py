@@ -54,81 +54,82 @@ _SPECS: dict[str, QuerySpec] = {}
 #: behind.  Names not yet registered are ignored, so this list never breaks
 #: registration.
 #:
-#: ROTATION PLAN (next round): once CORRECTNESS_r02 lands green for this
-#: prefix, swap it for the still-unchecked tail so every query eventually
-#: carries a hard-signal row — priority order: the TPC-H completion suite
-#: (q9..q22), merge/SCD2/profiling (merge_upsert_orders, scd2_price_intervals,
-#: stats_profile_lineitem, snapshot_time_travel), the round-2 additions
-#: (text_boilerplate_spans, sample_weighted, sql_recursive_rollup,
-#: vec_ivf_kmeans, text_pack_sequences, text_contamination, vec_quantize_int8,
-#: source_pagerank, dedup_clusters_star, dedup_lsh_incremental,
-#: asof_join_forward, string_agg_statuses, unpivot_lineitem_measures,
-#: events_value_histogram, events_json_keys, dedup_semantic,
-#: dedup_containment, snapshot_diff_orders, dq_orders_audit,
-#: pii_scrub_names, asof_join_tolerance, events_type_transitions,
-#: ts_drawdown, ts_ewma), then any remaining relational tail.  Keep a
-#: handful of previously-red-then-fixed names one extra round for
-#: confirmation.
+#: ROUND-3 ROTATION (executing the plan written in round 2): the round-2
+#: window landed green on its whole 50-query prefix except the 4 events
+#: queries whose oracles typed as DuckDB HUGEINT (now cast to BIGINT and
+#: lint-guarded in findb_spark.oracle.lint_oracle_types).  This prefix is
+#: exactly: those 4 fixed queries + text_pack_sequences (confirmation rows
+#: for the fix) + 45 of the 53 queries that have never carried a driver
+#: correctness row, prioritized per the plan (TPC-H q9..q22, MERGE/SCD2,
+#: DQ/PII/CDC, the round-2 dedup/vector additions, recursive SQL, as-of
+#: variants, multimodal codecs, text/pipeline additions).  Deferred to the
+#: round-4 window (fits in one final window with room to spare):
+#: customer_rfm, winsorize_revenue, robust_mad, pareto_part_revenue,
+#: corr_matrix_assets, ts_drawdown, ts_ewma — robust-stats/time-series
+#: queries whose siblings (stats_corr, ts_linreg_slope, ts_cross_rank,
+#: ts_ohlc_bars) already carry green rows.
 _CHECK_FIRST: tuple[str, ...] = (
-    # dedup family (documents table)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_prefix",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_simhash_signatures",
-    "dedup_simhash_pairs",
-    "dedup_clusters",
-    "dedup_clusters_apply",
-    "dedup_exact_apply",
-    # vector similarity (embeddings table)
-    "vec_cosine_topk",
-    "vec_near_dup",
-    "vec_ann_lsh",
-    "vec_ann_ivf",
-    "vec_label_stats",
-    # text analysis (documents table)
-    "text_token_stats",
-    "text_quality",
-    "text_language_id",
-    "text_subtoken_count",
-    "text_hash_split",
-    "text_levenshtein",
-    "text_fingerprint",
-    "text_udtf_sentences",
-    "text_tfidf_top_terms",
-    "text_repetition",
-    "sample_stratified",
-    # events (json/sessionize/funnel/anomaly)
+    # HUGEINT-fix confirmation rows (red in r2 -> cast AS BIGINT this round)
     "events_json_extract",
-    "events_tumbling_hourly",
     "events_sessionize",
-    "events_approx_distinct",
-    "events_retention",
     "events_funnel_pivot",
     "events_funnel_conversion",
-    "events_hourly_anomaly",
-    # multimodal plumbing
-    "multimodal_payload_stats",
-    "multimodal_frame_sample",
-    "multimodal_decode",
-    # pandas UDF / UDAF / grouped-map
-    "udaf_rms_quantity",
-    "grouped_map_demean",
-    "udf_scalar_acct_band",
-    # time-series tail without a green row yet
-    "stats_corr",
-    "ts_linreg_slope",
-    "ts_cross_rank",
-    "ts_ohlc_bars",
-    # oracle reworked this round (needs a fresh green row)
-    "pivot_status",
-    "array_agg_orders",
-    # TPC-H completion suite head
-    "q2_best_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
+    "text_pack_sequences",  # latent HUGEINT (pack_id), fixed pre-emptively
+    # TPC-H completion tail (never driver-checked)
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q20_excess_shippers",
+    "q21_sole_return_supplier",
+    "q22_idle_customers",
+    # MERGE / SCD2 / CDC / validation layer (O10-O12 hard signal)
+    "merge_upsert_orders",
+    "scd2_price_intervals",
+    "snapshot_diff_orders",
+    "dq_orders_audit",
+    "pii_scrub_names",
+    # round-2 dedup additions
+    "dedup_semantic",
+    "dedup_fused",
+    "dedup_containment",
+    "dedup_clusters_star",
+    "dedup_lsh_incremental",
+    "dedup_clusters_semantic",
+    # round-2 vector additions
+    "vec_ivf_kmeans",
+    "vec_ann_lsh_multiprobe",
+    "vec_quantize_int8",
+    # as-of variants + recursive SQL front end
+    "asof_join_forward",
+    "asof_join_tolerance",
+    "sql_recursive_rollup",
+    # real-codec multimodal (formula oracles)
+    "multimodal_ppm_decode",
+    "multimodal_audio_features",
+    # text / sampling round-2 additions
+    "text_contamination",
+    "text_boilerplate_spans",
+    "text_bigram_novelty",
+    "sample_weighted",
+    # events tail
+    "events_type_transitions",
+    "events_json_keys",
+    "events_value_histogram",
+    "events_hll_rollup",
+    "events_funnel_timeout",
+    # pipeline / curation layer
+    "pipeline_corpus_curation",
+    "source_quality_profile",
+    "source_pagerank",
+    # profiling / relational tail
+    "stats_profile_lineitem",
+    "string_agg_statuses",
+    "unpivot_lineitem_measures",
 )
 
 

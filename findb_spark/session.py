@@ -68,6 +68,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: (session id, path) -> schema.  spark.read.parquet without a schema fires
+#: a footer-read job per call; at 100 TB that is harmless metadata traffic,
+#: but driver-side it makes every plan construction look like it executed
+#: work (and re-lists footers a query may build against dozens of times).
+#: Caching the inferred schema per session makes repeat loads job-free:
+#: plan construction of a lazy query triggers ZERO Spark jobs, which
+#: bench.py exploits to detect genuinely-eager operator builds.
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _cached_schema(spark: SparkSession, path: str):
+    key = (spark.sparkContext.applicationId, path)
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-provided parquet table (TESTDATA.md).
 
@@ -82,9 +99,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     """
     path = table_path(sf_dir, name)
     if name != "events":
-        return spark.read.parquet(path)
+        return spark.read.schema(_cached_schema(spark, path)).parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return normalize_events_ts(spark.read.parquet(path))
+    return normalize_events_ts(
+        spark.read.schema(_cached_schema(spark, path)).parquet(path)
+    )
 
 
 def normalize_events_ts(df):

@@ -245,9 +245,16 @@ def stream_to_parquet(
 
 
 def _list_versions(snapshot_dir: str) -> list[int]:
-    """Sorted epoch versions present in a merge-snapshot directory (the
+    """Sorted COMMITTED epoch versions in a merge-snapshot directory (the
     one directory-listing parse shared by the writer's baseline pick and
-    the reader's time travel)."""
+    the reader's time travel).
+
+    Committed = the directory holds the Hadoop committer's ``_SUCCESS``
+    marker, written only after every task output is moved into place.  A
+    crash mid-write leaves a v=N directory without the marker; surfacing
+    it would hand readers a torn snapshot (and hand the replaying writer
+    a torn baseline).  Overwrite-on-replay deletes the partial directory
+    before rewriting, so filtering on the marker is crash-consistent."""
     import os
 
     if not os.path.isdir(snapshot_dir):
@@ -256,6 +263,7 @@ def _list_versions(snapshot_dir: str) -> list[int]:
         int(d.split("=", 1)[1])
         for d in os.listdir(snapshot_dir)
         if d.startswith("v=")
+        and os.path.exists(os.path.join(snapshot_dir, d, "_SUCCESS"))
     )
 
 
@@ -423,7 +431,18 @@ def stream_dq_monitor(
         report = dq_audit(batch_df, row_rules=row_rules).withColumn(
             "epoch_id", F.lit(epoch_id).cast("bigint")
         )
-        report.write.mode("append").parquet(path)
+        # Idempotent per epoch: a crash between a plain append and the
+        # checkpoint commit would replay the epoch and double-append its
+        # audit rows, breaking the summed-n_checked == rows-ingested
+        # reconciliation.  Dynamic partition overwrite rewrites ONLY the
+        # epoch_id=N partition on replay (other epochs untouched), so the
+        # ledger converges to exactly one report per epoch.
+        (
+            report.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(path)
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(audit)

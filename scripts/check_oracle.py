@@ -16,12 +16,22 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from findb_spark.oracle import compare_query, duck_connection
+    from findb_spark.oracle import compare_query, duck_connection, lint_oracle_types
     from findb_spark.session import get_spark
 
     spark = get_spark(app_name="check_oracle", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(sf_dir)
+
+    # Type lint FIRST: a HUGEINT-typed oracle column hash-mismatches at the
+    # driver even when this replica (which fetches native Python ints) would
+    # pass — lint failures are hard failures regardless of value parity.
+    lint = lint_oracle_types(con, entrymod.oracle_sql())
+    for p in lint:
+        print(f"LINT  {p}")
+    if lint:
+        print(f"\nFAIL: {len(lint)} oracle type-lint problem(s)")
+        return 1
 
     if not only:
         # the driver's t1 smoke: entry(spark) must run and yield rows

@@ -105,3 +105,25 @@ def test_ingest_text_log_parses_and_quarantines(spark, tmp_path):
     )
     rows = {(r.asset_id, r.date, r.value) for r in df.collect()}
     assert rows == {(3, 20200101, 1.5), (4, 20200202, 2.25)}
+
+
+def test_ingest_text_log_empty_optional_capture_survives(spark, tmp_path):
+    """drop_malformed gates on WHOLE-pattern match: a line whose optional
+    capture group is legitimately empty (tag reads as NULL) must survive,
+    while a line that doesn't match the shape at all is still dropped."""
+    from findb_spark.ingest import ingest_text_log
+
+    log = tmp_path / "tagged.log"
+    log.write_text(
+        "EVT id=1 tag=alpha\n"
+        "EVT id=2 tag=\n"  # empty optional capture: keep, tag NULL
+        "not a log line\n"  # no pattern match: drop
+    )
+    df = ingest_text_log(
+        spark,
+        str(log),
+        r"EVT id=(\d+) tag=(\w*)",
+        {"id": "bigint", "tag": "string"},
+    )
+    rows = {(r.id, r.tag) for r in df.collect()}
+    assert rows == {(1, "alpha"), (2, None)}

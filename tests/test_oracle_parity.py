@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from findb_spark.oracle import compare_query, duck_connection
+from findb_spark.oracle import compare_query, duck_connection, lint_oracle_types
 from findb_spark.registry import all_specs
 
 
@@ -18,6 +18,16 @@ def con(sf_dir):
     c = duck_connection(sf_dir)
     yield c
     c.close()
+
+
+def test_no_hugeint_oracle_columns(con):
+    """DuckDB types SUM(<integer>) as HUGEINT; the driver canonicalizer
+    renders int128 differently from Spark's BIGINT, so such oracles
+    hash-FAIL at the driver while passing locally (red rows in rounds 1
+    and 2).  Lint every oracle's DESCRIBE output so the class stays dead."""
+    sqls = {s.name: s.sql for s in _specs() if s.sql is not None}
+    problems = lint_oracle_types(con, sqls)
+    assert not problems, "\n".join(problems)
 
 
 @pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)

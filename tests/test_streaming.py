@@ -76,6 +76,64 @@ def test_session_window_stream_matches_batch_sessionize(spark, stream, batch_eve
     assert got == want
 
 
+def test_sessionize_exact_gap_boundary_matches_session_window(spark, tmp_path):
+    """Spark's native session_window opens [ts, ts+gap) per event and
+    merges TOUCHING windows — so an event at exactly prev + gap still
+    extends the session, and a split needs a strictly greater gap.  Real
+    sf data never hits the exact boundary, so this fixture pins both
+    sides: gap == 30min merges, gap == 30min + 1µs splits.  (Verified
+    empirically: an availableNow replay of session_window over these rows
+    produced ONE merged session for the ==gap pair — the batch twin's `>`
+    rule matches that, not `>=`.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from findb_spark.streaming.events_stream import read_events_stream
+
+    t0 = 1_700_000_000_000_000  # epoch micros
+    gap_us = 1_800 * 10**6
+    rows = [
+        (1, 10, "view", t0, 1.0, "{}"),
+        (2, 10, "view", t0 + 1_799 * 10**6, 1.0, "{}"),  # gap < 30min: same
+        (3, 10, "view", t0 + 1_799 * 10**6 + gap_us, 1.0, "{}"),  # == gap: MERGE
+        (4, 10, "view", t0 + 1_799 * 10**6 + 2 * gap_us + 1, 1.0, "{}"),  # gap+1µs: SPLIT
+        (5, 20, "view", t0, 1.0, "{}"),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    from findb_spark.session import load_table
+
+    batch = load_table(spark, str(tmp_path), "events")
+    sessions = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in sessionize(batch).collect()
+    }
+    t3 = t0 + 1_799 * 10**6 + gap_us
+    t4 = t3 + gap_us + 1
+    assert sessions == {
+        (10, t0, t3, 3),  # events 1+2+3: exact-gap event MERGES
+        (10, t4, t4, 1),  # strictly > gap: new session
+        (20, t0, t0, 1),
+    }
+
+    _replay(session_window_stream(read_events_stream(spark, str(tmp_path))), "sess_edge")
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_edge").collect()
+    }
+    assert got == sessions
+
+
 def test_dedup_stream_drops_duplicate_event_ids(spark, stream, batch_events):
     _replay(dedup_stream(stream).select("event_id"), "dedup", mode="append")
     got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup").first()
@@ -283,3 +341,51 @@ def test_stream_dq_monitor_reconciles_with_batch(spark, sf_dir, tmp_path):
         for r in dq_audit(load_table(spark, sf_dir, "events"), row_rules=rules).collect()
     }
     assert got == want and len(got) == 2
+
+    # Replay safety: re-running the fully-consumed source with a FRESH
+    # checkpoint re-fires the same epoch ids over the same data; the
+    # dynamic-partition-overwrite sink must converge (epoch partitions
+    # rewritten, not double-appended), so the reconciliation still holds.
+    stream_dq_monitor(
+        read_events_stream(spark, sf_dir), rules, out, str(tmp_path / "ckpt2")
+    )
+    got2 = {
+        r.check: (r.v, r.c)
+        for r in spark.read.parquet(out)
+        .groupBy("check")
+        .agg(F.sum("n_violations").alias("v"), F.sum("n_checked").alias("c"))
+        .collect()
+    }
+    assert got2 == want
+
+
+def test_merge_snapshot_ignores_torn_uncommitted_version(spark, sf_dir, tmp_path):
+    """A v=N directory without the committer's _SUCCESS marker (crash
+    mid-write) must be invisible to both the reader and the writer's
+    baseline pick — readers never observe a torn snapshot."""
+    import os
+
+    import pytest
+
+    from findb_spark.streaming.events_stream import (
+        read_events_stream,
+        read_merge_snapshot,
+        stream_merge_snapshot,
+    )
+
+    snap, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    stream_merge_snapshot(stream, snap, ckpt, order_cols=("event_id",))
+    committed = read_merge_snapshot(spark, snap).count()
+    assert committed > 0
+
+    # simulate a crash mid-write: a newer version dir with data but no marker
+    torn = os.path.join(snap, "v=999")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00not a complete parquet file")
+    assert read_merge_snapshot(spark, snap).count() == committed
+    with pytest.raises(ValueError):
+        read_merge_snapshot(spark, snap, version=999)
