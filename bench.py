@@ -60,30 +60,57 @@ def main() -> None:
     warm.mapInPandas(lambda it: it, schema="id long").write.format("noop").mode(
         "overwrite"
     ).save()
+    # prime the per-session schema cache: after this, constructing a LAZY
+    # query plan triggers zero Spark jobs (the footer-read job happens here,
+    # once per table), so any job observed during a build phase below is
+    # genuinely-eager operator compute
+    from findb_spark.session import load_table
+
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            load_table(spark, sf_dir, t)
 
     # best-of-2 per query: single-shot timings at this scale carry ±2 s
     # GC/compilation noise; the min of two executions is the steady-state
-    # number (each execution still runs the complete plan to a noop sink)
-    # two numbers per query, reported separately:
-    #   build = fn(spark, sf_dir) — plan construction + analysis; for
-    #     iterative operators (connected components) this includes their
-    #     eager localCheckpoint rounds, so that work is VISIBLE, not hidden
-    #   run   = executing the built plan to a noop sink (min of 2)
-    # the headline total stays sum(run) — run cost is what scales with
-    # data on a cluster; build is driver-side latency that amortizes
+    # number (each execution still runs the complete plan to a noop sink).
+    #
+    # Two phases per query, with HONEST headline attribution:
+    #   build = fn(spark, sf_dir) — plan construction + Catalyst analysis.
+    #     For iterative operators (connected-components label propagation,
+    #     k-means rounds via localCheckpoint) this phase executes REAL
+    #     Spark jobs eagerly — that is cluster compute, not driver latency.
+    #   run   = executing the built plan to a noop sink.
+    # Eager builds are DETECTED, not declared: the schema cache above makes
+    # constructing a lazy plan job-free, so ANY Spark job landing in a
+    # build phase's job group means the operator executed real cluster
+    # compute during construction (connected-components propagation
+    # rounds, k-means codebook training via localCheckpoint, batch-key
+    # collection) — that work is billed into the query's headline seconds.
+    # Job-free build time is pure Catalyst analysis (e.g. the 64-term
+    # unrolled fixed-point dot products): driver-side latency that
+    # amortizes across submissions, reported in the separate build column.
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
     timings: dict[str, float] = {}
     builds: dict[str, float] = {}
+    eager: list[str] = []
     for spec in specs:
         runs, bts = [], []
-        for _ in range(2):
+        for i in range(2):
+            group = f"bench-build-{spec.name}-{i}"
+            sc.setJobGroup(group, f"build {spec.name}")
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             bts.append(time.perf_counter() - t0)
+            sc.setJobGroup(f"bench-run-{spec.name}-{i}", f"run {spec.name}")
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        timings[spec.name] = round(min(runs), 3)
-        builds[spec.name] = round(min(bts), 3)
+            if i == 0 and tracker.getJobIdsForGroup(group):
+                eager.append(spec.name)
+        run, build = min(runs), min(bts)
+        builds[spec.name] = round(build, 3)
+        timings[spec.name] = round(run + (build if spec.name in eager else 0.0), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -95,6 +122,7 @@ def main() -> None:
                 "queries": timings,
                 "build": builds,
                 "build_total": round(sum(builds.values()), 3),
+                "eager_build_included": sorted(eager),
                 "sf": sf,
             }
         )

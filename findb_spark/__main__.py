@@ -23,19 +23,33 @@ TABLES = (
 
 
 def main(argv: list[str] | None = None) -> int:
-    # the common options live on a parent parser shared by every
-    # subcommand, so `query NAME --sf-dir D` (the documented form, options
-    # AFTER the subcommand) parses — argparse hands post-subcommand args
-    # to the subparser only
-    common = argparse.ArgumentParser(add_help=False)
-    common.add_argument(
-        "--sf-dir",
-        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
-        help="directory of driver parquet tables",
-    )
-    common.add_argument("--limit", type=int, default=20, help="rows to show")
+    # common options are accepted both BEFORE the subcommand (top-level
+    # parser, real defaults) and AFTER it (subparser copies).  The
+    # subparser copies default to SUPPRESS: pre-3.13 argparse re-applies a
+    # subparser's defaults over values the top level already parsed, so a
+    # real default here would silently clobber `--sf-dir /x query foo`.
+    # SUPPRESS makes the subparser write the attribute only when the option
+    # actually appears after the subcommand.
+    def _common(suppress: bool) -> argparse.ArgumentParser:
+        p = argparse.ArgumentParser(add_help=False)
+        p.add_argument(
+            "--sf-dir",
+            default=argparse.SUPPRESS
+            if suppress
+            else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+            help="directory of driver parquet tables",
+        )
+        p.add_argument(
+            "--limit",
+            type=int,
+            default=argparse.SUPPRESS if suppress else 20,
+            help="rows to show",
+        )
+        return p
 
-    ap = argparse.ArgumentParser(prog="findb_spark", parents=[common])
+    common = _common(suppress=True)
+
+    ap = argparse.ArgumentParser(prog="findb_spark", parents=[_common(suppress=False)])
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("list", help="list registered queries", parents=[common])

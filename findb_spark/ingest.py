@@ -151,11 +151,12 @@ def ingest_text_log(
         .alias(name)
         for i, (name, t) in enumerate(fields.items())
     ]
-    out = raw.select(*cols)
     if drop_malformed:
-        keep = None
-        for name in fields:
-            c = F.col(name).isNotNull()
-            keep = c if keep is None else keep & c
-        out = out.where(keep)
-    return out
+        # Quarantine on WHOLE-PATTERN match, not per-field null-ness: a
+        # legitimately-empty optional capture group (e.g. `(\w*)`) NULLs a
+        # string field via the nullif above, and a per-field gate would
+        # silently drop that valid line along with genuine garbage.  A
+        # line either matches the line shape (kept, NULLs allowed where
+        # captures are empty or casts fail) or doesn't (dropped).
+        raw = raw.where(F.regexp_like(F.col("value"), F.lit(pattern)))
+    return raw.select(*cols)

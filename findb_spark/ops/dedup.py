@@ -60,6 +60,49 @@ def exact_dedup_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def chunk_dup_stats(docs: DataFrame, chunk_tokens: int = 16) -> DataFrame:
+    """Sub-document (chunk-level) exact dedup — the paragraph/line-level
+    duplication profile LLM curation pipelines gate on (RefinedWeb's
+    duplicate-line-fraction filter, arXiv:2306.01116 §3; documents here
+    carry no newlines, so fixed ``chunk_tokens``-token windows stand in
+    for paragraphs).
+
+    Per doc: total chunks, chunks whose exact text occurs in >= 2 distinct
+    documents, and the duplicated fraction (raw ints + one double divide —
+    cross-engine exact).
+
+    Scale shape: explode to (doc_id, chunk), aggregate document frequency
+    per chunk (map-side combine), join back, re-aggregate per doc — the
+    standard inverted-index profile, shuffling on the chunk key.  The join
+    key here is the raw chunk text for oracle exactness; at 100 TB
+    pre-hash it (``F.xxhash64``) so the shuffle moves 8-byte keys, with a
+    ~n²/2⁶⁴ birthday false-positive rate that a curation gate tolerates."""
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("chunk"),
+    )
+    dfreq = chunks.groupBy("chunk").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.sum((F.col("nd") >= 2).cast("int")).cast("bigint")
+    return (
+        chunks.join(dfreq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+            (dup.cast("double") / F.count("*")).alias("dup_frac"),
+        )
+    )
+
+
 def shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sharr): per-doc distinct shingle array. Tokens materialized
     in a lower projection so the shingle lambda doesn't re-split the text

@@ -44,17 +44,20 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     """Gap-based sessionization: a session breaks after `gap_us` of
     inactivity per user. Returns per-session stats.
 
-    Boundary matches Spark's native ``session_window`` half-open
-    ``[ts, ts+gap)`` semantics: an event at exactly ``prev + gap_us``
-    STARTS a new session (``>=``), so the batch path and the streaming
-    twin (streaming/events_stream.py session_window) split identically
-    at exact-gap spacing."""
+    Boundary matches Spark's native ``session_window``: each event opens a
+    window ``[ts, ts+gap)`` and touching windows MERGE, so an event at
+    exactly ``prev + gap_us`` still EXTENDS the session — a new session
+    starts only when the gap is strictly greater (``>``).  Pinned
+    empirically by the exact-gap fixture in
+    tests/test_streaming.py::test_sessionize_exact_gap_boundary_matches_session_window
+    (an availableNow replay of session_window over micros-precise
+    boundary events merges at == gap and splits at gap + 1µs)."""
     e = with_micros(events)
     order = Window.partitionBy("user_id").orderBy("tus", "event_id")
     prev = F.lag("tus").over(order)
     flagged = e.withColumn(
         "is_start",
-        F.when(prev.isNull() | ((F.col("tus") - prev) >= gap_us), 1).otherwise(0),
+        F.when(prev.isNull() | ((F.col("tus") - prev) > gap_us), 1).otherwise(0),
     )
     running = order.rowsBetween(Window.unboundedPreceding, 0)
     sessions = flagged.withColumn("session_num", F.sum("is_start").over(running))

@@ -46,6 +46,40 @@ def canon_rows(cols: list[str], rows) -> Counter:
     return Counter(tuple(canon_value(r[i]) for i in order) for r in rows)
 
 
+#: DuckDB output types with no Spark analog.  ``SUM(<integer>)`` types as
+#: HUGEINT (int128) in DuckDB while Spark emits BIGINT; the driver's
+#: canonicalizer renders the two differently, so a bare integer SUM in an
+#: oracle silently hash-mismatches even when every value is identical.
+#: This class produced red CORRECTNESS rows in rounds 1 AND 2 — the lint
+#: kills it permanently: every oracle must CAST such sums to BIGINT.
+_FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def lint_oracle_types(con, sqls: dict[str, str]) -> list[str]:
+    """DESCRIBE every oracle SQL; return problems for any output column
+    whose DuckDB type has no faithful Spark twin (HUGEINT/UHUGEINT).
+
+    List-typed columns are allowed (the canonicalizer compares element
+    tuples and ``array_agg`` oracles carry green driver rows), but integer
+    128-bit types are a hard failure.
+    """
+    problems: list[str] = []
+    for name, sql in sorted(sqls.items()):
+        try:
+            cols = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:  # noqa: BLE001 — surface as a lint problem
+            problems.append(f"{name}: DESCRIBE failed: {str(e).splitlines()[0][:200]}")
+            continue
+        for col_name, col_type, *_ in cols:
+            t = str(col_type).upper()
+            if any(bad in t for bad in _FORBIDDEN_ORACLE_TYPES):
+                problems.append(
+                    f"{name}.{col_name}: oracle types as {col_type} "
+                    f"(cast to BIGINT — Spark has no int128)"
+                )
+    return problems
+
+
 def compare_query(spark, con, fn, sql: str, sf_dir: str) -> list[str]:
     """Run one spec both ways; return a list of problems (empty = parity)."""
     sdf = fn(spark, sf_dir)

@@ -14,4 +14,5 @@ from findb_spark.queries import (  # noqa: F401
     merge_queries,
     pipeline_queries,
     quality_queries,
+    roundtrip_queries,
 )

@@ -12,6 +12,7 @@ from findb_spark.ops.dedup import (
     PERM_PARAMS,
     ROWS_PER_BAND,
     SIMHASH_BITS,
+    chunk_dup_stats,
     containment_pairs,
     exact_dedup_stats,
     jaccard_pairs,
@@ -643,3 +644,37 @@ def dedup_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         verdict.alias("verdict"),
     )
+
+
+@register(
+    "dedup_chunk_exact",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+x AS (
+  SELECT doc_id, toks,
+         unnest(range(CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS i
+  FROM t
+),
+c AS (
+  SELECT doc_id,
+         array_to_string(toks[(i * 16 + 1):(i * 16 + 16)], ' ') AS chunk
+  FROM x
+),
+d AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM c GROUP BY chunk)
+SELECT c.doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         / COUNT(*) AS dup_frac
+FROM c JOIN d USING (chunk)
+GROUP BY c.doc_id
+""",
+    category="dedup",
+    description=(
+        "Sub-document chunk-level dedup profile (RefinedWeb "
+        "duplicate-line-fraction analog): 16-token windows, per-doc "
+        "duplicated-chunk fraction via inverted-index document frequency"
+    ),
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_dup_stats(load_table(spark, sf_dir, "documents"), chunk_tokens=16)

@@ -16,7 +16,7 @@ from findb_spark.session import load_table
     """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
@@ -101,16 +101,18 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
 s AS (
   SELECT user_id, event_id, tus,
+         -- strictly greater: an event at exactly prev + gap still extends
+         -- the session (Spark session_window merges touching windows)
          CASE WHEN LAG(tus) OVER w IS NULL
-                OR tus - LAG(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_start
+                OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_start
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
 ),
 g AS (
   -- event_id tiebreak keeps the running sum deterministic when a user
   -- has two events at the same microsecond (matches the Spark window)
   SELECT user_id, tus,
-         SUM(is_start) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_num
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
   FROM s
 )
 SELECT user_id, session_num,
@@ -174,11 +176,11 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_funnel_pivot",
     """
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
        COUNT(*) AS n_total
 FROM events GROUP BY user_id
 """,
@@ -200,11 +202,11 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
-       SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                THEN 1 ELSE 0 END) AS n_click_after_view,
-       SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
-                THEN 1 ELSE 0 END) AS n_full_funnel
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
 FROM per_user
 """,
     category="events",

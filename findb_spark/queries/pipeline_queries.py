@@ -244,3 +244,54 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+@register(
+    "corpus_mixture_weights",
+    """
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             COUNT(*) AS n_sources FROM s)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+       CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens) AS mixture_weight
+FROM s CROSS JOIN t
+""",
+    category="pipeline",
+    description=(
+        "Domain-mixture rebalancing weights: per-source token share and "
+        "the sampling weight that equalizes token contribution across "
+        "sources (the DoReMi/Pile-style mixture-tuning primitive) — two "
+        "tiny aggregates + a broadcast of the 1-row total"
+    ),
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token counts -> sampling weight = uniform_target /
+    actual_share.  Exact ints + single double divisions keep cross-engine
+    hash parity; the totals row is a broadcast crossJoin (1 row).  At 100
+    TB this is one map-side-combined aggregate over the corpus — the
+    cheapest possible statistic that drives mixture-weighted sampling
+    (pair with sample_weighted's deterministic A-ES gates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+    )
+    t = s.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias("token_share"),
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_sources") * F.col("n_tokens"))
+        ).alias("mixture_weight"),
+    )

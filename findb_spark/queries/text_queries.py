@@ -336,7 +336,7 @@ c AS (
                            ROWS UNBOUNDED PRECEDING) AS cum
   FROM t
 )
-SELECT shard, (cum - tokens) // 2048 AS pack_id,
+SELECT shard, CAST((cum - tokens) // 2048 AS BIGINT) AS pack_id,
        COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS pack_tokens
 FROM c GROUP BY shard, pack_id
 """,
@@ -485,3 +485,57 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from findb_spark.ops.text import bigram_novelty
 
     return bigram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_rarity",
+    """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CAST(FLOOR(1000000.0 * n_docs / df + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 / COUNT(*) AS mean_rarity
+FROM tok JOIN dfreq USING (tok) CROSS JOIN nd
+GROUP BY doc_id
+""",
+    category="text",
+    description=(
+        "Per-document mean token rarity (inverse document frequency, "
+        "fixed-point): a log-free unigram-LM surprisal analog for quality "
+        "gating — high scores flag gibberish/rare-token docs, low scores "
+        "flag boilerplate"
+    ),
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary document frequencies -> per-doc mean rarity
+    N_docs/df(token), fixed-point (floor(1e6*r+0.5) int sum, two exact
+    double divides) so Spark and DuckDB agree bit-for-bit.
+
+    Scale shape: one explode + df aggregate (map-side combine on the
+    token key), one token-key join back, one per-doc aggregate — the
+    tf-idf inverted-index shape; no driver loops, no UDFs.  Uses
+    N_docs/df rather than -log2 p because IEEE-754 guarantees correctly
+    rounded divide/sqrt but NOT log — a 1-ulp libm difference would break
+    cross-engine hash parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    dfreq = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    rarity_fxp = F.floor(
+        F.lit(1000000.0) * F.col("n_docs") / F.col("df") + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        tok.join(dfreq, "tok")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum(rarity_fxp).cast("double") / 1000000.0 / F.count("*")).alias(
+                "mean_rarity"
+            ),
+        )
+    )

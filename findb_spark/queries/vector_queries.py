@@ -64,8 +64,12 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.4
 """,
     category="vector",
-    description="Embedding-cosine near-duplicate pairs (exact form; LSH blocking at scale)",
-    bench=True,
+    description=(
+        "Embedding-cosine near-duplicate pairs (exact all-pairs form — the "
+        "EXACTNESS ORACLE for the scale-safe twins vec_ann_lsh / "
+        "dedup_semantic; O(n^2) by definition, so deliberately NOT a bench "
+        "headline: the benched set stays 100% scale-safe)"
+    ),
 )
 def vec_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
@@ -379,6 +383,7 @@ SELECT query_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
         "hamming-1 neighbors (one flipped hyperplane) — the standard "
         "recall fix for boundary vectors; probe list stays broadcast"
     ),
+    bench=True,  # replaces vec_near_dup in the headline: scale-safe ANN path
 )
 def vec_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
