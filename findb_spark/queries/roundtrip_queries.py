@@ -212,3 +212,117 @@ def roundtrip_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "user_id", "session_start_us", "session_end_us", "n_events"
     )
+
+
+@register(
+    "roundtrip_zorder_layout",
+    f"""
+WITH {PRICES_ORACLE_CTE}
+SELECT asset_id % 10 AS bucket,
+       COUNT(*) AS n,
+       {fxp_sum_sql('value')} AS sum_value
+FROM prices_v
+WHERE asset_id % 4 = 0 AND date BETWEEN 19940101 AND 19941231
+GROUP BY bucket
+""",
+    category="roundtrip",
+    description=(
+        "O3 layout hard signal: prices written through the Z-order "
+        "(Morton-interleaved) bulk load and read back with a date-slice "
+        "predicate — the access path lexicographic clustering cannot "
+        "prune — must aggregate identically to the parquet-direct oracle"
+    ),
+)
+def roundtrip_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the z-curve layout loses no rows and the date-slice read
+    path returns exact results (file-skipping effectiveness itself is
+    pinned by tests/test_zorder.py; correctness of the surviving scan is
+    what the driver certifies here)."""
+    from findb_spark.layout import read_prices, write_zorder
+
+    src = prices_from_lineitem(spark, sf_dir).where(F.col("asset_id") % 4 == 0)
+    path = _scratch(sf_dir, "prices_zorder")
+    write_zorder(src, path, num_partitions=8)
+    back = read_prices(spark, path).where(
+        F.col("date").between(19940101, 19941231)
+    )
+    return back.groupBy((F.col("asset_id") % 10).alias("bucket")).agg(
+        F.count("*").alias("n"),
+        fxp_sum(F.col("value"), "sum_value"),
+    )
+
+
+@register(
+    "roundtrip_compact_layout",
+    f"""
+WITH {PRICES_ORACLE_CTE}
+SELECT COUNT(*) AS n,
+       COUNT(DISTINCT asset_id) AS n_assets,
+       {fxp_sum_sql('value')} AS sum_value,
+       TRUE AS compaction_reduced_files
+FROM prices_v WHERE asset_id % 10 = 0
+""",
+    category="roundtrip",
+    description=(
+        "Compaction hard signal: a deliberately fragmented clustered "
+        "table (32 small files) compacted to target-size files must "
+        "carry identical data, and the file count must actually shrink"
+    ),
+)
+def roundtrip_compact_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.layout import compact, read_prices, write_prices
+
+    src = prices_from_lineitem(spark, sf_dir).where(F.col("asset_id") % 10 == 0)
+    frag = _scratch(sf_dir, "prices_frag")
+    dense = _scratch(sf_dir, "prices_compacted")
+    write_prices(src, frag, num_partitions=32)
+    stats = compact(spark, frag, dense)
+    return read_prices(spark, dense).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("asset_id").alias("n_assets"),
+        fxp_sum(F.col("value"), "sum_value"),
+        F.lit(stats["files_after"] < stats["files_before"]).alias(
+            "compaction_reduced_files"
+        ),
+    )
+
+
+@register(
+    "roundtrip_manifest_pruned_read",
+    f"""
+WITH {PRICES_ORACLE_CTE}
+SELECT COUNT(*) AS n,
+       MIN(date) AS min_date,
+       MAX(date) AS max_date,
+       {fxp_sum_sql('value')} AS sum_value
+FROM prices_v
+WHERE asset_id % 4 = 1 AND date BETWEEN 19950101 AND 19951231
+""",
+    category="roundtrip",
+    description=(
+        "O5/O14 hard signal: a footer-stats manifest (per-file min/max "
+        "index) drives a pruned read — only stats-overlapping files are "
+        "opened, exact predicates re-applied — and must return exactly "
+        "the rows the full-scan oracle computes"
+    ),
+)
+def roundtrip_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's index-seek analog under driver certification: the
+    manifest is the inner-node level (file.rs:425 descent), the residual
+    where is the leaf re-check (file.rs:543-556).  Pruning MAY only skip
+    files that provably cannot match — equality to the full-scan oracle
+    is exactly that safety property."""
+    from findb_spark.layout import write_prices
+    from findb_spark.manifest import build_manifest, pruned_read
+
+    src = prices_from_lineitem(spark, sf_dir).where(F.col("asset_id") % 4 == 1)
+    path = _scratch(sf_dir, "prices_manifest")
+    write_prices(src, path, num_partitions=16)
+    man = build_manifest(spark, path, ["asset_id", "date"])
+    pr = pruned_read(spark, man, {"date": (19950101, 19951231)})
+    return pr.agg(
+        F.count("*").alias("n"),
+        F.min("date").alias("min_date"),
+        F.max("date").alias("max_date"),
+        fxp_sum(F.col("value"), "sum_value"),
+    )
