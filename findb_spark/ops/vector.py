@@ -520,3 +520,236 @@ def ann_lsh_topk(
     return scored.select(
         "query_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rank")
     ).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze, Schmid — "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011).  64-d vectors split into PQ_M
+# subspaces of PQ_SUBDIM dims; each subspace quantized against a PQ_K-entry
+# codebook, so a vector compresses to PQ_M small codes (8 bytes here vs 256
+# raw — the memory ratio that lets a 100 TB corpus's index fit executor RAM).
+# Search uses ADC (asymmetric distance computation): the query stays full
+# precision, per-subspace distances to every codeword are precomputed once
+# into a tiny lookup table, and each candidate's distance is PQ_M table
+# lookups + adds — no float math per candidate.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 64  # codewords per subspace (production PQ uses 256; 64 keeps the
+#            oracle's cross join small while the plan shape is identical)
+
+
+def unit_vector(v: Column) -> Column:
+    """L2-normalize a float array to exact doubles: each element divided
+    by the fixed-point norm (one IEEE divide per element — bit-identical
+    cross-engine).  PQ quantizes NORMALIZED vectors so that squared L2
+    distance is rank-equivalent to cosine (||a-b||² = 2 - 2·cos on unit
+    vectors) — the metric every other search op here uses; quantizing raw
+    vectors would make ADC rank by magnitude, not direction."""
+    n = norm(v)
+    return F.transform(v, lambda x: x.cast("double") / n)
+
+
+def _normalized(emb: DataFrame) -> DataFrame:
+    """(vec_id, nv): the corpus unit-normalized (exact doubles)."""
+    return emb.select("vec_id", unit_vector(F.col("embedding")).alias("nv"))
+
+
+def fxp_l2_sub(a: Column, sw: Column, sub: int) -> Column:
+    """Deterministic fixed-point squared-L2 distance between subvector
+    ``sub`` of the full array ``a`` and the PQ_SUBDIM-dim codeword ``sw``:
+    per element ``floor((ai-bi)^2 * FXP_SCALE + 0.5)`` (exact IEEE double
+    ops on both engines), exact integer sum.  Unrolled like
+    :func:`fxp_dot` to stay inside whole-stage codegen."""
+    base = sub * PQ_SUBDIM
+    terms = []
+    for i in range(1, PQ_SUBDIM + 1):
+        d = (
+            F.element_at(a, base + i).cast("double")
+            - F.element_at(sw, i).cast("double")
+        )
+        terms.append(F.floor(d * d * FXP_SCALE + F.lit(0.5)))
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0].cast("bigint")
+
+
+def pq_codebook(emb: DataFrame, k: int = PQ_K) -> DataFrame:
+    """Deterministic PQ init codebook in WIDE form: the ``k`` normalized
+    corpus vectors minimal under hash order (same RNG-free sampling
+    contract as :func:`ivf_centroids`), re-indexed to dense codes 1..k and
+    split into per-subspace codewords ``sw0..sw{PQ_M-1}`` so ADC tables
+    are array-indexable.  k is corpus-size-independent — the broadcast
+    stays tiny at any scale."""
+    hk = hash48(F.col("vec_id").cast("string"))
+    sample = (
+        emb.select(
+            hk.alias("_hk"), "vec_id", unit_vector(F.col("embedding")).alias("cw")
+        )
+        .orderBy("_hk", "vec_id")
+        .limit(k)
+    )
+    w = Window.orderBy("_hk", "vec_id")
+    return sample.select(
+        F.row_number().over(w).alias("code"),
+        *[
+            F.slice("cw", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(f"sw{m}")
+            for m in range(PQ_M)
+        ],
+    )
+
+
+def pq_encode(nv: DataFrame, cbw: DataFrame) -> DataFrame:
+    """Quantize every normalized vector: per subspace, the code of the
+    L2-nearest codeword (ties to the smallest code).  One corpus scan
+    against the broadcast codebook, one map-side-combined aggregation —
+    O(n*k) work, no shuffle beyond the final groupBy on vec_id.  Returns
+    (vec_id, c0..c{PQ_M-1})."""
+    j = nv.crossJoin(F.broadcast(cbw))
+    dists = j.select(
+        "vec_id",
+        "code",
+        *[
+            fxp_l2_sub(F.col("nv"), F.col(f"sw{m}"), m).alias(f"d{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    return dists.groupBy("vec_id").agg(
+        *[
+            F.min_by(
+                F.col("code"), F.struct(F.col(f"d{m}"), F.col("code"))
+            ).alias(f"c{m}")
+            for m in range(PQ_M)
+        ]
+    )
+
+
+def pq_train(nv: DataFrame, cbw: DataFrame) -> DataFrame:
+    """One per-subspace Lloyd refinement of the PQ codebook: assign every
+    subvector to its nearest codeword, replace each codeword with the
+    exact fixed-point mean of its members (empty codewords keep their
+    init value, so codes stay DENSE 1..k and ADC tables stay indexable).
+
+    Sampled codewords land where single vectors happen to fall;
+    per-subspace means drop quantization error the way full k-means does
+    for IVF — tests pin the recall improvement.  Cost: one extra encode
+    pass + PQ_M tiny (k x PQ_SUBDIM) aggregations, all map-side
+    combined; iterating = re-calling this function."""
+    codes = pq_encode(nv, cbw)
+    joined = nv.join(codes, "vec_id")
+    out = cbw
+    for m in range(PQ_M):
+        el = joined.select(
+            F.col(f"c{m}").alias("code"),
+            F.posexplode(F.slice("nv", m * PQ_SUBDIM + 1, PQ_SUBDIM)).alias(
+                "pos", "v"
+            ),
+        )
+        mean = el.groupBy("code", "pos").agg(
+            (
+                F.sum(F.floor(F.col("v") * MEAN_SCALE + F.lit(0.5))).cast("double")
+                / MEAN_SCALE
+                / F.count("*")
+            ).alias("cv")
+        )
+        arr = mean.groupBy("code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.getField("cv"),
+            ).alias("_rw")
+        )
+        out = (
+            out.join(arr, "code", "left")
+            .withColumn(f"sw{m}", F.coalesce(F.col("_rw"), F.col(f"sw{m}")))
+            .drop("_rw")
+        )
+    return out
+
+
+def pq_adc_topk(emb: DataFrame, k: int = 5, train: bool = True) -> DataFrame:
+    """PQ-ADC approximate top-k for the standard query set (vec_id < 3).
+
+    Plan: normalize once (unit-vector L2 ranks identically to cosine);
+    train the codebook (one Lloyd round per subspace); encode the corpus
+    (codes are WIDE-table small — PQ_M small ints per vector); per query,
+    precompute the PQ_M x PQ_K distance lookup tables (a broadcast of
+    queries x k rows); score every candidate with PQ_M ``element_at``
+    lookups + integer adds — zero float math per candidate, fully inside
+    codegen.  ``adc_dist`` is an exact int64 (deterministic
+    cross-engine).  At 100 TB the scored relation reads only the 8-code
+    table, not the embeddings — the I/O win PQ exists for; pair with IVF
+    coarse clustering (ivf_assign) to also shrink the candidate set, and
+    exact-rerank the ADC shortlist where final ordering matters."""
+    nv = _normalized(emb)
+    cbw = pq_codebook(emb)
+    if train:
+        cbw = pq_train(nv, cbw)
+    codes = pq_encode(nv, cbw)
+    q = nv.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
+    )
+    qd = q.crossJoin(F.broadcast(cbw)).select(
+        "query_id",
+        "code",
+        *[
+            fxp_l2_sub(F.col("qv"), F.col(f"sw{m}"), m).alias(f"d{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    def _lut(m: int) -> Column:
+        # transform's lambda must be unary (a binary lambda receives the
+        # array index as its second arg); the f-string binds m eagerly
+        # because transform builds the expression at call time
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct("code", f"d{m}"))),
+            lambda s: s.getField(f"d{m}"),
+        ).alias(f"l{m}")
+
+    luts = qd.groupBy("query_id").agg(*[_lut(m) for m in range(PQ_M)])
+    scored = codes.crossJoin(F.broadcast(luts)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dist = None
+    for m in range(PQ_M):
+        t = F.element_at(F.col(f"l{m}"), F.col(f"c{m}"))
+        dist = t if dist is None else dist + t
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), "vec_id")
+    return (
+        scored.select("query_id", "vec_id", dist.alias("adc_dist"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def pq_search(
+    emb: DataFrame, k: int = 5, shortlist: int = 50, train: bool = True
+) -> DataFrame:
+    """Production PQ search shape: ADC shortlist (integer lookups over the
+    compressed code table) -> exact cosine rerank of only the shortlist
+    against the original vectors -> top-k.  The expensive exact math runs
+    on ``shortlist`` candidates per query instead of the corpus — at 100
+    TB the corpus pass touches 8-byte codes only, and the rerank is a
+    (queries x shortlist)-row join back to the embedding table.  Recall =
+    P(true top-k inside the ADC shortlist); tests pin the trained-codebook
+    recall floor and the improvement over the untrained sample."""
+    sl = pq_adc_topk(emb, k=shortlist, train=train).select("query_id", "vec_id")
+    base = emb.select("vec_id", "embedding").withColumn(
+        "_nrm", norm(F.col("embedding"))
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    ).withColumn("_qnrm", norm(F.col("qv")))
+    j = sl.join(base, "vec_id").join(F.broadcast(q), "query_id")
+    sim = (fxp_dot(F.col("embedding"), F.col("qv")).cast("double") / FXP_SCALE) / (
+        F.col("_nrm") * F.col("_qnrm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        j.select("query_id", "vec_id", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )

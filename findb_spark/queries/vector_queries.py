@@ -452,3 +452,193 @@ def dedup_clusters_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
     )
+
+
+def _pq_l2_sql(vec: str, m: int) -> str:
+    """DuckDB twin of ops.vector.fxp_l2_sub for subspace ``m``: full-array
+    ``vec`` sliced against the 8-dim codeword column ``sw{m}``."""
+    from findb_spark.ops.vector import FXP_SCALE, PQ_SUBDIM
+
+    base = m * PQ_SUBDIM
+    diff = f"(CAST({vec}[{base} + i] AS DOUBLE) - CAST(c.sw{m}[i] AS DOUBLE))"
+    return (
+        f"CAST(list_sum([CAST(FLOOR(({diff} * {diff}) * {FXP_SCALE}.0 + 0.5)"
+        f" AS BIGINT) for i in range(1, {PQ_SUBDIM + 1})]) AS BIGINT)"
+    )
+
+
+def _pq_ctes() -> str:
+    """Shared DuckDB CTE chain mirroring ops.vector's PQ pipeline exactly:
+    unit-normalize -> hash-sampled init codebook (wide per-subspace
+    codewords) -> encode -> one per-subspace Lloyd refinement (fixed-point
+    means, empty codes keep init values) -> re-encode -> per-query ADC
+    lookup tables -> integer ADC scores."""
+    from findb_spark.ops.vector import MEAN_SCALE, PQ_K, PQ_M, PQ_SUBDIM
+
+    sw_cols = ",\n         ".join(
+        f"cw[({m * PQ_SUBDIM + 1}):({(m + 1) * PQ_SUBDIM})] AS sw{m}"
+        for m in range(PQ_M)
+    )
+    # MIN_BY tiebreak as an exact int composite (d * 128 + code): DuckDB
+    # has no struct/list comparator for min_by; codes are 1..PQ_K <= 64 <
+    # 128, so the composite preserves (d, code) lexicographic order exactly
+    # — the same winner as Spark's min_by(code, struct(d, code))
+    def enc(src_vec: str, cb: str, out: str) -> str:
+        dcols = ",\n         ".join(
+            f"{_pq_l2_sql(src_vec, m)} AS d{m}" for m in range(PQ_M)
+        )
+        ccols = ",\n         ".join(
+            f"MIN_BY(code, d{m} * 128 + code) AS c{m}" for m in range(PQ_M)
+        )
+        return f"""
+{out}_d AS (
+  SELECT e.vec_id, c.code,
+         {dcols}
+  FROM nv e CROSS JOIN {cb} c
+),
+{out} AS (
+  SELECT vec_id,
+         {ccols}
+  FROM {out}_d GROUP BY vec_id
+)""".strip()
+
+    train_ctes = []
+    cb1_joins = []
+    cb1_cols = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        train_ctes.append(
+            f"""
+el{m} AS (
+  SELECT k.c{m} AS code,
+         generate_subscripts(v.nv[({lo}):({hi})], 1) AS pos,
+         unnest(v.nv[({lo}):({hi})]) AS v
+  FROM nv v JOIN codes0 k USING (vec_id)
+),
+mu{m} AS (
+  SELECT code, pos,
+         CAST(SUM(CAST(FLOOR(v * {MEAN_SCALE}.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / {MEAN_SCALE}.0 / COUNT(*) AS cv
+  FROM el{m} GROUP BY code, pos
+),
+rw{m} AS (SELECT code, list(cv ORDER BY pos) AS rw FROM mu{m} GROUP BY code)""".strip()
+        )
+        cb1_joins.append(f"LEFT JOIN rw{m} r{m} ON cb0.code = r{m}.code")
+        cb1_cols.append(f"COALESCE(r{m}.rw, cb0.sw{m}) AS sw{m}")
+
+    qd_cols = ",\n         ".join(
+        f"{_pq_l2_sql('q.qv', m)} AS d{m}" for m in range(PQ_M)
+    )
+    lut_cols = ",\n         ".join(
+        f"list(d{m} ORDER BY code) AS l{m}" for m in range(PQ_M)
+    )
+    adc = " + ".join(f"l.l{m}[k.c{m}]" for m in range(PQ_M))
+    # unit-normalize with the same fixed-point norm Spark uses: sqrt of the
+    # exact integer self-dot, then one IEEE divide per element
+    nrm = f"sqrt({fxp_dot_sql('embedding', 'embedding')} / {FXP_SCALE}.0)"
+    return f"""
+nv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / {nrm}) AS nv,
+         {hash48_duck('CAST(vec_id AS VARCHAR)')} AS h
+  FROM embeddings
+),
+cb0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) AS code,
+         {sw_cols}
+  FROM (SELECT nv AS cw, h, vec_id FROM nv ORDER BY h, vec_id LIMIT {PQ_K})
+),
+{enc('e.nv', 'cb0', 'codes0')},
+{','.join(train_ctes)},
+cb1 AS (
+  SELECT cb0.code,
+         {','.join(cb1_cols)}
+  FROM cb0 {' '.join(cb1_joins)}
+),
+{enc('e.nv', 'cb1', 'codes1')},
+q AS (SELECT vec_id AS query_id, nv AS qv FROM nv WHERE vec_id < 3),
+qd AS (
+  SELECT q.query_id, c.code,
+         {qd_cols}
+  FROM q CROSS JOIN cb1 c
+),
+luts AS (
+  SELECT query_id,
+         {lut_cols}
+  FROM qd GROUP BY query_id
+),
+scored AS (
+  SELECT l.query_id, k.vec_id, {adc} AS adc_dist
+  FROM codes1 k CROSS JOIN luts l WHERE k.vec_id != l.query_id
+)
+""".strip()
+
+
+def _pq_oracle_sql() -> str:
+    return f"""
+WITH {_pq_ctes()}
+SELECT query_id, vec_id, adc_dist, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+@register(
+    "vec_pq_adc",
+    _pq_oracle_sql(),
+    category="vector",
+    description=(
+        "Product-quantization ANN (Jegou TPAMI'11): 8 subspaces x 16 "
+        "codewords, vectors compressed to 8 codes (32x memory), queries "
+        "scored via ADC lookup tables — integer adds per candidate, no "
+        "float math; the index-in-RAM scale path for 100 TB corpora"
+    ),
+    bench=True,
+)
+def vec_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.vector import pq_adc_topk
+
+    return pq_adc_topk(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+def _pq_search_oracle_sql() -> str:
+    return f"""
+WITH {_pq_ctes()},
+sl AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, vec_id) AS srnk
+    FROM scored
+  ) WHERE srnk <= 50
+),
+rr AS (
+  SELECT s.query_id, s.vec_id,
+         {cosine_sql('e.embedding', 'qe.embedding')} AS cos_sim
+  FROM sl s JOIN embeddings e ON s.vec_id = e.vec_id
+            JOIN embeddings qe ON s.query_id = qe.vec_id
+)
+SELECT query_id, vec_id, cos_sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM rr
+) WHERE rnk <= 5
+"""
+
+
+@register(
+    "vec_pq_search",
+    _pq_search_oracle_sql(),
+    category="vector",
+    description=(
+        "PQ ANN with exact rerank (the deployed IVF-PQ shape): trained "
+        "codebook ADC shortlist of 50 over compressed codes, exact cosine "
+        "rerank of the shortlist only — corpus pass reads 8-byte codes, "
+        "float math confined to 50 candidates/query"
+    ),
+)
+def vec_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.vector import pq_search
+
+    return pq_search(load_table(spark, sf_dir, "embeddings"), k=5, shortlist=50)
