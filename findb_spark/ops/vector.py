@@ -546,14 +546,28 @@ def unit_vector(v: Column) -> Column:
     cross-engine).  PQ quantizes NORMALIZED vectors so that squared L2
     distance is rank-equivalent to cosine (||a-b||² = 2 - 2·cos on unit
     vectors) — the metric every other search op here uses; quantizing raw
-    vectors would make ADC rank by magnitude, not direction."""
+    vectors would make ADC rank by magnitude, not direction.
+
+    NOTE: the norm subtree (a 64-term fixed-point dot) is embedded in the
+    transform lambda and re-evaluated per ELEMENT; prefer the two-phase
+    projection in :func:`_normalized` (norm into its own column first) on
+    any hot path — 64x less work per row and a far smaller plan."""
     n = norm(v)
     return F.transform(v, lambda x: x.cast("double") / n)
 
 
 def _normalized(emb: DataFrame) -> DataFrame:
-    """(vec_id, nv): the corpus unit-normalized (exact doubles)."""
-    return emb.select("vec_id", unit_vector(F.col("embedding")).alias("nv"))
+    """(vec_id, nv): the corpus unit-normalized (exact doubles) — norm
+    materialized into its own column first so each element's divide
+    references an attribute, not a re-evaluated 64-term dot subtree."""
+    return emb.select(
+        "vec_id", norm(F.col("embedding")).alias("_n"), "embedding"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("_n")).alias(
+            "nv"
+        ),
+    )
 
 
 def fxp_l2_sub(a: Column, sw: Column, sub: int) -> Column:
@@ -586,15 +600,25 @@ def pq_codebook(emb: DataFrame, k: int = PQ_K) -> DataFrame:
     are array-indexable.  k is corpus-size-independent — the broadcast
     stays tiny at any scale."""
     hk = hash48(F.col("vec_id").cast("string"))
+    # select the k winners FIRST (TakeOrderedAndProject on the cheap hash
+    # key), normalize only those 64 rows afterwards (two-phase norm, see
+    # _normalized)
     sample = (
-        emb.select(
-            hk.alias("_hk"), "vec_id", unit_vector(F.col("embedding")).alias("cw")
-        )
+        emb.select(hk.alias("_hk"), "vec_id", "embedding")
         .orderBy("_hk", "vec_id")
         .limit(k)
     )
     w = Window.orderBy("_hk", "vec_id")
-    return sample.select(
+    normed = sample.select(
+        "_hk", "vec_id", norm(F.col("embedding")).alias("_n"), "embedding"
+    ).select(
+        "_hk",
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("_n")).alias(
+            "cw"
+        ),
+    )
+    return normed.select(
         F.row_number().over(w).alias("code"),
         *[
             F.slice("cw", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(f"sw{m}")
@@ -641,33 +665,50 @@ def pq_train(nv: DataFrame, cbw: DataFrame) -> DataFrame:
     combined; iterating = re-calling this function."""
     codes = pq_encode(nv, cbw)
     joined = nv.join(codes, "vec_id")
-    out = cbw
-    for m in range(PQ_M):
-        el = joined.select(
-            F.col(f"c{m}").alias("code"),
-            F.posexplode(F.slice("nv", m * PQ_SUBDIM + 1, PQ_SUBDIM)).alias(
-                "pos", "v"
+    # ONE posexplode pass computes every subspace's means together: each
+    # element at 0-based position pos0 belongs to subspace m = pos0 /
+    # PQ_SUBDIM and to that subspace's assigned code — a per-m loop of
+    # joins would replicate the encode subtree PQ_M times in the plan
+    # (measured: the lazy form re-scanned the corpus per subspace)
+    msub = F.floor(F.col("pos0") / PQ_SUBDIM).cast("int")
+    code_arr = F.array(*[F.col(f"c{m}") for m in range(PQ_M)])
+    el = joined.select(
+        *[f"c{m}" for m in range(PQ_M)],
+        F.posexplode("nv").alias("pos0", "v"),
+    ).select(
+        msub.alias("m"),
+        F.element_at(code_arr, msub + 1).alias("code"),
+        (F.col("pos0") % PQ_SUBDIM).alias("subpos"),
+        "v",
+    )
+    mean = el.groupBy("m", "code", "subpos").agg(
+        (
+            F.sum(F.floor(F.col("v") * MEAN_SCALE + F.lit(0.5))).cast("double")
+            / MEAN_SCALE
+            / F.count("*")
+        ).alias("cv")
+    )
+
+    def _rw(m: int) -> Column:
+        # per-code refined subvector for subspace m (sorted by subpos);
+        # a code that appears has members in EVERY subspace's grouping,
+        # so the filtered array is never empty for an existing code
+        return F.transform(
+            F.filter(
+                F.array_sort(F.collect_list(F.struct("m", "subpos", "cv"))),
+                lambda s: s.getField("m") == F.lit(m),
             ),
-        )
-        mean = el.groupBy("code", "pos").agg(
-            (
-                F.sum(F.floor(F.col("v") * MEAN_SCALE + F.lit(0.5))).cast("double")
-                / MEAN_SCALE
-                / F.count("*")
-            ).alias("cv")
-        )
-        arr = mean.groupBy("code").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda s: s.getField("cv"),
-            ).alias("_rw")
-        )
-        out = (
-            out.join(arr, "code", "left")
-            .withColumn(f"sw{m}", F.coalesce(F.col("_rw"), F.col(f"sw{m}")))
-            .drop("_rw")
-        )
-    return out
+            lambda s: s.getField("cv"),
+        ).alias(f"rw{m}")
+
+    rw = mean.groupBy("code").agg(*[_rw(m) for m in range(PQ_M)])
+    return cbw.join(rw, "code", "left").select(
+        "code",
+        *[
+            F.coalesce(F.col(f"rw{m}"), F.col(f"sw{m}")).alias(f"sw{m}")
+            for m in range(PQ_M)
+        ],
+    )
 
 
 def pq_adc_topk(emb: DataFrame, k: int = 5, train: bool = True) -> DataFrame:
@@ -684,10 +725,21 @@ def pq_adc_topk(emb: DataFrame, k: int = 5, train: bool = True) -> DataFrame:
     table, not the embeddings — the I/O win PQ exists for; pair with IVF
     coarse clustering (ivf_assign) to also shrink the candidate set, and
     exact-rerank the ADC shortlist where final ordering matters."""
+    spark = emb.sparkSession
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        # codebooks are PQ_K rows by construction (bounded, corpus-size-
+        # independent); as lazy plans their corpus-scan subtrees would be
+        # RE-EXECUTED by every consumer (measured 108 parquet scans / 23k
+        # plan nodes in the unmaterialized pq_search plan).  Collected
+        # rows re-created as a literal DataFrame keep every double
+        # bit-identical and run each corpus pass exactly once.
+        return spark.createDataFrame(df.collect(), df.schema)
+
     nv = _normalized(emb)
-    cbw = pq_codebook(emb)
+    cbw = _materialize(pq_codebook(emb))
     if train:
-        cbw = pq_train(nv, cbw)
+        cbw = _materialize(pq_train(nv, cbw))
     codes = pq_encode(nv, cbw)
     q = nv.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
