@@ -634,21 +634,25 @@ def pq_encode(nv: DataFrame, cbw: DataFrame) -> DataFrame:
     O(n*k) work, no shuffle beyond the final groupBy on vec_id.  Returns
     (vec_id, c0..c{PQ_M-1})."""
     j = nv.crossJoin(F.broadcast(cbw))
+    # (distance, code) folded into one exact int64 composite d*128 + code
+    # (codes are 1..PQ_K <= 64 < 128, so lexicographic order is preserved
+    # and min() + decode replaces 8 min_by(struct) aggregates — the
+    # struct form generated ~3x the codegen and dominated training time)
     dists = j.select(
         "vec_id",
-        "code",
         *[
-            fxp_l2_sub(F.col("nv"), F.col(f"sw{m}"), m).alias(f"d{m}")
+            (
+                fxp_l2_sub(F.col("nv"), F.col(f"sw{m}"), m) * 128 + F.col("code")
+            ).alias(f"d{m}")
             for m in range(PQ_M)
         ],
     )
-    return dists.groupBy("vec_id").agg(
-        *[
-            F.min_by(
-                F.col("code"), F.struct(F.col(f"d{m}"), F.col("code"))
-            ).alias(f"c{m}")
-            for m in range(PQ_M)
-        ]
+    agg = dists.groupBy("vec_id").agg(
+        *[F.min(f"d{m}").alias(f"d{m}") for m in range(PQ_M)]
+    )
+    return agg.select(
+        "vec_id",
+        *[(F.col(f"d{m}") % 128).cast("int").alias(f"c{m}") for m in range(PQ_M)],
     )
 
 
@@ -663,8 +667,13 @@ def pq_train(nv: DataFrame, cbw: DataFrame) -> DataFrame:
     for IVF — tests pin the recall improvement.  Cost: one extra encode
     pass + PQ_M tiny (k x PQ_SUBDIM) aggregations, all map-side
     combined; iterating = re-calling this function."""
-    codes = pq_encode(nv, cbw)
-    joined = nv.join(codes, "vec_id")
+    # Train on a deterministic 20% hash-gated sample, the standard PQ
+    # practice (FAISS trains codebooks on a bounded sample): training cost
+    # becomes corpus-size-INDEPENDENT in proportion terms, and the gate is
+    # a pure pushdown-friendly filter — reproducible on any engine, no RNG
+    tr = nv.where(hash48(F.col("vec_id").cast("string")) % 5 < 1)
+    codes = pq_encode(tr, cbw)
+    joined = tr.join(codes, "vec_id")
     # ONE posexplode pass computes every subspace's means together: each
     # element at 0-based position pos0 belongs to subspace m = pos0 /
     # PQ_SUBDIM and to that subspace's assigned code — a per-m loop of
@@ -691,8 +700,9 @@ def pq_train(nv: DataFrame, cbw: DataFrame) -> DataFrame:
 
     def _rw(m: int) -> Column:
         # per-code refined subvector for subspace m (sorted by subpos);
-        # a code that appears has members in EVERY subspace's grouping,
-        # so the filtered array is never empty for an existing code
+        # subspace assignments are INDEPENDENT, so a code may have members
+        # in one subspace and none in another — the filtered array is then
+        # empty and must fall back to the init codeword below
         return F.transform(
             F.filter(
                 F.array_sort(F.collect_list(F.struct("m", "subpos", "cv"))),
@@ -702,13 +712,13 @@ def pq_train(nv: DataFrame, cbw: DataFrame) -> DataFrame:
         ).alias(f"rw{m}")
 
     rw = mean.groupBy("code").agg(*[_rw(m) for m in range(PQ_M)])
-    return cbw.join(rw, "code", "left").select(
-        "code",
-        *[
-            F.coalesce(F.col(f"rw{m}"), F.col(f"sw{m}")).alias(f"sw{m}")
-            for m in range(PQ_M)
-        ],
-    )
+    refined = [
+        F.when(F.size(F.col(f"rw{m}")) > 0, F.col(f"rw{m}"))
+        .otherwise(F.col(f"sw{m}"))
+        .alias(f"sw{m}")
+        for m in range(PQ_M)
+    ]
+    return cbw.join(rw, "code", "left").select("code", *refined)
 
 
 def pq_adc_topk(emb: DataFrame, k: int = 5, train: bool = True) -> DataFrame:

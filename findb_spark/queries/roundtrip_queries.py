@@ -326,3 +326,59 @@ def roundtrip_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("date").alias("max_date"),
         fxp_sum(F.col("value"), "sum_value"),
     )
+
+
+@register(
+    "roundtrip_incremental_bars",
+    f"""
+WITH {PRICES_ORACLE_CTE},
+p AS (
+  SELECT *, CAST(date // 100 AS INT) AS month FROM prices_v
+  WHERE asset_id % 10 = 2
+),
+t AS (
+  SELECT asset_id, month, value,
+         FIRST_VALUE(value) OVER (PARTITION BY asset_id, month
+                                  ORDER BY date, ts, value) AS open,
+         FIRST_VALUE(value) OVER (PARTITION BY asset_id, month
+                                  ORDER BY date DESC, ts DESC, value DESC) AS close
+  FROM p
+)
+SELECT asset_id, month,
+       MIN(open) AS open, MAX(value) AS high, MIN(value) AS low,
+       MIN(close) AS close, COUNT(*) AS n_rev
+FROM t GROUP BY asset_id, month
+""",
+    category="roundtrip",
+    description=(
+        "Incremental materialized-view maintenance hard signal: monthly "
+        "OHLC bars built from pre-1997 revisions, then repaired via "
+        "dynamic-partition-overwrite for the months the late 1997+ batch "
+        "touches — the repaired table must equal the oracle's full "
+        "rebuild over all revisions"
+    ),
+)
+def roundtrip_incremental_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB materialized-view pattern under driver certification:
+    cost of the repair is proportional to touched months (the month
+    filter folds onto the source scan), and dynamic partition overwrite
+    swaps exactly those partitions.  Parity with a full rebuild is the
+    whole correctness contract of incremental maintenance."""
+    from findb_spark.ops.incremental import update_monthly_bars, write_monthly_bars
+
+    src = prices_from_lineitem(spark, sf_dir).where(F.col("asset_id") % 10 == 2)
+    initial = src.where(F.col("date") < 19970101)
+    late = src.where(F.col("date") >= 19970101)
+    path = _scratch(sf_dir, "bars_incremental")
+    write_monthly_bars(initial, path)
+    update_monthly_bars(spark, src, late, path)
+    bars = spark.read.parquet(path)
+    return bars.select(
+        "asset_id",
+        F.col("month").cast("int").alias("month"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_rev",
+    )
