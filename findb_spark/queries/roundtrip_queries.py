@@ -382,3 +382,66 @@ def roundtrip_incremental_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "n_rev",
     )
+
+
+@register(
+    "roundtrip_bucketed_join",
+    f"""
+WITH {PRICES_ORACLE_CTE},
+p AS (SELECT * FROM prices_v WHERE asset_id % 10 = 3),
+s AS (
+  SELECT asset_id, COUNT(*) AS n_rev, MAX(value) AS max_value
+  FROM p GROUP BY asset_id
+)
+SELECT p.asset_id % 7 AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(s.n_rev) AS BIGINT) AS sum_partner_rev,
+       {fxp_sum_sql('p.value')} AS sum_value
+FROM p JOIN s ON p.asset_id = s.asset_id
+GROUP BY bucket
+""",
+    category="roundtrip",
+    description=(
+        "Bucketed-layout hard signal: two tables bucketed on the join key "
+        "at write time sort-merge-join with ZERO exchanges (the "
+        "write-once/never-shuffle-again contract); results must equal the "
+        "oracle's plain join over parquet"
+    ),
+)
+def roundtrip_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the bucketing loop end-to-end: bucketBy write through the
+    session catalog, bucket-aware scan, exchange-free co-located join.
+    The zero-exchange property itself is pinned by tests/test_bucketing.py
+    plan assertions; the driver row certifies the data survives the
+    bucketed write+read+join intact."""
+    from findb_spark.layout import write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    src = prices_from_lineitem(spark, sf_dir).where(F.col("asset_id") % 10 == 3)
+    stats = src.groupBy("asset_id").agg(
+        F.count("*").alias("n_rev"), F.max("value").alias("max_value")
+    )
+    write_bucketed(
+        src,
+        f"rt_prices_b_{tag}",
+        _scratch(sf_dir, "bucketed_prices"),
+        n_buckets=4,
+    )
+    write_bucketed(
+        stats,
+        f"rt_stats_b_{tag}",
+        _scratch(sf_dir, "bucketed_stats"),
+        n_buckets=4,
+        sort_cols=("asset_id",),
+    )
+    p = spark.table(f"rt_prices_b_{tag}")
+    s = spark.table(f"rt_stats_b_{tag}")
+    return (
+        p.join(s, "asset_id")
+        .groupBy((F.col("asset_id") % 7).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_rev").cast("bigint").alias("sum_partner_rev"),
+            fxp_sum(F.col("value"), "sum_value"),
+        )
+    )

@@ -101,6 +101,7 @@ def workload(spark, sf_dir: str) -> dict[str, float]:
 
 def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
     from findb_spark.ops.dedup import (
+        chunk_dup_stats,
         containment_pairs,
         jaccard_pairs,
         minhash_lsh_pairs,
@@ -115,6 +116,51 @@ def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
         "ngram_jaccard": timed(lambda: jaccard_pairs(docs).count()),
         "containment": timed(lambda: containment_pairs(docs).count()),
         "text_quality": timed(lambda: quality_score(docs).count()),
+        "chunk_dedup": timed(lambda: chunk_dup_stats(docs).count()),
+    }
+
+
+def replicate_embeddings(spark, factor: int) -> str:
+    """Union `factor` vec_id-shifted copies with the embedding ROTATED by
+    the copy index — rotation preserves norms but changes direction, so
+    copies are not near-duplicates of each other and ANN candidate sets
+    grow honestly with the corpus."""
+    emb = load_table(spark, BASE_SF, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    copies = []
+    for i in range(factor):
+        rot = (
+            F.concat(
+                F.slice("embedding", i % 64 + 1, 64 - (i % 64)),
+                F.slice("embedding", 1, i % 64),
+            )
+            if i
+            else F.col("embedding")
+        )
+        copies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * (max_id + 1))).alias("vec_id"),
+                rot.alias("embedding"),
+                "label",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    path = f"{WORK}/embeddings.parquet"
+    out.write.mode("overwrite").parquet(path)
+    return WORK
+
+
+def vector_workload(spark, sf_dir: str) -> dict[str, float]:
+    from findb_spark.ops.vector import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return {
+        # full pipeline incl. sampled codebook training + corpus encode:
+        # work is O(n*K) assignment-shaped, so the ratio should track the
+        # replication factor ~linearly
+        "pq_adc_topk": timed(lambda: pq_adc_topk(emb, k=5).count()),
     }
 
 
@@ -126,13 +172,18 @@ def main() -> None:
     base = workload(spark, BASE_SF)
     dedup_workload(spark, BASE_SF)  # warm-up
     base.update(dedup_workload(spark, BASE_SF))
+    vector_workload(spark, BASE_SF)  # warm-up
+    base.update(vector_workload(spark, BASE_SF))
     scaled_dir = replicate_lineitem(spark, factor)
     replicate_documents(spark, factor)
+    replicate_embeddings(spark, factor)
     rows = spark.read.parquet(f"{scaled_dir}/lineitem.parquet").count()
     workload(spark, scaled_dir)  # warm-up the scaled plans too
     scaled = workload(spark, scaled_dir)
     dedup_workload(spark, scaled_dir)  # warm-up
     scaled.update(dedup_workload(spark, scaled_dir))
+    vector_workload(spark, scaled_dir)  # warm-up
+    scaled.update(vector_workload(spark, scaled_dir))
     print(
         json.dumps(
             {
