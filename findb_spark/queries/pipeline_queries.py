@@ -9,7 +9,7 @@ operators for LLM corpus curation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from findb_spark.functions.hashing import hash48, hash48_duck
 from findb_spark.ops.text import shingles_duck, shingles_of
@@ -294,4 +294,124 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tokens").cast("double")
             / (F.col("n_sources") * F.col("n_tokens"))
         ).alias("mixture_weight"),
+    )
+
+
+@register(
+    "pipeline_pretrain_mix",
+    f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         {hash48_duck("CAST(doc_id AS VARCHAR) || ':' || source")} AS gate_h
+  FROM documents
+),
+s AS (
+  SELECT source, CAST(SUM(tokens) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY source
+),
+t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             COUNT(*) AS n_sources FROM s),
+-- per-source keep probability (basis points): uniform-token target,
+-- capped at 1.0 — exact int floor of a single-division double
+w AS (
+  SELECT source,
+         LEAST(CAST(10000 AS BIGINT),
+               CAST(FLOOR(10000.0 * (CAST(total_tokens AS DOUBLE)
+                                     / (n_sources * n_tokens))) AS BIGINT)) AS p_bp
+  FROM s CROSS JOIN t
+),
+kept AS (
+  SELECT tok.doc_id, tok.source, tok.tokens
+  FROM tok JOIN w USING (source)
+  WHERE tok.gate_h % 10000 < w.p_bp
+),
+c AS (
+  SELECT source, doc_id, tokens,
+         {hash48_duck("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         SUM(tokens) OVER (PARTITION BY source,
+                           {hash48_duck("CAST(doc_id AS VARCHAR)")} % 8
+                           ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM kept
+),
+p AS (
+  SELECT source, shard,
+         CAST((cum - tokens) // 2048 AS BIGINT) AS pack_id,
+         tokens
+  FROM c
+)
+SELECT source,
+       COUNT(*) AS n_docs_kept,
+       CAST(SUM(tokens) AS BIGINT) AS tokens_kept,
+       COUNT(DISTINCT (shard, pack_id)) AS n_packs
+FROM p GROUP BY source
+""",
+    category="pipeline",
+    description=(
+        "Pretraining batch-mix pipeline in ONE Catalyst plan: per-source "
+        "mixture weights (uniform-token target) -> deterministic hash-gate "
+        "downsampling at the computed per-source rate -> sharded "
+        "context-window sequence packing of the survivors — the "
+        "curate-mix-pack loop a training-data job runs nightly"
+    ),
+)
+def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weights drive SAMPLING here (not just reporting): keep
+    probability per source = min(1, total/(n_sources*tokens_s)),
+    quantized to basis points and applied as a content-hash gate — fully
+    deterministic, reproducible on any engine, no RNG.  Survivors pack
+    into 2048-token context windows per (source, shard) running offset.
+
+    Scale shape: two corpus scans (token count + gate, then the packing
+    window), one broadcast of the per-source weight table, windows
+    partitioned by (source, shard) so no global ordering bottleneck
+    exists at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tokens"),
+        hash48(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+        ).alias("gate_h"),
+    )
+    s = tok.groupBy("source").agg(F.sum("tokens").cast("bigint").alias("n_tokens"))
+    t = s.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    w = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.least(
+            F.lit(10000).cast("bigint"),
+            F.floor(
+                10000.0
+                * (
+                    F.col("total_tokens").cast("double")
+                    / (F.col("n_sources") * F.col("n_tokens"))
+                )
+            ).cast("bigint"),
+        ).alias("p_bp"),
+    )
+    kept = tok.join(F.broadcast(w), "source").where(
+        F.col("gate_h") % 10000 < F.col("p_bp")
+    )
+    shard = hash48(F.col("doc_id").cast("string")) % 8
+    win = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = kept.withColumn("shard", shard).withColumn("cum", F.sum("tokens").over(win))
+    p = c.select(
+        "source",
+        "shard",
+        F.floor((F.col("cum") - F.col("tokens")) / 2048).alias("pack_id"),
+        "tokens",
+    )
+    return p.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("tokens").cast("bigint").alias("tokens_kept"),
+        F.countDistinct("shard", "pack_id").alias("n_packs"),
     )
