@@ -815,3 +815,73 @@ def pq_search(
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )
+
+
+def ivf_pq_topk(emb: DataFrame, k: int = 5, train: bool = True) -> DataFrame:
+    """IVF-PQ (the FAISS IVFPQ architecture, Jegou TPAMI'11 §V): coarse
+    IVF clustering bounds WHICH candidates are scored (the query's
+    assigned cluster only, nprobe=1), product quantization bounds WHAT is
+    read per candidate (8 one-byte codes + an integer table lookup).  The
+    two compressions multiply: at 100 TB the scan touches one cluster's
+    code table — candidates O(n/K), bytes O(8) each, zero float ops.
+
+    Plan: broadcast coarse codebook -> one corpus assignment pass;
+    trained PQ codebook -> one corpus encode pass; the scored relation is
+    an equi-join on the cluster id (hash shuffle of 8-code rows), never a
+    cross join.  Exact-rerank the survivors where final ordering matters
+    (compose with the pq_search rerank shape)."""
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        ivf_centroids(emb).collect(), ivf_centroids(emb).schema
+    )
+    clusters = assign_to_centroids(emb, cents).select("vec_id", "cluster")
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        return spark.createDataFrame(df.collect(), df.schema)
+
+    nv = _normalized(emb)
+    cbw = _materialize(pq_codebook(emb))
+    if train:
+        cbw = _materialize(pq_train(nv, cbw))
+    codes = pq_encode(nv, cbw).join(clusters, "vec_id")
+
+    q = nv.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
+    )
+    qd = q.crossJoin(F.broadcast(cbw)).select(
+        "query_id",
+        "code",
+        *[
+            fxp_l2_sub(F.col("qv"), F.col(f"sw{m}"), m).alias(f"d{m}")
+            for m in range(PQ_M)
+        ],
+    )
+
+    def _lut(m: int) -> Column:
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct("code", f"d{m}"))),
+            lambda s: s.getField(f"d{m}"),
+        ).alias(f"l{m}")
+
+    luts = qd.groupBy("query_id").agg(*[_lut(m) for m in range(PQ_M)])
+    qprobe = luts.join(
+        clusters.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("cluster").alias("qcluster")
+        ),
+        "query_id",
+    )
+    j = codes.join(
+        F.broadcast(qprobe),
+        (F.col("cluster") == F.col("qcluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    dist = None
+    for m in range(PQ_M):
+        t = F.element_at(F.col(f"l{m}"), F.col(f"c{m}"))
+        dist = t if dist is None else dist + t
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), "vec_id")
+    return (
+        j.select("query_id", "vec_id", dist.alias("adc_dist"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )

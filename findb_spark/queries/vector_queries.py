@@ -648,3 +648,59 @@ def vec_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from findb_spark.ops.vector import pq_search
 
     return pq_search(load_table(spark, sf_dir, "embeddings"), k=5, shortlist=50)
+
+
+def _ivf_pq_oracle_sql() -> str:
+    from findb_spark.ops.vector import IVF_K, PQ_M
+
+    adc = " + ".join(f"l.l{m}[k.c{m}]" for m in range(PQ_M))
+    return f"""
+WITH {_pq_ctes()},
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  ORDER BY {hash48_duck('CAST(vec_id AS VARCHAR)')}, vec_id LIMIT {IVF_K}
+),
+sc AS (
+  SELECT e.vec_id, c.cent_id, {cosine_sql('e.embedding', 'c.cvec')} AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+asg AS (
+  SELECT vec_id, cent_id AS cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cent_id) AS rn
+    FROM sc) WHERE rn = 1
+),
+qc AS (SELECT vec_id AS query_id, cluster AS qcluster FROM asg WHERE vec_id < 3),
+ivfscored AS (
+  SELECT l.query_id, k.vec_id, {adc} AS adc_dist
+  FROM codes1 k
+  JOIN asg a ON k.vec_id = a.vec_id
+  JOIN qc ON a.cluster = qc.qcluster
+  JOIN luts l ON l.query_id = qc.query_id
+  WHERE k.vec_id != qc.query_id
+)
+SELECT query_id, vec_id, adc_dist, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, vec_id) AS rnk
+  FROM ivfscored
+) WHERE rnk <= 5
+"""
+
+
+@register(
+    "vec_ivf_pq",
+    _ivf_pq_oracle_sql(),
+    category="vector",
+    description=(
+        "IVF-PQ composition (the FAISS IVFPQ architecture): coarse IVF "
+        "cluster probe bounds WHICH candidates are scored (O(n/K) per "
+        "query), trained PQ codes bound WHAT is read per candidate (8 "
+        "bytes + integer table lookups) — the two compressions multiply; "
+        "the scored relation is an equi-join on the cluster id, never a "
+        "cross join"
+    ),
+)
+def vec_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.vector import ivf_pq_topk
+
+    return ivf_pq_topk(load_table(spark, sf_dir, "embeddings"), k=5)

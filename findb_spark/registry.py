@@ -68,6 +68,18 @@ _SPECS: dict[str, QuerySpec] = {}
 #: corr_matrix_assets, ts_drawdown, ts_ewma — robust-stats/time-series
 #: queries whose siblings (stats_corr, ts_linreg_slope, ts_cross_rank,
 #: ts_ohlc_bars) already carry green rows.
+#:
+#: ROUND-4 ROTATION PLAN: once CORRECTNESS_r03 lands green for this
+#: prefix, rebuild it as: the 7 deferred names above + the 15 round-3
+#: additions (roundtrip_csv_ingest, roundtrip_findb_db,
+#: roundtrip_stream_tumbling, roundtrip_stream_sessionize,
+#: roundtrip_zorder_layout, roundtrip_compact_layout,
+#: roundtrip_manifest_pruned_read, roundtrip_incremental_bars,
+#: roundtrip_bucketed_join, dedup_chunk_exact, text_token_rarity,
+#: corpus_mixture_weights, vec_pq_adc, vec_pq_search,
+#: pipeline_pretrain_mix) + any red round-3 rows kept for confirmation
+#: — 22 names, leaving ~28 free slots for round-4 additions.  After that
+#: window every registered query will carry a driver hard-signal row.
 _CHECK_FIRST: tuple[str, ...] = (
     # HUGEINT-fix confirmation rows (red in r2 -> cast AS BIGINT this round)
     "events_json_extract",

@@ -335,3 +335,22 @@ def test_pq_search_matches_exact_on_shortlist_and_is_deterministic(spark, sf_dir
     assert r1 == r2
     for query_id, vec_id, cos_sim, _rnk in r1:
         assert cos_sim == exact_sim[(query_id, vec_id)]
+
+
+def test_ivf_pq_candidates_stay_in_probed_cluster(spark, sf_dir):
+    """IVF-PQ must only surface candidates from the query's own coarse
+    cluster (nprobe=1) — the candidate-bounding contract — and be
+    deterministic across executions."""
+    from findb_spark.ops.vector import assign_to_centroids, ivf_centroids, ivf_pq_topk
+    from findb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    clusters = {
+        r.vec_id: r.cluster
+        for r in assign_to_centroids(emb, ivf_centroids(emb)).collect()
+    }
+    r1 = sorted(map(tuple, ivf_pq_topk(emb, k=5).collect()))
+    r2 = sorted(map(tuple, ivf_pq_topk(emb, k=5).collect()))
+    assert r1 == r2 and len(r1) > 0
+    for query_id, vec_id, _adc, _rnk in r1:
+        assert clusters[vec_id] == clusters[query_id]
