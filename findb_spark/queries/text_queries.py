@@ -539,3 +539,142 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # counters per row
+
+
+def _cms_cells_sql() -> str:
+    parts = []
+    for j in range(_CMS_D):
+        h = hash48_duck("tok || ':" + str(j) + "'")
+        parts.append(f"SELECT {j} AS j, {h} % {_CMS_W} AS col FROM tok")
+    rows = "\nUNION ALL\n".join(parts)
+    return f"cells AS (SELECT j, col, COUNT(*) AS c FROM ({rows}) GROUP BY j, col)"
+
+
+@register(
+    "text_heavy_hitters_cms",
+    f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+exact AS (
+  SELECT tok, COUNT(*) AS exact_n FROM tok GROUP BY tok
+  ORDER BY exact_n DESC, tok LIMIT 20
+),
+{_cms_cells_sql()},
+probes AS (
+  SELECT e.tok, e.exact_n, p.j,
+         {hash48_duck("e.tok || ':' || CAST(p.j AS VARCHAR)")} % {_CMS_W} AS col
+  FROM exact e CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j) p
+),
+est AS (
+  SELECT pr.tok, pr.exact_n, MIN(c.c) AS cms_n
+  FROM probes pr JOIN cells c ON pr.j = c.j AND pr.col = c.col
+  GROUP BY pr.tok, pr.exact_n
+)
+SELECT tok, CAST(exact_n AS BIGINT) AS exact_n, CAST(cms_n AS BIGINT) AS cms_n
+FROM est
+""",
+    category="text",
+    description=(
+        "Count-min sketch heavy hitters (Cormode-Muthukrishnan '05): "
+        f"{_CMS_D}x{_CMS_W} counter cells bound sketch memory regardless "
+        "of vocabulary size; per-token estimate = min over hash rows, "
+        "always >= the exact count.  The top-20 exact tokens are probed "
+        "against the sketch so the driver certifies the estimate "
+        "deterministically (hash48 rows — no RNG)"
+    ),
+)
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-memory frequency sketch for corpora whose vocabulary
+    cannot be aggregated exactly: counters are d x w cells (a few KB)
+    updated by pure hash projection — one map-side-combined aggregate
+    whose output size is INDEPENDENT of corpus and vocabulary size.  The
+    estimate min-over-rows never undercounts (tests/oracle see cms_n >=
+    exact_n).  Candidates here come from the exact top-20 (so the oracle
+    can certify values); a production heavy-hitter pass pairs the sketch
+    with per-partition candidate heaps instead of the exact aggregate."""
+    from findb_spark.functions.hashing import hash48
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    exact = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(20)
+    )
+    cells = None
+    for j in range(_CMS_D):
+        part = tok.select(
+            F.lit(j).alias("j"),
+            (hash48(F.concat(F.col("tok"), F.lit(f":{j}"))) % _CMS_W).alias("col"),
+        )
+        cells = part if cells is None else cells.unionAll(part)
+    cells = cells.groupBy("j", "col").agg(F.count("*").alias("c"))
+    probes = exact.crossJoin(
+        spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
+    ).select(
+        "tok",
+        "exact_n",
+        "j",
+        (
+            hash48(F.concat(F.col("tok"), F.lit(":"), F.col("j").cast("string")))
+            % _CMS_W
+        ).alias("col"),
+    )
+    est = (
+        probes.join(cells, ["j", "col"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+    )
+    return est.select("tok", "exact_n", F.col("cms_n").cast("bigint").alias("cms_n"))
+
+
+@register(
+    "text_bpe_merge_candidates",
+    """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+x AS (
+  SELECT toks, unnest(range(len(toks) - 1)) AS i
+  FROM t WHERE len(toks) >= 2
+),
+p AS (SELECT toks[i + 1] AS w1, toks[i + 2] AS w2 FROM x),
+c AS (SELECT w1, w2, COUNT(*) AS n_pairs FROM p GROUP BY w1, w2)
+SELECT w1, w2, n_pairs FROM c
+ORDER BY n_pairs DESC, w1, w2 LIMIT 20
+""",
+    category="text",
+    description=(
+        "BPE/WordPiece merge-candidate counting (the inner loop of "
+        "tokenizer training, Sennrich ACL'16): adjacent-pair frequencies "
+        "over the corpus, top-20 merge candidates with deterministic "
+        "ties — one explode + one map-side-combined aggregate per merge "
+        "round; iterating rounds re-runs the same plan on re-segmented "
+        "tokens"
+    ),
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-pair statistics: the merge-selection step of
+    byte-pair-encoding tokenizer training.  Pairs come from zipping each
+    token array against its own 1-shifted slice (pure codegen array ops,
+    no Python), so the only shuffle is the pair-count aggregate — the
+    shape survives any corpus size because pair cardinality is bounded
+    by vocabulary^2 and the aggregate combines map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = docs.where(F.size(toks) >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+                F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+            )
+        ).alias("pr")
+    )
+    c = (
+        pairs.select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    return c.orderBy(F.desc("n_pairs"), "w1", "w2").limit(20)
