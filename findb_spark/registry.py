@@ -76,10 +76,12 @@ _SPECS: dict[str, QuerySpec] = {}
 #: roundtrip_zorder_layout, roundtrip_compact_layout,
 #: roundtrip_manifest_pruned_read, roundtrip_incremental_bars,
 #: roundtrip_bucketed_join, dedup_chunk_exact, text_token_rarity,
-#: corpus_mixture_weights, vec_pq_adc, vec_pq_search,
-#: pipeline_pretrain_mix) + any red round-3 rows kept for confirmation
-#: — 22 names, leaving ~28 free slots for round-4 additions.  After that
-#: window every registered query will carry a driver hard-signal row.
+#: corpus_mixture_weights, vec_pq_adc, vec_pq_search, vec_ivf_pq,
+#: pipeline_pretrain_mix, text_heavy_hitters_cms,
+#: text_bpe_merge_candidates) + any red round-3 rows kept for
+#: confirmation — ~25 names, leaving ~25 free slots for round-4
+#: additions.  After that window every registered query will carry a
+#: driver hard-signal row.
 _CHECK_FIRST: tuple[str, ...] = (
     # HUGEINT-fix confirmation rows (red in r2 -> cast AS BIGINT this round)
     "events_json_extract",

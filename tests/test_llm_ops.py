@@ -354,3 +354,21 @@ def test_ivf_pq_candidates_stay_in_probed_cluster(spark, sf_dir):
     assert r1 == r2 and len(r1) > 0
     for query_id, vec_id, _adc, _rnk in r1:
         assert clusters[vec_id] == clusters[query_id]
+
+
+def test_chunk_dup_stats_tail_and_exact_dup_edges(spark):
+    """Chunk windows: tail chunks shorter than the window still count;
+    an exact duplicate pair has dup_frac 1.0; a unique doc has 0.0."""
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(40))),  # 3 chunks (16+16+8)
+        (2, " ".join(f"w{i}" for i in range(40))),  # exact dup of 1
+        (3, " ".join(f"u{i}" for i in range(20))),  # unique, 2 chunks
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    from findb_spark.ops.dedup import chunk_dup_stats
+
+    got = {r.doc_id: (r.n_chunks, r.n_dup_chunks, r.dup_frac)
+           for r in chunk_dup_stats(docs, chunk_tokens=16).collect()}
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 3, 1.0)
+    assert got[3] == (2, 0, 0.0)

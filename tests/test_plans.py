@@ -191,3 +191,35 @@ def test_corr_matrix_single_date_shuffle(spark):
     p = _plan(spark, "corr_matrix_assets")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_chunk_dedup_no_cartesian_single_pair_of_scans(spark):
+    """Chunk-level dedup is an inverted-index equi-join on the chunk key:
+    never a cartesian, and only the two corpus scans (chunk side + df
+    side) the shape requires."""
+    p = _plan(spark, "dedup_chunk_exact")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_token_rarity_broadcasts_corpus_total(spark):
+    """The 1-row corpus-size relation joins by broadcast; the token table
+    is never shuffled for it."""
+    p = _plan(spark, "text_token_rarity")
+    assert "CartesianProduct" not in p
+
+
+def test_ivf_pq_scores_via_cluster_equijoin(spark):
+    """IVF-PQ's scored relation joins on the cluster id — the whole point
+    of the coarse quantizer is that no cross join over the corpus exists
+    anywhere in the plan."""
+    p = _plan(spark, "vec_ivf_pq")
+    assert "CartesianProduct" not in p
+
+
+def test_pretrain_mix_broadcasts_weight_table(spark):
+    """Per-source mixture weights (|sources| rows) broadcast onto the
+    corpus scan; the gate is a filter, not a shuffle."""
+    p = _plan(spark, "pipeline_pretrain_mix")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
