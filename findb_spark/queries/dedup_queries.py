@@ -678,3 +678,78 @@ GROUP BY c.doc_id
 )
 def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dup_stats(load_table(spark, sf_dir, "documents"), chunk_tokens=16)
+
+
+@register(
+    "dedup_select_canonical",
+    f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+asg AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+best AS (
+  SELECT cluster_id,
+         MIN_BY(doc_id, (2097152 - n_chars) * 4294967296 + doc_id)
+           AS canonical_doc_id
+  FROM asg GROUP BY cluster_id
+)
+SELECT a.cluster_id,
+       b.canonical_doc_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN a.doc_id = b.canonical_doc_id
+                     THEN a.n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+       CAST(SUM(CASE WHEN a.doc_id != b.canonical_doc_id
+                     THEN a.n_chars ELSE 0 END) AS BIGINT) AS dropped_chars
+FROM asg a JOIN best b USING (cluster_id)
+GROUP BY a.cluster_id, b.canonical_doc_id
+""",
+    category="dedup",
+    description=(
+        "Quality-aware canonical selection per duplicate cluster: keep "
+        "the LONGEST member (ties -> smallest doc_id) instead of the "
+        "arbitrary min-id — the representative-picking step curation "
+        "pipelines run after clustering, with kept/dropped char "
+        "accounting per cluster"
+    ),
+)
+def dedup_select_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment (iterative connected components) -> per-cluster
+    argmax by a quality key (n_chars here; swap in any scoring column) ->
+    kept/dropped accounting.  One extra map-side-combined aggregate and
+    one broadcast-friendly join over the assignment — the canonical pick
+    adds no new shuffle class at any corpus size.
+
+    Cross-engine argmax: Spark max_by(doc_id, struct(n_chars, -doc_id))
+    == DuckDB min_by over an exact int composite ((2^21 - n_chars) *
+    2^32 + doc_id): n_chars < 2^21 and doc_id < 2^32 in the driver data
+    (composite < 2^53, no int64 overflow),
+    so the composite is collision-free and orders by (longer, then
+    smaller id)."""
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.graph import dedup_cluster_assignment
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.4).select("doc1", "doc2")
+    asg = dedup_cluster_assignment(docs, pairs).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    best = asg.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_nd")),
+        ).alias("canonical_doc_id")
+    )
+    j = asg.join(best, "cluster_id")
+    is_canon = F.col("doc_id") == F.col("canonical_doc_id")
+    return j.groupBy("cluster_id", "canonical_doc_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(is_canon, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+        F.sum(F.when(~is_canon, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_chars"),
+    )

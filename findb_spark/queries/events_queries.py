@@ -408,3 +408,41 @@ def events_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_click_1h")))
         .crossJoin(p.agg(F.count("*").alias("n_purchase_1h")))
     )
+
+
+@register(
+    "events_variant_extract",
+    """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+""",
+    category="events",
+    description=(
+        "Spark 4 VariantType JSON path: parse_json once into a binary "
+        "variant column, then variant_get field extraction — the "
+        "shredded semi-structured representation that replaces repeated "
+        "get_json_object string re-parsing at scale; results identical "
+        "to the string-path twin (events_json_extract), runtime path "
+        "entirely different"
+    ),
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as events_json_extract through the modern engine
+    path: one parse per row into VariantType (binary, typed), then cheap
+    typed field access.  At 100 TB the win is parsing each props string
+    ONCE regardless of how many fields queries touch (vs one full parse
+    per get_json_object call), plus Parquet variant shredding when the
+    column is persisted."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.try_variant_get(F.col("v"), "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
