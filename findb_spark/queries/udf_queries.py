@@ -115,3 +115,41 @@ def udf_scalar_acct_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         band("c_acctbal").alias("acct_band"),
         cents("c_acctbal").alias("acct_cents"),
     )
+
+
+@register(
+    "sql_udf_acct_band",
+    """
+SELECT c_custkey,
+       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acct_band,
+       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents
+FROM customer
+""",
+    category="udf",
+    description=(
+        "SQL scalar UDFs (Spark 4 CREATE FUNCTION ... RETURN expr): the "
+        "same banding/fixed-point kernels as the pandas-UDF twin, defined "
+        "declaratively — the body INLINES into the caller's plan, so "
+        "unlike any Python UDF the function costs nothing at 100 TB "
+        "(full codegen, filter pushdown through the call)"
+    ),
+)
+def sql_udf_acct_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL-function extension point (reference front-end
+    parity: a user extends the engine without leaving SQL).  Twin of
+    udf_scalar_acct_band: identical results, opposite execution model —
+    the SQL body is substituted during analysis and fuses into
+    whole-stage codegen, where the pandas UDF pays an Arrow round-trip."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION acct_band(v DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(FLOOR(v / 1000) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION acct_cents(v DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(FLOOR(v * 100 + 0.5) AS BIGINT)"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sqludf_v")
+    return spark.sql(
+        "SELECT c_custkey, acct_band(c_acctbal) AS acct_band, "
+        "acct_cents(c_acctbal) AS acct_cents FROM customer_sqludf_v"
+    )
