@@ -675,6 +675,7 @@ GROUP BY c.doc_id
         "duplicate-line-fraction analog): 16-token windows, per-doc "
         "duplicated-chunk fraction via inverted-index document frequency"
     ),
+    bench=True,
 )
 def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dup_stats(load_table(spark, sf_dir, "documents"), chunk_tokens=16)
