@@ -445,3 +445,106 @@ def roundtrip_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             fxp_sum(F.col("value"), "sum_value"),
         )
     )
+
+
+@register(
+    "roundtrip_multiformat_ingest",
+    f"""
+WITH {PRICES_ORACLE_CTE}
+SELECT asset_id % 5 AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(ts) AS BIGINT) AS sum_ts,
+       {fxp_sum_sql('value')} AS sum_value,
+       TRUE AS formats_agree
+FROM prices_v WHERE asset_id % 25 = 1
+GROUP BY bucket
+""",
+    category="roundtrip",
+    description=(
+        "NDJSON + ORC connector hard signal: the same derivation written "
+        "to both formats, re-ingested through the shared try_cast "
+        "normalization, aggregated identically — formats_agree certifies "
+        "the two connector paths return byte-identical relations"
+    ),
+)
+def roundtrip_multiformat_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One query certifies both remaining file connectors: NDJSON and ORC
+    writes of the identical prices derivation are read back through
+    ingest_json / ingest_orc, the two relations are compared exactly
+    (full-outer anti semantics — any difference breaks formats_agree AND
+    the aggregate), and the aggregate must match the parquet-direct
+    oracle."""
+    from findb_spark.ingest import ingest_json, ingest_orc
+
+    src = prices_from_lineitem(spark, sf_dir).where(F.col("asset_id") % 25 == 1)
+    raw = src.select(
+        F.col("asset_id").cast("string"),
+        F.col("date").cast("string"),
+        F.col("ts").cast("string"),
+        F.col("value").cast("string"),
+    )
+    jpath = _scratch(sf_dir, "prices_json")
+    opath = _scratch(sf_dir, "prices_orc")
+    raw.write.mode("overwrite").json(jpath)
+    raw.write.mode("overwrite").orc(opath)
+    bj = ingest_json(spark, jpath)
+    bo = ingest_orc(spark, opath)
+    only_j = bj.exceptAll(bo).count()
+    only_o = bo.exceptAll(bj).count()
+    return bj.groupBy((F.col("asset_id") % 5).alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum("ts").cast("bigint").alias("sum_ts"),
+        fxp_sum(F.col("value"), "sum_value"),
+        F.lit(only_j == 0 and only_o == 0).alias("formats_agree"),
+    )
+
+
+@register(
+    "roundtrip_textlog_ingest",
+    f"""
+WITH {PRICES_ORACLE_CTE}
+SELECT COUNT(*) AS n,
+       COUNT(DISTINCT asset_id) AS n_assets,
+       CAST(SUM(ts) AS BIGINT) AS sum_ts,
+       {fxp_sum_sql('value')} AS sum_value
+FROM prices_v WHERE asset_id % 25 = 2
+""",
+    category="roundtrip",
+    description=(
+        "Regex text-log connector hard signal: prices rendered as "
+        "unstructured 'PRICE asset=.. date=.. ts=.. value=..' lines, "
+        "re-ingested through the one-regex typed-capture path "
+        "(whole-pattern quarantine gating), aggregate equals the "
+        "parquet-direct oracle"
+    ),
+)
+def roundtrip_textlog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ingest import ingest_text_log
+
+    src = prices_from_lineitem(spark, sf_dir).where(F.col("asset_id") % 25 == 2)
+    lines = src.select(
+        F.concat(
+            F.lit("PRICE asset="),
+            F.col("asset_id").cast("string"),
+            F.lit(" date="),
+            F.col("date").cast("string"),
+            F.lit(" ts="),
+            F.col("ts").cast("string"),
+            F.lit(" value="),
+            F.col("value").cast("string"),
+        ).alias("value")
+    )
+    path = _scratch(sf_dir, "prices_log")
+    lines.write.mode("overwrite").text(path)
+    back = ingest_text_log(
+        spark,
+        path,
+        r"PRICE asset=(\d+) date=(\d+) ts=(\d+) value=([0-9.eE+-]+)",
+        {"asset_id": "bigint", "date": "int", "ts": "bigint", "value": "double"},
+    )
+    return back.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("asset_id").alias("n_assets"),
+        F.sum("ts").cast("bigint").alias("sum_ts"),
+        fxp_sum(F.col("value"), "sum_value"),
+    )
