@@ -704,3 +704,69 @@ def vec_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from findb_spark.ops.vector import ivf_pq_topk
 
     return ivf_pq_topk(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+_TRUNC_DIM = 16
+
+
+@register(
+    "vec_truncated_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT query_id, vec_id,
+         {cosine_sql('embedding', 'qv', _TRUNC_DIM)} AS cos_sim
+  FROM embeddings CROSS JOIN q WHERE vec_id != query_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored)
+SELECT query_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5
+""",
+    category="vector",
+    description=(
+        f"Truncated-dimension retrieval (Matryoshka-style, Kusupati "
+        f"NeurIPS'22): cosine over only the first {_TRUNC_DIM} of 64 "
+        "dims — a 4x cheaper first-stage scan whose shortlist a "
+        "full-dimension rerank refines; same broadcast-NL plan, "
+        "prefix-sliced arithmetic"
+    ),
+)
+def vec_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-adaptive retrieval: score with a prefix of the embedding
+    (cosine over dims 1..16), the cost dial MRL-trained embeddings
+    expose.  At 100 TB the win is bytes: the scan reads/multiplies a
+    quarter of each vector; compose with cosine_topk on the shortlist
+    for full-precision final ordering (the same shortlist-rerank shape
+    as pq_search).  fxp arithmetic restricted to the prefix keeps the
+    result bit-identical cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queryset(spark, sf_dir)
+    corpus = emb.withColumn(
+        "_nrm",
+        F.sqrt(
+            fxp_dot(F.col("embedding"), F.col("embedding"), dim=_TRUNC_DIM).cast(
+                "double"
+            )
+            / FXP_SCALE
+        ),
+    )
+    qn = q.withColumn(
+        "_qnrm",
+        F.sqrt(
+            fxp_dot(F.col("qv"), F.col("qv"), dim=_TRUNC_DIM).cast("double")
+            / FXP_SCALE
+        ),
+    )
+    j = corpus.crossJoin(F.broadcast(qn)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = (
+        fxp_dot(F.col("embedding"), F.col("qv"), dim=_TRUNC_DIM).cast("double")
+        / FXP_SCALE
+    ) / (F.col("_nrm") * F.col("_qnrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        j.select("query_id", "vec_id", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+    )

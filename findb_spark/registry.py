@@ -75,13 +75,14 @@ _SPECS: dict[str, QuerySpec] = {}
 #: roundtrip_stream_tumbling, roundtrip_stream_sessionize,
 #: roundtrip_zorder_layout, roundtrip_compact_layout,
 #: roundtrip_manifest_pruned_read, roundtrip_incremental_bars,
-#: roundtrip_bucketed_join, dedup_chunk_exact, text_token_rarity,
-#: corpus_mixture_weights, vec_pq_adc, vec_pq_search, vec_ivf_pq,
-#: pipeline_pretrain_mix, text_heavy_hitters_cms,
-#: text_bpe_merge_candidates) + any red round-3 rows kept for
-#: confirmation — ~25 names, leaving ~25 free slots for round-4
-#: additions.  After that window every registered query will carry a
-#: driver hard-signal row.
+#: roundtrip_bucketed_join, roundtrip_multiformat_ingest,
+#: roundtrip_textlog_ingest, dedup_chunk_exact, dedup_select_canonical,
+#: text_token_rarity, corpus_mixture_weights, vec_pq_adc, vec_pq_search,
+#: vec_ivf_pq, pipeline_pretrain_mix, text_heavy_hitters_cms,
+#: text_bpe_merge_candidates, events_variant_extract,
+#: sql_udf_acct_band) + any red round-3 rows kept for confirmation —
+#: ~31 names, leaving ~19 free slots for round-4 additions.  After that
+#: window every registered query will carry a driver hard-signal row.
 _CHECK_FIRST: tuple[str, ...] = (
     # HUGEINT-fix confirmation rows (red in r2 -> cast AS BIGINT this round)
     "events_json_extract",
