@@ -66,6 +66,13 @@ def main(argv: list[str] | None = None) -> int:
     apq.add_argument("--end", type=int, required=True, help="yyyymmdd")
     apq.add_argument("--asof-ts", type=int, default=2**31 - 1)
 
+    cp = sub.add_parser(
+        "check",
+        help="verify queries against the DuckDB oracle (type lint + value parity)",
+        parents=[common],
+    )
+    cp.add_argument("names", nargs="*", help="query names (default: all)")
+
     args = ap.parse_args(argv)
 
     from findb_spark.registry import all_specs
@@ -78,6 +85,41 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"findb_spark_cli_{args.cmd}")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "check":
+        from findb_spark.oracle import (
+            compare_query,
+            duck_connection,
+            lint_oracle_types,
+        )
+
+        specs = all_specs()
+        names = args.names or list(specs)
+        unknown = [n for n in names if n not in specs]
+        if unknown:
+            print(f"unknown query name(s): {unknown}", file=sys.stderr)
+            return 2
+        con = duck_connection(args.sf_dir)
+        failures = 0
+        lint = lint_oracle_types(
+            con, {n: specs[n].sql for n in names if specs[n].sql}
+        )
+        for p in lint:
+            print(f"LINT  {p}")
+        failures += len(lint)
+        for n in names:
+            s = specs[n]
+            if s.sql is None:
+                print(f"NOORA {n}: {s.fn(spark, args.sf_dir).count()} rows")
+                continue
+            problems = compare_query(spark, con, s.fn, s.sql, args.sf_dir)
+            if problems:
+                failures += 1
+                print(f"FAIL  {n}: {'; '.join(problems)[:300]}")
+            else:
+                print(f"OK    {n}")
+        print(f"{len(names) - failures}/{len(names)} ok")
+        return 1 if failures else 0
 
     if args.cmd == "query":
         specs = all_specs()

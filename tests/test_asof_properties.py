@@ -203,3 +203,72 @@ def test_asof_join_null_values_not_torn(spark):
     # non-null value must NOT slip through attached to the newest ts
     r2 = asof_join(left, right, tolerance=60).collect()[0]
     assert (r2.matched_ts, r2.matched_value) == (200, None)
+
+
+# --- sessionization property (the gap-boundary class, pinned broadly) ---
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user_id
+        # micros offsets chosen so exact-gap (1800s) spacings ARE generated
+        st.sampled_from(
+            [0, 1, 500_000, 1_799_999_999, 1_800_000_000, 1_800_000_001,
+             3_600_000_000, 3_600_000_001, 5_400_000_000, 7_200_000_000]
+        ),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def python_sessionize(events, gap_us=1_800_000_000):
+    """Pure-Python reference: per user, sort by (tus, event_id); a new
+    session starts when the gap STRICTLY exceeds gap_us (Spark's
+    session_window merges touching [ts, ts+gap) windows)."""
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for eid, (uid, tus) in enumerate(events):
+        by_user.setdefault(uid, []).append((tus, eid))
+    out = set()
+    for uid, rows in by_user.items():
+        rows.sort()
+        sessions: list[list[int]] = []
+        prev = None
+        for tus, _eid in rows:
+            if prev is None or tus - prev > gap_us:
+                sessions.append([])
+            sessions[-1].append(tus)
+            prev = tus
+        for s in sessions:
+            out.add((uid, min(s), max(s), len(s)))
+    return out
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(EVENTS)
+def test_sessionize_matches_python_reference(spark, events):
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.events import sessionize
+
+    base = 1_700_000_000_000_000
+    rows = [
+        (eid, uid, "view", base + tus, 1.0, "{}")
+        for eid, (uid, tus) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, event_type STRING, "
+        "tus BIGINT, value DOUBLE, props STRING"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_micros("tus").alias("ts"), "value", "props",
+    )
+    got = {
+        (r.user_id, r.session_start_us - base, r.session_end_us - base, r.n_events)
+        for r in sessionize(df).collect()
+    }
+    assert got == python_sessionize(events)

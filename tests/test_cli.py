@@ -38,3 +38,10 @@ def test_cli_sf_dir_after_subcommand(spark, capsys):
     assert main(["sql", "SELECT COUNT(*) AS n FROM lineitem",
                  "--sf-dir", "/root/testdata/sf0.01"]) == 0
     assert "60000" in capsys.readouterr().out
+
+
+def test_cli_check_subcommand(spark, capsys):
+    assert main(["check", "q1_pricing_summary"]) == 0
+    out = capsys.readouterr().out
+    assert "OK    q1_pricing_summary" in out and "1/1 ok" in out
+    assert main(["check", "no_such"]) == 2
