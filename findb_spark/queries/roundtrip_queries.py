@@ -548,3 +548,51 @@ def roundtrip_textlog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ts").cast("bigint").alias("sum_ts"),
         fxp_sum(F.col("value"), "sum_value"),
     )
+
+
+@register(
+    "roundtrip_findb_db_asof",
+    f"""
+WITH {PRICES_ORACLE_CTE},
+pq AS (
+  SELECT asset_id, date, ts,
+         CAST(CAST(value AS REAL) AS DOUBLE) AS value
+  FROM prices_v WHERE asset_id % 50 = 0
+),
+f AS (
+  SELECT asset_id, date, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY asset_id, date
+                            ORDER BY ts DESC, value DESC) AS rn
+  FROM pq
+  WHERE date BETWEEN 19960101 AND 19961231 AND ts <= 946684800
+)
+SELECT asset_id, date, ts, value FROM f WHERE rn = 1
+""",
+    category="roundtrip",
+    description=(
+        "The literal migration story under the driver's gate: prices "
+        "exported to the reference's own .db B+tree file, read back "
+        "through the DataSource, and answered with the reference's ONE "
+        "query shape (bitemporal as-of snapshot) — a findb user's "
+        "existing file produces identical answers on this engine"
+    ),
+)
+def roundtrip_findb_db_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """file.rs:425-570 semantics executed against file.rs:296-379 bytes:
+    export the subset, open via spark.read.format('findb') (leaf-range
+    partitions, key-skipping pushFilters), run the engine's as-of dedup
+    (max_by(struct(ts, value)) — the tie-break pinned in asof.py).  The
+    oracle recomputes from parquet with the format's float32 value
+    quantization modeled, so a green row certifies byte format + scan +
+    as-of semantics together."""
+    from findb_spark.asof import _latest_revision
+    from findb_spark.sources.findb_file import export_prices_db, read_prices_db
+
+    src = prices_from_lineitem(spark, sf_dir).where(F.col("asset_id") % 50 == 0)
+    path = _scratch(sf_dir, "prices_asof.db")
+    export_prices_db(src, path)
+    back = read_prices_db(spark, path)
+    filtered = back.where(
+        F.col("date").between(19960101, 19961231) & (F.col("ts") <= 946684800)
+    )
+    return _latest_revision(["asset_id", "date"], filtered)
