@@ -596,3 +596,52 @@ def roundtrip_findb_db_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("date").between(19960101, 19961231) & (F.col("ts") <= 946684800)
     )
     return _latest_revision(["asset_id", "date"], filtered)
+
+
+@register(
+    "roundtrip_schema_evolution",
+    f"""
+WITH {PRICES_ORACLE_CTE},
+p AS (SELECT * FROM prices_v WHERE asset_id % 25 = 3),
+tagged AS (
+  SELECT asset_id, date, ts, value,
+         CASE WHEN date < 19960101 THEN NULL ELSE 'feedB' END AS feed
+  FROM p
+)
+SELECT COALESCE(feed, 'legacy') AS feed,
+       COUNT(*) AS n,
+       COUNT(DISTINCT asset_id) AS n_assets,
+       {fxp_sum_sql('value')} AS sum_value
+FROM tagged GROUP BY 1
+""",
+    category="roundtrip",
+    description=(
+        "Schema-evolution hard signal: an old batch written WITHOUT the "
+        "feed column and a new batch WITH it, read together under "
+        "mergeSchema — old rows surface NULL for the added column (no "
+        "rewrite, no failure), aggregates match the oracle's explicit "
+        "NULL model"
+    ),
+)
+def roundtrip_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive column evolution, the ingestion reality every long-lived
+    table hits: the reader unions parquet footprints with differing
+    schemas (mergeSchema) and the engine treats the missing column as
+    NULL for pre-evolution files — at 100 TB this is what lets a feed
+    add metadata without rewriting years of history.  The oracle models
+    the same rule explicitly (NULL feed for pre-1996 rows)."""
+    src = prices_from_lineitem(spark, sf_dir).where(F.col("asset_id") % 25 == 3)
+    old = src.where(F.col("date") < 19960101)
+    new = src.where(F.col("date") >= 19960101).withColumn("feed", F.lit("feedB"))
+    path = _scratch(sf_dir, "prices_evolving")
+    old.write.mode("overwrite").parquet(path)
+    new.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        merged.groupBy(F.coalesce("feed", F.lit("legacy")).alias("feed"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("asset_id").alias("n_assets"),
+            fxp_sum(F.col("value"), "sum_value"),
+        )
+    )
