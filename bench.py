@@ -94,39 +94,44 @@ def main() -> None:
     timings: dict[str, float] = {}
     builds: dict[str, float] = {}
     eager: list[str] = []
+    errors: dict[str, str] = {}
     for spec in specs:
         runs, bts = [], []
-        for i in range(2):
-            group = f"bench-build-{spec.name}-{i}"
-            sc.setJobGroup(group, f"build {spec.name}")
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            bts.append(time.perf_counter() - t0)
-            sc.setJobGroup(f"bench-run-{spec.name}-{i}", f"run {spec.name}")
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-            if i == 0 and tracker.getJobIdsForGroup(group):
-                eager.append(spec.name)
+        try:
+            for i in range(2):
+                group = f"bench-build-{spec.name}-{i}"
+                sc.setJobGroup(group, f"build {spec.name}")
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                bts.append(time.perf_counter() - t0)
+                sc.setJobGroup(f"bench-run-{spec.name}-{i}", f"run {spec.name}")
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+                if i == 0 and tracker.getJobIdsForGroup(group):
+                    eager.append(spec.name)
+        except Exception as e:  # noqa: BLE001 — one broken query must not
+            # destroy the whole benchmark artifact; record and continue
+            errors[spec.name] = str(e).splitlines()[0][:200]
+            continue
         run, build = min(runs), min(bts)
         builds[spec.name] = round(build, 3)
         timings[spec.name] = round(run + (build if spec.name in eager else 0.0), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "build": builds,
-                "build_total": round(sum(builds.values()), 3),
-                "eager_build_included": sorted(eager),
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "build": builds,
+        "build_total": round(sum(builds.values()), 3),
+        "eager_build_included": sorted(eager),
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
