@@ -754,3 +754,107 @@ def dedup_select_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dropped_chars"),
     )
+
+
+def _calibration_sql() -> str:
+    from findb_spark.ops.dedup import N_PERM
+
+    match = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(N_PERM)
+    )
+
+    def fxm(expr: str) -> str:
+        return (
+            f"CAST(SUM(CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+            f" / 1000000.0 / COUNT(*)"
+        )
+
+    return f"""
+WITH {_SH_CTE},
+{_SIGS_CTE},
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id
+),
+{_SIZES_CTE},
+inter AS (
+  SELECT doc1, doc2, COUNT(*) AS inter
+  FROM cand JOIN hh a ON doc1 = a.doc_id
+            JOIN hh b ON doc2 = b.doc_id AND a.h = b.h
+  GROUP BY 1, 2
+),
+vp AS (
+  SELECT doc1, doc2, inter / (sa.sz + sb.sz - inter) AS jaccard
+  FROM inter JOIN sizes sa ON doc1 = sa.doc_id JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+),
+m AS (
+  SELECT p.jaccard, ({match}) / {N_PERM}.0 AS est
+  FROM vp p JOIN sigs a ON p.doc1 = a.doc_id JOIN sigs b ON p.doc2 = b.doc_id
+)
+SELECT COUNT(*) AS n_pairs,
+       {fxm('est')} AS mean_est,
+       {fxm('jaccard')} AS mean_exact,
+       {fxm('abs(est - jaccard)')} AS mean_abs_err
+FROM m
+"""
+
+
+@register(
+    "dedup_minhash_calibration",
+    _calibration_sql(),
+    category="dedup",
+    description=(
+        "Sketch calibration: MinHash-estimated Jaccard (matching signature "
+        "fraction, k=16) vs the exact value over every verified LSH pair — "
+        "the estimator-quality report that justifies skipping exact "
+        "verification at corpus scale; fixed-point means, deterministic"
+    ),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good is the sketch?  Per verified pair: estimate = fraction of
+    equal signature components (E[est] = true Jaccard, Broder '97), error
+    = |est - exact|.  The corpus-level means quantify when a pipeline can
+    drop the exact-verify join and trust the sketch (err ~ 1/sqrt(k)).
+    One broadcast-size join of the pair list back to the signature table
+    — adds no new shuffle class over minhash_lsh_pairs itself."""
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.dedup import N_PERM, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.4)
+    sigs = minhash_signatures(docs)
+    a = sigs.select(
+        F.col("doc_id").alias("doc1"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_PERM)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc2"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_PERM)],
+    )
+    matches = None
+    for i in range(N_PERM):
+        t = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        matches = t if matches is None else matches + t
+    m = (
+        pairs.join(a, "doc1")
+        .join(b, "doc2")
+        .select("jaccard", (matches / float(N_PERM)).alias("est"))
+    )
+
+    def fxm(c, alias):
+        return (
+            F.sum(F.floor(c * 1000000.0 + F.lit(0.5))).cast("double")
+            / 1000000.0
+            / F.count("*")
+        ).alias(alias)
+
+    return m.agg(
+        F.count("*").alias("n_pairs"),
+        fxm(F.col("est"), "mean_est"),
+        fxm(F.col("jaccard"), "mean_exact"),
+        fxm(F.abs(F.col("est") - F.col("jaccard")), "mean_abs_err"),
+    )
