@@ -446,3 +446,52 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@register(
+    "events_sliding_hourly",
+    """
+WITH x AS (
+  SELECT epoch_us(ts) AS tus, value FROM events
+),
+w AS (
+  -- each event belongs to duration/slide = 4 overlapping 1h windows at
+  -- 15-min slide; window start = the slide-aligned bucket k slides back
+  SELECT (tus // 900000000 - k) * 900000000 AS win_start_us, value
+  FROM x, unnest(range(4)) AS t(k)
+)
+SELECT win_start_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+FROM w GROUP BY win_start_us
+""",
+    category="events",
+    description=(
+        "Batch twin of the sliding-window stream (1h windows, 15-min "
+        "slide): each event expands into duration/slide = 4 window "
+        "memberships via a tiny constant explode, then a plain grouped "
+        "aggregate — the exact multiset Spark's window(ts, '1 hour', "
+        "'15 minutes') produces"
+    ),
+)
+def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows in batch via F.window (the same relation the
+    watermarked stream emits, pinned stream==batch by
+    tests/test_streaming.py); the oracle derives membership arithmetic
+    explicitly (slide-aligned starts k slides back).  Scale shape: the
+    explode factor is the CONSTANT duration/slide (4), then one
+    map-side-combined aggregate — linear in events at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5))
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents).cast("double") / 100).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -196,3 +196,52 @@ def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("mean_unique_share"),
     )
+
+
+@register(
+    "dq_documents_audit",
+    """
+WITH one_pass AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS v_empty_text,
+         SUM(CASE WHEN lang NOT IN ('en','fr','de') THEN 1 ELSE 0 END) AS v_bad_lang,
+         SUM(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS v_nchars_drift,
+         SUM(CASE WHEN len(string_split(text, ' ')) < 5 THEN 1 ELSE 0 END) AS v_too_short
+  FROM documents
+),
+dup AS (
+  SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_violations,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_checked
+  FROM (SELECT COUNT(*) AS c FROM documents GROUP BY doc_id)
+)
+SELECT 'empty_text' AS check_name, CAST(v_empty_text AS BIGINT) AS n_violations,
+       CAST(n AS BIGINT) AS n_checked FROM one_pass
+UNION ALL
+SELECT 'bad_lang', CAST(v_bad_lang AS BIGINT), CAST(n AS BIGINT) FROM one_pass
+UNION ALL
+SELECT 'nchars_drift', CAST(v_nchars_drift AS BIGINT), CAST(n AS BIGINT) FROM one_pass
+UNION ALL
+SELECT 'too_short', CAST(v_too_short AS BIGINT), CAST(n AS BIGINT) FROM one_pass
+UNION ALL
+SELECT 'unique:doc_id', n_violations, n_checked FROM dup
+""",
+    category="quality",
+    description=(
+        "Corpus-intake data-quality audit over documents (the same "
+        "single-scan declarative auditor as the orders audit): empty "
+        "text, unknown language domain, n_chars metadata drift vs the "
+        "actual text, too-short docs, doc_id uniqueness — the checks a "
+        "pretraining ingest gate runs before anything touches the corpus"
+    ),
+)
+def dq_documents_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rules = {
+        "empty_text": F.col("text").isNull() | (F.length("text") == 0),
+        "bad_lang": ~F.col("lang").isin("en", "fr", "de"),
+        "nchars_drift": F.col("n_chars") != F.length("text"),
+        "too_short": F.size(F.split(F.col("text"), " ")) < 5,
+    }
+    return dq_audit(docs, row_rules=rules, unique_key=["doc_id"]).withColumnRenamed(
+        "check", "check_name"
+    )
