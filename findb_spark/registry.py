@@ -81,8 +81,9 @@ _SPECS: dict[str, QuerySpec] = {}
 #: vec_ivf_pq, pipeline_pretrain_mix, text_heavy_hitters_cms,
 #: text_bpe_merge_candidates, events_variant_extract,
 #: sql_udf_acct_band, vec_truncated_topk, roundtrip_findb_db_asof,
-#: roundtrip_schema_evolution, dedup_minhash_calibration) + any red round-3 rows kept for confirmation —
-#: ~35 names, leaving ~15 free slots for round-4 additions.  After that
+#: roundtrip_schema_evolution, dedup_minhash_calibration,
+#: dq_documents_audit, events_sliding_hourly) + any red round-3 rows kept for confirmation —
+#: ~37 names, leaving ~13 free slots for round-4 additions.  After that
 #: window every registered query will carry a driver hard-signal row.
 _CHECK_FIRST: tuple[str, ...] = (
     # HUGEINT-fix confirmation rows (red in r2 -> cast AS BIGINT this round)
