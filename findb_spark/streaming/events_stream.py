@@ -43,10 +43,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast preserves epoch micros)."""
     import os
 
-    from findb_spark.session import normalize_events_ts
+    from findb_spark.session import _cached_schema, normalize_events_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    batch_schema = _cached_schema(spark, os.path.join(sf_dir, "events.parquet"))
     raw = (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
