@@ -858,3 +858,94 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         fxm(F.col("jaccard"), "mean_exact"),
         fxm(F.abs(F.col("est") - F.col("jaccard")), "mean_abs_err"),
     )
+
+
+@register(
+    "dedup_pair_triangles",
+    f"""
+WITH {_SH_CTE},
+{_SIGS_CTE},
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id
+),
+{_SIZES_CTE},
+inter AS (
+  SELECT doc1, doc2, COUNT(*) AS inter
+  FROM cand JOIN hh a ON doc1 = a.doc_id
+            JOIN hh b ON doc2 = b.doc_id AND a.h = b.h
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT doc1 AS a, doc2 AS b
+  FROM inter JOIN sizes sa ON doc1 = sa.doc_id JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+node_t AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles,
+       (SELECT CAST(COALESCE(MAX(n_triangles), 0) AS BIGINT) FROM node_t)
+         AS max_node_triangles
+""",
+    category="dedup",
+    description=(
+        "Triangle counting over the verified near-dup pair graph "
+        "(ordered 3-way edge self-join a<b<c — each triangle counted "
+        "once): duplicate-community density beyond what connected "
+        "components expose; dense triangle neighborhoods mark template "
+        "families vs chains of marginal pairs"
+    ),
+)
+def dedup_pair_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics on the duplicate graph: triangles via the ordered
+    edge 3-way join (edges kept a<b, so e1=(a,b), e2=(b,c), e3=(a,c)
+    counts each triangle exactly once — the standard distributed
+    formulation; at corpus scale, partition edges by the low vertex and
+    the heaviest join key is the max degree, which LSH banding already
+    bounds).  Output: edge count, triangle count, and the max per-node
+    triangle participation."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = minhash_lsh_pairs(docs, threshold=0.4).select(
+        F.col("doc1").alias("a"), F.col("doc2").alias("b")
+    )
+    e1 = e.select(F.col("a"), F.col("b"))
+    e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        e.agg(F.count("*").cast("bigint").alias("n_edges"))
+        .crossJoin(tri.agg(F.count("*").cast("bigint").alias("n_triangles")))
+        .crossJoin(
+            nodes.agg(
+                F.coalesce(F.max("n_triangles"), F.lit(0))
+                .cast("bigint")
+                .alias("max_node_triangles")
+            )
+        )
+    )
