@@ -82,8 +82,8 @@ _SPECS: dict[str, QuerySpec] = {}
 #: text_bpe_merge_candidates, events_variant_extract,
 #: sql_udf_acct_band, vec_truncated_topk, roundtrip_findb_db_asof,
 #: roundtrip_schema_evolution, dedup_minhash_calibration,
-#: dq_documents_audit, events_sliding_hourly) + any red round-3 rows kept for confirmation —
-#: ~37 names, leaving ~13 free slots for round-4 additions.  After that
+#: dq_documents_audit, events_sliding_hourly, dedup_pair_triangles) + any red round-3 rows kept for confirmation —
+#: ~38 names, leaving ~12 free slots for round-4 additions.  After that
 #: window every registered query will carry a driver hard-signal row.
 _CHECK_FIRST: tuple[str, ...] = (
     # HUGEINT-fix confirmation rows (red in r2 -> cast AS BIGINT this round)
