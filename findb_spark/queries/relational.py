@@ -1124,13 +1124,16 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH base AS (
   SELECT o_custkey AS c_custkey,
-         MAX(o_orderdate) AS last_order_date,
+         -- epoch micros, not a raw TIMESTAMP: int64 renders identically
+         -- on any engine/canonicalizer; a raw timestamp risks tz-render
+         -- divergence at the external comparator
+         epoch_us(MAX(o_orderdate)) AS last_order_us,
          COUNT(*) AS n_orders,
          {fxp_sum_sql('o_totalprice')} AS total_spend
   FROM orders GROUP BY o_custkey
 )
-SELECT c_custkey, last_order_date, n_orders, total_spend,
-       NTILE(4) OVER (ORDER BY last_order_date DESC, c_custkey) AS r_band,
+SELECT c_custkey, last_order_us, n_orders, total_spend,
+       NTILE(4) OVER (ORDER BY last_order_us DESC, c_custkey) AS r_band,
        NTILE(4) OVER (ORDER BY n_orders DESC, c_custkey) AS f_band,
        NTILE(4) OVER (ORDER BY total_spend DESC, c_custkey) AS m_band
 FROM base
@@ -1155,16 +1158,16 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     output contract, fully parallel, at the cost of boundary-exactness."""
     orders = load_table(spark, sf_dir, "orders")
     base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
-        F.max("o_orderdate").alias("last_order_date"),
+        F.unix_micros(F.max("o_orderdate")).alias("last_order_us"),
         F.count("*").alias("n_orders"),
         fxp_sum(F.col("o_totalprice"), "total_spend"),
     )
-    rw = Window.orderBy(F.desc("last_order_date"), "c_custkey")
+    rw = Window.orderBy(F.desc("last_order_us"), "c_custkey")
     fw = Window.orderBy(F.desc("n_orders"), "c_custkey")
     mw = Window.orderBy(F.desc("total_spend"), "c_custkey")
     return base.select(
         "c_custkey",
-        "last_order_date",
+        "last_order_us",
         "n_orders",
         "total_spend",
         F.ntile(4).over(rw).alias("r_band"),
