@@ -1158,7 +1158,8 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     output contract, fully parallel, at the cost of boundary-exactness."""
     orders = load_table(spark, sf_dir, "orders")
     base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
-        F.unix_micros(F.max("o_orderdate")).alias("last_order_us"),
+        # NTZ -> session-tz cast first (session is UTC, so epoch preserved)
+        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias("last_order_us"),
         F.count("*").alias("n_orders"),
         fxp_sum(F.col("o_totalprice"), "total_spend"),
     )
