@@ -910,27 +910,24 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
     ),
 )
 def dedup_pair_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph analytics on the duplicate graph: triangles via the ordered
-    edge 3-way join (edges kept a<b, so e1=(a,b), e2=(b,c), e3=(a,c)
-    counts each triangle exactly once — the standard distributed
-    formulation; at corpus scale, partition edges by the low vertex and
-    the heaviest join key is the max degree, which LSH banding already
-    bounds).  Output: edge count, triangle count, and the max per-node
-    triangle participation."""
+    """Graph analytics on the duplicate graph: triangles via DEGREE
+    orientation (`ops.graph.triangles_oriented`, Suri-Vassilvitskii
+    WWW'11) — each edge oriented low-(degree,id) -> high, wedges
+    enumerated at the unique minimum of every triangle, closed against
+    the oriented edge set.  Per-key join fan-out is the oriented
+    out-degree (O(sqrt(m)) on any graph), so a low-id hub in a skewed
+    near-dup graph cannot concentrate one join task the way an
+    id-ordered 3-way self-join would.  Output: edge count, triangle
+    count, and the max per-node triangle participation."""
     from pyspark.sql import functions as F
+
+    from findb_spark.ops.graph import triangles_oriented
 
     docs = load_table(spark, sf_dir, "documents")
     e = minhash_lsh_pairs(docs, threshold=0.4).select(
         F.col("doc1").alias("a"), F.col("doc2").alias("b")
     )
-    e1 = e.select(F.col("a"), F.col("b"))
-    e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
-    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
-    tri = (
-        e1.join(e2, F.col("b") == F.col("b2"))
-        .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
-        .select("a", "b", "c")
-    )
+    tri = triangles_oriented(e)
     nodes = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))

@@ -495,3 +495,78 @@ def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "events_run_lengths",
+    """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   = event_type THEN 0 ELSE 1 END AS chg
+  FROM events
+),
+r AS (
+  SELECT user_id, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+  FROM o
+),
+runs AS (
+  SELECT user_id, grp, event_type, COUNT(*) AS run_len
+  FROM r GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+         CAST(MAX(run_len) AS BIGINT) AS max_run_len
+  FROM runs GROUP BY 1
+),
+best AS (
+  SELECT user_id, CAST(run_len AS BIGINT) AS run_len,
+         MIN(event_type) AS max_run_type
+  FROM runs GROUP BY 1, 2
+)
+SELECT a.user_id, a.n_runs, a.max_run_len, b.max_run_type
+FROM agg a JOIN best b ON a.user_id = b.user_id AND a.max_run_len = b.run_len
+""",
+    category="events",
+    description=(
+        "Gaps-and-islands run-length analysis: maximal streaks of identical "
+        "event_type per user (lag-change flag -> running-sum group id -> "
+        "per-run count), reporting run count, longest streak, and its type "
+        "(min type on ties).  Streak detection = session-quality / "
+        "bot-behavior signal; one shuffle on user_id, every window and "
+        "aggregate reuses that partitioning"
+    ),
+)
+def events_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic gaps-and-islands shape, Spark-first: the change flag and
+    group id come from two passes over ONE user_id-partitioned sort (lag,
+    running sum — no self-join), runs from a groupBy on (user, grp) that
+    AQE coalesces on the same key prefix.  At 100 TB the single wide
+    shuffle is the per-user sort; everything downstream is key-local."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.when(F.lag("event_type").over(w) == F.col("event_type"), 0)
+        .otherwise(1)
+        .alias("chg")
+    )
+    r = ev.select("user_id", "event_type", "ts", "event_id", chg).select(
+        "user_id",
+        "event_type",
+        F.sum("chg").over(w).alias("grp"),
+    )
+    runs = r.groupBy("user_id", "grp", "event_type").agg(
+        F.count("*").alias("run_len")
+    )
+    agg = runs.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("max_run_len"),
+    )
+    best = runs.groupBy("user_id", F.col("run_len").cast("bigint").alias("run_len")).agg(
+        F.min("event_type").alias("max_run_type")
+    )
+    return agg.join(
+        best,
+        (agg.user_id == best.user_id) & (agg.max_run_len == best.run_len),
+    ).select(agg.user_id, "n_runs", "max_run_len", "max_run_type")

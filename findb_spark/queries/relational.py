@@ -1326,3 +1326,68 @@ def pareto_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 100)
     )
+
+
+def _skew_profile_sql(table: str, key: str) -> str:
+    return f"""
+SELECT '{table}.{key}' AS key_col,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(freq) AS BIGINT) AS total_rows,
+       CAST(MAX(freq) AS BIGINT) AS max_freq,
+       ROUND(quantile_cont(freq, 0.5), 4) AS p50_freq,
+       ROUND(quantile_cont(freq, 0.99), 4) AS p99_freq,
+       ROUND(MAX(freq) / SUM(freq), 6) AS top_share,
+       ROUND(MAX(freq) / quantile_cont(freq, 0.5), 4) AS skew_max_over_p50
+FROM (SELECT {key}, COUNT(*) AS freq FROM {table} GROUP BY 1)
+"""
+
+
+@register(
+    "stats_key_skew",
+    " UNION ALL ".join(
+        _skew_profile_sql(t, k)
+        for t, k in [
+            ("lineitem", "l_suppkey"),
+            ("lineitem", "l_partkey"),
+            ("orders", "o_custkey"),
+        ]
+    ),
+    category="relational",
+    description=(
+        "Join-key skew diagnostic: per candidate join key, the frequency "
+        "distribution of the key (cardinality, max frequency, top-key row "
+        "share, p50/p99 frequency, max/p50 skew ratio) — the pre-flight "
+        "profile that decides broadcast vs shuffle vs salting before a "
+        "100 TB join; exact percentiles over the (small) per-key frequency "
+        "relation, never over raw rows"
+    ),
+)
+def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profiling as two-level aggregation: the wide pass is a
+    map-side-combinable COUNT per key (output size = key cardinality, not
+    row count); percentiles/max run on that small frequency relation.
+    This is the measurement half of the skew playbook the engine's AQE
+    config + salting tests rely on (tests/test_skew.py)."""
+
+    def profile(table: str, key: str) -> DataFrame:
+        freq = (
+            load_table(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count("*").alias("freq"))
+        )
+        return freq.agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("freq").cast("bigint").alias("total_rows"),
+            F.max("freq").cast("bigint").alias("max_freq"),
+            F.round(F.expr("percentile(freq, 0.5)"), 4).alias("p50_freq"),
+            F.round(F.expr("percentile(freq, 0.99)"), 4).alias("p99_freq"),
+            F.round(F.max("freq") / F.sum("freq"), 6).alias("top_share"),
+            F.round(
+                F.max("freq") / F.expr("percentile(freq, 0.5)"), 4
+            ).alias("skew_max_over_p50"),
+        ).select(F.lit(f"{table}.{key}").alias("key_col"), "*")
+
+    out = profile("lineitem", "l_suppkey")
+    for t, k in [("lineitem", "l_partkey"), ("orders", "o_custkey")]:
+        out = out.unionByName(profile(t, k))
+    return out

@@ -605,14 +605,24 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_n"), "tok")
         .limit(20)
     )
-    cells = None
-    for j in range(_CMS_D):
-        part = tok.select(
-            F.lit(j).alias("j"),
-            (hash48(F.concat(F.col("tok"), F.lit(f":{j}"))) % _CMS_W).alias("col"),
+    # single pass over the token relation: all d sketch-row updates are
+    # computed as one array projection and posexplode'd to (j, col) — one
+    # scan of documents for the cells, not d (the d-way union of the same
+    # relation re-reads it d times)
+    cells = (
+        tok.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        hash48(F.concat(F.col("tok"), F.lit(f":{j}"))) % _CMS_W
+                        for j in range(_CMS_D)
+                    ]
+                )
+            ).alias("j", "col")
         )
-        cells = part if cells is None else cells.unionAll(part)
-    cells = cells.groupBy("j", "col").agg(F.count("*").alias("c"))
+        .groupBy("j", "col")
+        .agg(F.count("*").alias("c"))
+    )
     probes = exact.crossJoin(
         spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
     ).select(
@@ -678,3 +688,62 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
     )
     return c.orderBy(F.desc("n_pairs"), "w1", "w2").limit(20)
+
+
+_CHUNK_W = 32  # tokens per chunk (context-window size)
+_CHUNK_S = 24  # stride (8-token overlap between consecutive chunks)
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), {_CHUNK_S})) AS start
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(start // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start_tok,
+       CAST(LEAST({_CHUNK_W}, len(toks) - start) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start + 1, start + {_CHUNK_W}), ' ')
+         AS chunk_text
+FROM s
+""",
+    category="text",
+    description=(
+        f"Overlapping token-window chunking ({_CHUNK_W}-token windows, "
+        f"stride {_CHUNK_S}): the context-window segmentation step of a "
+        "pretraining / RAG ingestion pipeline — each document explodes "
+        "into deterministic overlapping chunks with stable (doc_id, "
+        "chunk_idx) identity for downstream embedding or packing"
+    ),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking as pure codegen array algebra: one split, one bounded
+    sequence of window starts, one posexplode, one slice — a NARROW plan
+    (zero shuffles, no UDFs), so it streams at parquet-scan speed at any
+    corpus size; chunk fan-out per document is len/stride.  This is the
+    segmentation half of context packing (`text_pack_sequences` is the
+    bin-packing half)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_CHUNK_S))
+        ).alias("chunk_idx", "start"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("start_tok"),
+        F.least(F.lit(_CHUNK_W), F.size("toks") - F.col("start"))
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start") + 1, F.lit(_CHUNK_W)), " "
+        ).alias("chunk_text"),
+    )

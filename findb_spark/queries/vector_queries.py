@@ -643,6 +643,7 @@ SELECT query_id, vec_id, cos_sim, rnk FROM (
         "rerank of the shortlist only — corpus pass reads 8-byte codes, "
         "float math confined to 50 candidates/query"
     ),
+    bench=True,  # track the PQ ANN scale path per round alongside LSH/IVF
 )
 def vec_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from findb_spark.ops.vector import pq_search

@@ -54,99 +54,81 @@ _SPECS: dict[str, QuerySpec] = {}
 #: behind.  Names not yet registered are ignored, so this list never breaks
 #: registration.
 #:
-#: ROUND-3 ROTATION (executing the plan written in round 2): the round-2
-#: window landed green on its whole 50-query prefix except the 4 events
-#: queries whose oracles typed as DuckDB HUGEINT (now cast to BIGINT and
-#: lint-guarded in findb_spark.oracle.lint_oracle_types).  This prefix is
-#: exactly: those 4 fixed queries + text_pack_sequences (confirmation rows
-#: for the fix) + 45 of the 53 queries that have never carried a driver
-#: correctness row, prioritized per the plan (TPC-H q9..q22, MERGE/SCD2,
-#: DQ/PII/CDC, the round-2 dedup/vector additions, recursive SQL, as-of
-#: variants, multimodal codecs, text/pipeline additions).  Deferred to the
-#: round-4 window (fits in one final window with room to spare):
-#: customer_rfm, winsorize_revenue, robust_mad, pareto_part_revenue,
-#: corr_matrix_assets, ts_drawdown, ts_ewma — robust-stats/time-series
-#: queries whose siblings (stats_corr, ts_linreg_slope, ts_cross_rank,
-#: ts_ohlc_bars) already carry green rows.
-#:
-#: ROUND-4 ROTATION PLAN: once CORRECTNESS_r03 lands green for this
-#: prefix, rebuild it as: the 7 deferred names above + the 15 round-3
-#: additions (roundtrip_csv_ingest, roundtrip_findb_db,
-#: roundtrip_stream_tumbling, roundtrip_stream_sessionize,
-#: roundtrip_zorder_layout, roundtrip_compact_layout,
-#: roundtrip_manifest_pruned_read, roundtrip_incremental_bars,
-#: roundtrip_bucketed_join, roundtrip_multiformat_ingest,
-#: roundtrip_textlog_ingest, dedup_chunk_exact, dedup_select_canonical,
-#: text_token_rarity, corpus_mixture_weights, vec_pq_adc, vec_pq_search,
-#: vec_ivf_pq, pipeline_pretrain_mix, text_heavy_hitters_cms,
-#: text_bpe_merge_candidates, events_variant_extract,
-#: sql_udf_acct_band, vec_truncated_topk, roundtrip_findb_db_asof,
-#: roundtrip_schema_evolution, dedup_minhash_calibration,
-#: dq_documents_audit, events_sliding_hourly, dedup_pair_triangles) + any red round-3 rows kept for confirmation —
-#: ~38 names, leaving ~12 free slots for round-4 additions.  After that
-#: window every registered query will carry a driver hard-signal row.
+#: ROUND-4 ROTATION (executing the plan written in round 3): CORRECTNESS_r03
+#: landed 49/50 green (the 50th is the rows-only HLL sketch, no oracle by
+#: design), so this prefix is now exactly the 37 registered queries that
+#: have never carried a driver correctness row — all 13 source/sink
+#: roundtrips (certifying O1-O4/O14 end-to-end, incl. the literal `.db`
+#: B+tree format in both directions), the 7 deferred robust-stats /
+#: time-series queries, the PQ/IVF-PQ ANN family, the remaining dedup /
+#: text / pipeline / events / UDF / DQ tail — followed by 13 re-confirmation
+#: slots: headline (bench-flagged) queries whose only green rows date from
+#: r1/r2, so every benched number in BENCH_r4 is backed by a fresh hard
+#: signal on the current code (this round also touches two of them:
+#: dedup_pair_triangles gained degree orientation, text_heavy_hitters_cms a
+#: single-pass sketch build).  After this window every registered query
+#: carries a driver hard-signal row; from round 5 on the prefix holds new
+#: additions plus a rolling re-confirmation of the headline set.
 _CHECK_FIRST: tuple[str, ...] = (
-    # HUGEINT-fix confirmation rows (red in r2 -> cast AS BIGINT this round)
-    "events_json_extract",
-    "events_sessionize",
-    "events_funnel_pivot",
-    "events_funnel_conversion",
-    "text_pack_sequences",  # latent HUGEINT (pack_id), fixed pre-emptively
-    # TPC-H completion tail (never driver-checked)
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_classes",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_qty_revenue",
-    "q20_excess_shippers",
-    "q21_sole_return_supplier",
-    "q22_idle_customers",
-    # MERGE / SCD2 / CDC / validation layer (O10-O12 hard signal)
-    "merge_upsert_orders",
-    "scd2_price_intervals",
-    "snapshot_diff_orders",
-    "dq_orders_audit",
-    "pii_scrub_names",
-    # round-2 dedup additions
-    "dedup_semantic",
-    "dedup_fused",
-    "dedup_containment",
-    "dedup_clusters_star",
-    "dedup_lsh_incremental",
-    "dedup_clusters_semantic",
-    # round-2 vector additions
-    "vec_ivf_kmeans",
-    "vec_ann_lsh_multiprobe",
-    "vec_quantize_int8",
-    # as-of variants + recursive SQL front end
-    "asof_join_forward",
-    "asof_join_tolerance",
-    "sql_recursive_rollup",
-    # real-codec multimodal (formula oracles)
-    "multimodal_ppm_decode",
-    "multimodal_audio_features",
-    # text / sampling round-2 additions
-    "text_contamination",
-    "text_boilerplate_spans",
-    "text_bigram_novelty",
-    "sample_weighted",
-    # events tail
-    "events_type_transitions",
-    "events_json_keys",
-    "events_value_histogram",
-    "events_hll_rollup",
-    "events_funnel_timeout",
-    # pipeline / curation layer
-    "pipeline_corpus_curation",
-    "source_quality_profile",
-    "source_pagerank",
-    # profiling / relational tail
-    "stats_profile_lineitem",
-    "string_agg_statuses",
-    "unpivot_lineitem_measures",
+    # ---- the 37 never-driver-checked queries ----
+    # source/sink roundtrip certification suite (O1-O4/O14)
+    "roundtrip_csv_ingest",
+    "roundtrip_multiformat_ingest",
+    "roundtrip_textlog_ingest",
+    "roundtrip_zorder_layout",
+    "roundtrip_compact_layout",
+    "roundtrip_bucketed_join",
+    "roundtrip_findb_db",
+    "roundtrip_findb_db_asof",
+    "roundtrip_manifest_pruned_read",
+    "roundtrip_incremental_bars",
+    "roundtrip_schema_evolution",
+    "roundtrip_stream_tumbling",
+    "roundtrip_stream_sessionize",
+    # robust stats / time-series (deferred from round 3 by plan)
+    "customer_rfm",
+    "winsorize_revenue",
+    "robust_mad",
+    "pareto_part_revenue",
+    "corr_matrix_assets",
+    "ts_drawdown",
+    "ts_ewma",
+    # PQ / IVF-PQ ANN family + Matryoshka truncation
+    "vec_pq_adc",
+    "vec_pq_search",
+    "vec_ivf_pq",
+    "vec_truncated_topk",
+    # dedup tail
+    "dedup_chunk_exact",
+    "dedup_select_canonical",
+    "dedup_minhash_calibration",
+    "dedup_pair_triangles",
+    # text tail (CMS sketch, BPE training stats, rarity)
+    "text_token_rarity",
+    "text_heavy_hitters_cms",
+    "text_bpe_merge_candidates",
+    # pipeline / corpus mixing
+    "corpus_mixture_weights",
+    "pipeline_pretrain_mix",
+    # events / UDF / DQ tail
+    "events_sliding_hourly",
+    "events_variant_extract",
+    "sql_udf_acct_band",
+    "dq_documents_audit",
+    # ---- 13 headline re-confirmation rows (bench-flagged, last green r1/r2) ----
+    "asof_range",
+    "asof_batch",
+    "asof_join_shifted",
+    "q1_pricing_summary",
+    "dedup_clusters",
+    "dedup_jaccard_prefix",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "events_tumbling_hourly",
+    "vec_ann_lsh",
+    "vec_cosine_topk",
+    "ts_moving_avg",
 )
 
 

@@ -107,9 +107,18 @@ def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
         minhash_lsh_pairs,
         simhash_banded_pairs,
     )
+    from findb_spark.ops.graph import triangles_oriented
     from findb_spark.ops.text import quality_score
+    from findb_spark.registry import all_specs
 
     docs = load_table(spark, sf_dir, "documents")
+
+    def tri_count() -> int:
+        e = minhash_lsh_pairs(docs).select(
+            F.col("doc1").alias("a"), F.col("doc2").alias("b")
+        )
+        return triangles_oriented(e).count()
+
     return {
         "minhash_lsh": timed(lambda: minhash_lsh_pairs(docs).count()),
         "simhash_banded": timed(lambda: simhash_banded_pairs(docs).count()),
@@ -117,6 +126,14 @@ def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
         "containment": timed(lambda: containment_pairs(docs).count()),
         "text_quality": timed(lambda: quality_score(docs).count()),
         "chunk_dedup": timed(lambda: chunk_dup_stats(docs).count()),
+        # degree-oriented triangle listing over the near-dup graph: wedge
+        # fan-out bounded by oriented out-degree, so the ratio must track
+        # the pair-graph growth, not any hub's degree squared
+        "triangles_oriented": timed(tri_count),
+        # narrow chunking plan (zero shuffles): must scale ~linearly
+        "chunk_windows": timed(
+            lambda: all_specs()["text_chunk_windows"].fn(spark, sf_dir).count()
+        ),
     }
 
 

@@ -130,3 +130,74 @@ def test_pagerank_int_matches_model(spark):
     assert got == r
     # c has two in-edges (a->c, b->c): highest authority
     assert max(got, key=got.get) == "c"
+
+
+def _triangle_model(edges: list[tuple[int, int]]) -> set[frozenset]:
+    es = {frozenset(e) for e in edges if e[0] != e[1]}
+    nodes = {n for e in es for n in e}
+    return {
+        frozenset({a, b, c})
+        for a in nodes
+        for b in nodes
+        if a < b and frozenset({a, b}) in es
+        for c in nodes
+        if b < c
+        and frozenset({a, c}) in es
+        and frozenset({b, c}) in es
+    }
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_triangles_oriented_match_model(spark, seed):
+    from findb_spark.ops.graph import triangles_oriented
+
+    rng = random.Random(seed)
+    es = {tuple(sorted(rng.sample(range(25), 2))) for _ in range(70)}
+    edges = spark.createDataFrame(sorted(es), "a bigint, b bigint")
+    rows = triangles_oriented(edges).collect()
+    got = [frozenset({r.a, r.b, r.c}) for r in rows]
+    # every triangle exactly once (list == set), matching brute force
+    assert len(got) == len(set(got))
+    assert set(got) == _triangle_model(list(es))
+
+
+def test_triangles_orientation_defuses_hub(spark):
+    """The scale contract: edges orient AWAY from high-degree nodes, so a
+    hub contributes no wedge key — its degree never lands on one join
+    task.  (An id-ordered 3-way self-join would put all hub edges on the
+    hub's key: the 'curse of the last reducer'.)"""
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.graph import triangles_oriented
+
+    # hub 0 joined to 1..20, plus a triangle fringe (1,2),(2,3),(3,4)...
+    edges = [(0, i) for i in range(1, 21)] + [(i, i + 1) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    tri = {frozenset({r.a, r.b, r.c}) for r in triangles_oriented(df).collect()}
+    assert tri == _triangle_model(edges)
+    # pin the orientation property itself: rebuild the oriented edge set
+    # exactly as the operator does and assert the hub's out-degree is 0
+    e = df.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("node").alias("x"), F.col("deg").alias("dx")), "x"
+    ).join(deg.select(F.col("node").alias("y"), F.col("deg").alias("dy")), "y")
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    out_deg = {
+        r.src: r.n
+        for r in ed.select(
+            F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src")
+        )
+        .groupBy("src")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert 0 not in out_deg  # all 20 hub edges oriented leaf -> hub
+    assert max(out_deg.values()) <= 2

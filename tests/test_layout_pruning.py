@@ -50,3 +50,29 @@ def test_asof_query_prunes(spark, clustered):
 def test_month_partition_pruning_on_date_month(spark, clustered):
     m = scan_metrics(clustered.where("date_month = 199601"))[0]
     assert m.get("numPartitions") == 1
+
+
+def test_scan_metrics_private_api_pinned(spark):
+    """PRIVATE-API PIN: `scan_metrics` (findb_spark/layout.py) drives
+    execution through `Dataset._jdf.queryExecution().toRdd().count()` and
+    walks `executedPlan()` — non-public JVM surfaces chosen deliberately
+    (execute the SAME QueryExecution whose metrics we read, with no
+    driver-side collect).  If this test fails after a Spark upgrade, the
+    PRIVATE API moved: rework scan_metrics, do not silently drop pruning
+    observability."""
+    df = spark.range(7).toDF("id")
+    try:
+        qe = df._jdf.queryExecution()
+        n = qe.toRdd().count()
+        plan = qe.executedPlan()
+        cls = plan.getClass().getSimpleName()
+        kids = plan.children().size()
+    except Exception as e:  # noqa: BLE001
+        pytest.fail(
+            "PRIVATE API CHANGED: Dataset._jdf.queryExecution()"
+            f".toRdd()/.executedPlan() no longer works on Spark "
+            f"{spark.version} — update findb_spark.layout.scan_metrics. "
+            f"Underlying error: {e}"
+        )
+    assert n == 7
+    assert isinstance(cls, str) and kids >= 0

@@ -223,3 +223,30 @@ def test_pretrain_mix_broadcasts_weight_table(spark):
     p = _plan(spark, "pipeline_pretrain_mix")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_cms_sketch_builds_in_one_token_scan(spark):
+    """The count-min sketch cells must come from ONE pass over the token
+    relation (posexplode of the d hash columns), not a d-way union that
+    re-scans documents d times.  The whole query therefore holds exactly
+    TWO parquet scans: one for the exact top-20 probe set, one for the
+    sketch cells."""
+    import re
+
+    p = _plan(spark, "text_heavy_hitters_cms")
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)
+    assert len(scans) == 2, f"expected 2 parquet scans, got {len(scans)}:\n{p}"
+
+
+def test_triangles_join_on_wedge_keys_not_ids(spark):
+    """Degree orientation pin: the triangle plan joins oriented wedges
+    (src / v / w keys) — no 3-way self-join keyed on raw doc ids, and the
+    closing join is an equi-join (hash-partitionable), never a cross."""
+    import re
+
+    p = _plan(spark, "dedup_pair_triangles")
+    assert "CartesianProduct" not in p
+    # the only cross joins are the two 1-row aggregate combiners
+    # (formatted explain mentions each node twice: tree + details)
+    nl = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", p, flags=re.M)
+    assert len(nl) <= 2, f"unexpected non-equi joins: {len(nl)}"
