@@ -73,6 +73,38 @@ def fxp_dot_sql(a: str, b: str, dim: int = DIM) -> str:
     )
 
 
+def fxp_dot_expr(a: str, b: str, dim: int = DIM) -> Column:
+    """:func:`fxp_dot` over plain column NAMES, built as one
+    server-side-parsed SQL string: the parser produces the identical
+    Floor/Multiply/Add expression tree (integer adds are associative, so
+    the inline sum is bit-equal to the balanced tree), but construction
+    is ONE py4j call instead of ~400 — the Column-DSL form costs ~0.7s
+    of driver round-trip chatter per use, which dominated plan-build
+    time for every vector query."""
+    terms = [
+        f"FLOOR((CAST(element_at({a}, {i}) AS DOUBLE) * "
+        f"CAST(element_at({b}, {i}) AS DOUBLE)) * {FXP_SCALE} + 0.5D)"
+        for i in range(1, dim + 1)
+    ]
+    return F.expr("CAST((" + " + ".join(terms) + ") AS BIGINT)")
+
+
+def norm_expr(v: str, dim: int = DIM) -> Column:
+    """:func:`norm` over a plain column NAME (see :func:`fxp_dot_expr`
+    for why the string form exists).  Same ops: sqrt of the exact
+    fixed-point self-dot over FXP_SCALE."""
+    terms = [
+        f"FLOOR((CAST(element_at({v}, {i}) AS DOUBLE) * "
+        f"CAST(element_at({v}, {i}) AS DOUBLE)) * {FXP_SCALE} + 0.5D)"
+        for i in range(1, dim + 1)
+    ]
+    return F.expr(
+        "SQRT(CAST(CAST(("
+        + " + ".join(terms)
+        + f") AS BIGINT) AS DOUBLE) / {FXP_SCALE})"
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     dot = fxp_dot(a, b).cast("double") / FXP_SCALE
     na = fxp_dot(a, a).cast("double") / FXP_SCALE
@@ -103,12 +135,12 @@ def cosine_topk(
 
     Norms are computed once per corpus row / query row before the join;
     only the cross-pair dot product is evaluated per pair."""
-    corpus = emb.withColumn("_nrm", norm(F.col("embedding")))
-    q = query.withColumn("_qnrm", norm(F.col("qv")))
+    corpus = emb.withColumn("_nrm", norm_expr("embedding"))
+    q = query.withColumn("_qnrm", norm_expr("qv"))
     j = corpus.crossJoin(F.broadcast(q))
     if exclude_self:
         j = j.where(F.col("vec_id") != F.col("query_id"))
-    sim = (fxp_dot(F.col("embedding"), F.col("qv")).cast("double") / FXP_SCALE) / (
+    sim = (fxp_dot_expr("embedding", "qv").cast("double") / FXP_SCALE) / (
         F.col("_nrm") * F.col("_qnrm")
     )
     scored = j.select("query_id", "vec_id", sim.alias("cos_sim"))
@@ -392,11 +424,11 @@ def ivf_topk(
     # the same 64 rows)
     cents = ivf_centroids(emb, n_cent)
     assigned = assign_to_centroids(emb, cents).withColumn(
-        "_nrm", norm(F.col("embedding"))
+        "_nrm", norm_expr("embedding")
     )
     q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    ).withColumn("_qnrm", norm(F.col("qv")))
+    ).withColumn("_qnrm", norm_expr("qv"))
     # per-query probe list: top-nprobe centroids by cosine (ties -> smaller
     # centroid id, matching ivf_assign's tiebreak so nprobe=1 == assignment)
     pw = Window.partitionBy("query_id").orderBy(F.desc("_ccos"), "cent_id")
@@ -417,7 +449,7 @@ def ivf_topk(
         F.broadcast(probes),
         (F.col("cluster") == F.col("qcluster")) & (F.col("vec_id") != F.col("query_id")),
     )
-    sim = (fxp_dot(F.col("embedding"), F.col("qv")).cast("double") / FXP_SCALE) / (
+    sim = (fxp_dot_expr("embedding", "qv").cast("double") / FXP_SCALE) / (
         F.col("_nrm") * F.col("_qnrm")
     )
     scored = j.select("query_id", "vec_id", sim.alias("cos_sim"))
@@ -453,7 +485,7 @@ def semantic_dedup_pairs(
     # persist the whole O(n*K) codebook-assignment subtree runs twice
     assigned = (
         ivf_assign(emb, n_cent)
-        .withColumn("_nrm", norm(F.col("embedding")))
+        .withColumn("_nrm", norm_expr("embedding"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     x = assigned.select(
@@ -468,7 +500,7 @@ def semantic_dedup_pairs(
         F.col("embedding").alias("e2"),
         F.col("_nrm").alias("n2"),
     )
-    sim = (fxp_dot(F.col("e1"), F.col("e2")).cast("double") / FXP_SCALE) / (
+    sim = (fxp_dot_expr("e1", "e2").cast("double") / FXP_SCALE) / (
         F.col("n1") * F.col("n2")
     )
     return (
@@ -491,11 +523,11 @@ def ann_lsh_topk(
     landing near a plane boundary; candidate cost grows ~(n_planes+1)x the
     single-bucket density while the probe list stays broadcast."""
     planes = plane_matrix()
-    corpus = lsh_buckets(emb, planes).withColumn("_nrm", norm(F.col("embedding")))
+    corpus = lsh_buckets(emb, planes).withColumn("_nrm", norm_expr("embedding"))
     qb = (
         lsh_buckets(query.select(F.col("query_id"), F.col("qv").alias("embedding")), planes)
         .select("query_id", F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket"))
-        .withColumn("_qnrm", norm(F.col("qv")))
+        .withColumn("_qnrm", norm_expr("qv"))
     )
     if multiprobe:
         flips = F.array(
@@ -512,7 +544,7 @@ def ann_lsh_topk(
         F.broadcast(qb),
         (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
     )
-    sim = (fxp_dot(F.col("embedding"), F.col("qv")).cast("double") / FXP_SCALE) / (
+    sim = (fxp_dot_expr("embedding", "qv").cast("double") / FXP_SCALE) / (
         F.col("_nrm") * F.col("_qnrm")
     )
     scored = j.select("query_id", "vec_id", sim.alias("cos_sim"))
@@ -561,7 +593,7 @@ def _normalized(emb: DataFrame) -> DataFrame:
     materialized into its own column first so each element's divide
     references an attribute, not a re-evaluated 64-term dot subtree."""
     return emb.select(
-        "vec_id", norm(F.col("embedding")).alias("_n"), "embedding"
+        "vec_id", norm_expr("embedding").alias("_n"), "embedding"
     ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double") / F.col("_n")).alias(
@@ -575,7 +607,13 @@ def fxp_l2_sub(a: Column, sw: Column, sub: int) -> Column:
     ``sub`` of the full array ``a`` and the PQ_SUBDIM-dim codeword ``sw``:
     per element ``floor((ai-bi)^2 * FXP_SCALE + 0.5)`` (exact IEEE double
     ops on both engines), exact integer sum.  Unrolled like
-    :func:`fxp_dot` to stay inside whole-stage codegen."""
+    :func:`fxp_dot` to stay inside whole-stage codegen.
+
+    This Column form is the executable SPECIFICATION of the PQ distance
+    arithmetic: the literal-codebook SQL kernels (:func:`_enc_code_sql`,
+    :func:`_lut_sql`) and the Arrow kernel (:func:`pq_encode_arrow`)
+    must produce bit-equal values — tests/test_llm_ops.py pins all three
+    against this formulation."""
     base = sub * PQ_SUBDIM
     terms = []
     for i in range(1, PQ_SUBDIM + 1):
@@ -598,127 +636,275 @@ def pq_codebook(emb: DataFrame, k: int = PQ_K) -> DataFrame:
     contract as :func:`ivf_centroids`), re-indexed to dense codes 1..k and
     split into per-subspace codewords ``sw0..sw{PQ_M-1}`` so ADC tables
     are array-indexable.  k is corpus-size-independent — the broadcast
-    stays tiny at any scale."""
+    stays tiny at any scale.
+
+    The distributed half is ONE TakeOrderedAndProject job (the k winners
+    under the cheap hash key); normalization and re-indexing of those k
+    rows run driver-side in numpy with the identical fixed-point
+    arithmetic (``sqrt(sum(floor(x*x*1e12+0.5))/1e12)`` then one IEEE
+    divide per element — bit-equal to the Column form, which a
+    window+transform plan previously spent 4 jobs / 7 stages on)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
     hk = hash48(F.col("vec_id").cast("string"))
-    # select the k winners FIRST (TakeOrderedAndProject on the cheap hash
-    # key), normalize only those 64 rows afterwards (two-phase norm, see
-    # _normalized)
-    sample = (
+    rows = (
         emb.select(hk.alias("_hk"), "vec_id", "embedding")
         .orderBy("_hk", "vec_id")
         .limit(k)
+        .collect()
     )
-    w = Window.orderBy("_hk", "vec_id")
-    normed = sample.select(
-        "_hk", "vec_id", norm(F.col("embedding")).alias("_n"), "embedding"
-    ).select(
-        "_hk",
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / F.col("_n")).alias(
-            "cw"
-        ),
-    )
-    return normed.select(
-        F.row_number().over(w).alias("code"),
-        *[
-            F.slice("cw", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(f"sw{m}")
+    rows.sort(key=lambda r: (r["_hk"], r["vec_id"]))
+    out = []
+    for code0, r in enumerate(rows):
+        v = np.array(list(r["embedding"]), dtype=np.float64)
+        n = float(
+            np.sqrt(
+                float(
+                    np.floor(v * v * float(FXP_SCALE) + 0.5)
+                    .astype(np.int64)
+                    .sum()
+                )
+                / float(FXP_SCALE)
+            )
+        )
+        cwv = v / n
+        out.append(
+            {
+                "code": code0 + 1,
+                **{
+                    f"sw{m}": [
+                        float(x)
+                        for x in cwv[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                    ]
+                    for m in range(PQ_M)
+                },
+            }
+        )
+    schema = T.StructType(
+        [T.StructField("code", T.IntegerType(), False)]
+        + [
+            T.StructField(f"sw{m}", T.ArrayType(T.DoubleType()), False)
             for m in range(PQ_M)
-        ],
+        ]
+    )
+    return emb.sparkSession.createDataFrame(out, schema)
+
+
+def _cb_lists(cbw: DataFrame | list) -> list[list[list[float]]]:
+    """Collect a codebook relation (bounded at PQ_K rows by construction)
+    into per-subspace codeword lists ordered by dense code 1..k —
+    ``result[m][code-1]`` is subspace ``m``'s codeword."""
+    rows = cbw.collect() if isinstance(cbw, DataFrame) else list(cbw)
+    rows.sort(key=lambda r: r["code"])
+    return [[list(r[f"sw{m}"]) for r in rows] for m in range(PQ_M)]
+
+
+def _cb_onerow(spark, cw: list[list[list[float]]]) -> DataFrame:
+    """The whole codebook as ONE broadcastable row holding a
+    ``_cb[m][code][i]`` nested array (~PQ_M*PQ_K*PQ_SUBDIM doubles =
+    32 KB).  Joining this single row in (BroadcastNestedLoopJoin of a
+    1-row build side — no shuffle of the probe side) lets the encode /
+    ADC-table expressions reference the codewords as a plain column.
+    Doubles travel as binary values (py4j -> java.lang.Double), so
+    codewords stay bit-identical to the collected training output.
+    (Embedding them as SQL literal text instead costs ~4600 expression
+    nodes per subspace that the analyzer re-walks on every Dataset
+    construction — measured ~5s of pure driver latency per query.)"""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(
+                "_cb",
+                T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))),
+                False,
+            )
+        ]
+    )
+    return spark.createDataFrame([(cw,)], schema)
+
+
+def _fxp_l2_terms_sql(m: int, col: str) -> str:
+    """The fixed-point squared-L2 sum of :func:`fxp_l2_sub` as inline SQL
+    with compile-time element indices — no inner ``aggregate(sequence)``
+    fold (its per-element array allocation + fold machinery is ~2-3x the
+    arithmetic itself when interpreted).  Integer addition is
+    associative, so the inline left-to-right sum is bit-equal to both the
+    fold and the Column form's balanced tree.  ``cw`` is the lambda var
+    bound to one codeword by the enclosing ``transform``."""
+    base = m * PQ_SUBDIM
+    terms = []
+    for i in range(1, PQ_SUBDIM + 1):
+        d = f"(element_at({col}, {base + i}) - element_at(cw, {i}))"
+        terms.append(f"FLOOR(({d} * {d}) * {FXP_SCALE} + 0.5D)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _enc_code_sql(m: int, col: str = "nv") -> str:
+    """SQL for subspace ``m``'s code against the joined ``_cb`` codebook
+    column: min over the codeword array of the composite
+    ``fxp_dist * 128 + code`` (identical arithmetic and tie-break —
+    smallest code on equal distance — as the fixed-point crossJoin+min
+    formulation this replaced; FLOOR(double) is BIGINT, the inline
+    integer adds are associative, so values are bit-equal)."""
+    comp = (
+        f"array_min(transform(element_at(_cb, {m + 1}), "
+        f"(cw, c0) -> {_fxp_l2_terms_sql(m, col)} * 128 + c0 + 1))"
+    )
+    return f"CAST({comp} % 128 AS INT)"
+
+
+def _lut_sql(m: int, col: str = "qv") -> str:
+    """SQL for a query's subspace-``m`` ADC table against the joined
+    ``_cb`` codebook column: fixed-point distance to each of the k
+    codewords, array-ordered by code 1..k (the order the scoring
+    ``element_at(l{m}, c{m})`` lookups assume)."""
+    return (
+        f"transform(element_at(_cb, {m + 1}), "
+        f"cw -> {_fxp_l2_terms_sql(m, col)})"
     )
 
 
-def pq_encode(nv: DataFrame, cbw: DataFrame) -> DataFrame:
+def pq_encode(nv: DataFrame, cbw: DataFrame | list) -> DataFrame:
     """Quantize every normalized vector: per subspace, the code of the
-    L2-nearest codeword (ties to the smallest code).  One corpus scan
-    against the broadcast codebook, one map-side-combined aggregation —
-    O(n*k) work, no shuffle beyond the final groupBy on vec_id.  Returns
-    (vec_id, c0..c{PQ_M-1})."""
-    j = nv.crossJoin(F.broadcast(cbw))
-    # (distance, code) folded into one exact int64 composite d*128 + code
-    # (codes are 1..PQ_K <= 64 < 128, so lexicographic order is preserved
-    # and min() + decode replaces 8 min_by(struct) aggregates — the
-    # struct form generated ~3x the codegen and dominated training time)
-    dists = j.select(
+    L2-nearest codeword (ties to the smallest code).  Returns
+    (vec_id, c0..c{PQ_M-1}).
+
+    The codebook (bounded at PQ_K rows by construction) rides along as a
+    broadcast ONE-ROW nested array (:func:`_cb_onerow`), so the corpus
+    pass is one scan + a 1-row broadcast join + a projection — zero
+    shuffles of the corpus, zero row fan-out.  The previous formulation
+    (crossJoin against the 64-row broadcast codebook + 8-way min
+    aggregate) shuffled a 64x fan-out and cost ~8 AQE jobs of pure
+    scheduling overhead per encode; this form is the plan you want at
+    100 TB: encode streams at scan speed and writes one row per vector.
+    Distances fold in one fixed-point composite ``dist*128 + code``
+    (codes 1..64 < 128 preserve lexicographic order), exactly as before
+    — values are bit-identical.  For extreme per-row throughput the same
+    narrow shape can swap this HOF kernel for the vectorized Arrow
+    kernel (:func:`pq_encode_arrow`), pinned bit-equal by test."""
+    cw = _cb_lists(cbw)
+    cbdf = _cb_onerow(nv.sparkSession, cw)
+    return nv.crossJoin(F.broadcast(cbdf)).select(
         "vec_id",
-        *[
-            (
-                fxp_l2_sub(F.col("nv"), F.col(f"sw{m}"), m) * 128 + F.col("code")
-            ).alias(f"d{m}")
-            for m in range(PQ_M)
-        ],
-    )
-    agg = dists.groupBy("vec_id").agg(
-        *[F.min(f"d{m}").alias(f"d{m}") for m in range(PQ_M)]
-    )
-    return agg.select(
-        "vec_id",
-        *[(F.col(f"d{m}") % 128).cast("int").alias(f"c{m}") for m in range(PQ_M)],
+        *[F.expr(_enc_code_sql(m)).alias(f"c{m}") for m in range(PQ_M)],
     )
 
 
-def pq_train(nv: DataFrame, cbw: DataFrame) -> DataFrame:
+def pq_encode_arrow(nv: DataFrame, cbw: DataFrame | list) -> DataFrame:
+    """Vectorized twin of :func:`pq_encode`: same narrow one-scan shape,
+    kernel swapped for numpy over Arrow batches (``mapInPandas``).  Per
+    batch: one (n, m, k) einsum-style distance tensor, the SAME
+    fixed-point composite (``floor(d*d*1e12 + 0.5)`` summed in int64,
+    ``*128 + code`` min) — np.floor/multiply are the identical IEEE-754
+    double ops the JVM executes, so codes are bit-equal (pinned by
+    tests/test_llm_ops.py).  This is the kernel for an embedding corpus
+    where per-row HOF interpretation would dominate: numpy does the
+    25k-flop argmin in ~1us/row."""
+    import numpy as np
+    import pandas as pd
+
+    cw = _cb_lists(cbw)
+    cb = np.array(cw, dtype=np.float64)  # (PQ_M, PQ_K, PQ_SUBDIM)
+    out_schema = "vec_id bigint, " + ", ".join(f"c{m} int" for m in range(PQ_M))
+
+    def encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            v = np.array([np.asarray(x, dtype=np.float64) for x in pdf["nv"]])
+            sub = v.reshape(n, PQ_M, 1, PQ_SUBDIM)
+            d = sub - cb[None, :, :, :]  # (n, M, K, SUBDIM)
+            terms = np.floor(d * d * float(FXP_SCALE) + 0.5).astype(np.int64)
+            dist = terms.sum(axis=3)  # (n, M, K) exact int64
+            comp = dist * 128 + (np.arange(PQ_K, dtype=np.int64) + 1)
+            codes = (comp.min(axis=2) % 128).astype(np.int32)  # (n, M)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    **{f"c{m}": codes[:, m] for m in range(PQ_M)},
+                }
+            )
+
+    return nv.mapInPandas(encode, schema=out_schema)
+
+
+def pq_train(nv: DataFrame, cbw: DataFrame | list) -> DataFrame:
     """One per-subspace Lloyd refinement of the PQ codebook: assign every
-    subvector to its nearest codeword, replace each codeword with the
-    exact fixed-point mean of its members (empty codewords keep their
+    sampled subvector to its nearest codeword, replace each codeword with
+    the exact fixed-point mean of its members (empty codewords keep their
     init value, so codes stay DENSE 1..k and ADC tables stay indexable).
+
+    ARCHITECTURE (the FAISS split): codebook training runs DRIVER-SIDE in
+    numpy over the collected training sample; only the corpus passes
+    (encode, ADC scoring) are distributed.  The sample is a deterministic
+    20% hash gate — a pushdown-friendly filter, no RNG — and is bounded
+    by the same contract that bounds every other driver collect here
+    (FAISS trains on ~10^4-10^5 vectors regardless of corpus size; at
+    production scale compose the gate with a hash-order LIMIT, mirrored
+    in the oracle, to cap it).  The previous all-DataFrame formulation
+    spent ~5s of pure job-scheduling overhead per round on
+    kilobyte-scale aggregations; numpy does the same exact integer
+    arithmetic in microseconds and the result is BIT-EQUAL:
+    ``floor(v*MEAN_SCALE+0.5)`` summed in int64, then
+    ``(sum/MEAN_SCALE)/count`` in IEEE doubles — the identical op
+    sequence the DuckDB oracle executes (queries/vector_queries.py
+    ``mu{m}`` CTEs).  Assignment uses the same composite
+    ``dist*128+code`` min as :func:`pq_encode`.
 
     Sampled codewords land where single vectors happen to fall;
     per-subspace means drop quantization error the way full k-means does
-    for IVF — tests pin the recall improvement.  Cost: one extra encode
-    pass + PQ_M tiny (k x PQ_SUBDIM) aggregations, all map-side
-    combined; iterating = re-calling this function."""
-    # Train on a deterministic 20% hash-gated sample, the standard PQ
-    # practice (FAISS trains codebooks on a bounded sample): training cost
-    # becomes corpus-size-INDEPENDENT in proportion terms, and the gate is
-    # a pure pushdown-friendly filter — reproducible on any engine, no RNG
-    tr = nv.where(hash48(F.col("vec_id").cast("string")) % 5 < 1)
-    codes = pq_encode(tr, cbw)
-    joined = tr.join(codes, "vec_id")
-    # ONE posexplode pass computes every subspace's means together: each
-    # element at 0-based position pos0 belongs to subspace m = pos0 /
-    # PQ_SUBDIM and to that subspace's assigned code — a per-m loop of
-    # joins would replicate the encode subtree PQ_M times in the plan
-    # (measured: the lazy form re-scanned the corpus per subspace)
-    msub = F.floor(F.col("pos0") / PQ_SUBDIM).cast("int")
-    code_arr = F.array(*[F.col(f"c{m}") for m in range(PQ_M)])
-    el = joined.select(
-        *[f"c{m}" for m in range(PQ_M)],
-        F.posexplode("nv").alias("pos0", "v"),
-    ).select(
-        msub.alias("m"),
-        F.element_at(code_arr, msub + 1).alias("code"),
-        (F.col("pos0") % PQ_SUBDIM).alias("subpos"),
-        "v",
-    )
-    mean = el.groupBy("m", "code", "subpos").agg(
-        (
-            F.sum(F.floor(F.col("v") * MEAN_SCALE + F.lit(0.5))).cast("double")
-            / MEAN_SCALE
-            / F.count("*")
-        ).alias("cv")
-    )
+    for IVF — tests pin the recall improvement.  Iterating = re-calling
+    this function."""
+    import numpy as np
 
-    def _rw(m: int) -> Column:
-        # per-code refined subvector for subspace m (sorted by subpos);
-        # subspace assignments are INDEPENDENT, so a code may have members
-        # in one subspace and none in another — the filtered array is then
-        # empty and must fall back to the init codeword below
-        return F.transform(
-            F.filter(
-                F.array_sort(F.collect_list(F.struct("m", "subpos", "cv"))),
-                lambda s: s.getField("m") == F.lit(m),
-            ),
-            lambda s: s.getField("cv"),
-        ).alias(f"rw{m}")
-
-    rw = mean.groupBy("code").agg(*[_rw(m) for m in range(PQ_M)])
-    refined = [
-        F.when(F.size(F.col(f"rw{m}")) > 0, F.col(f"rw{m}"))
-        .otherwise(F.col(f"sw{m}"))
-        .alias(f"sw{m}")
-        for m in range(PQ_M)
+    spark = nv.sparkSession
+    if isinstance(cbw, DataFrame):
+        cb_schema, cb_rows = cbw.schema, cbw.collect()
+    else:
+        cb_schema, cb_rows = None, list(cbw)
+    cb_rows.sort(key=lambda r: r["code"])
+    cb = np.array(
+        [[list(r[f"sw{m}"]) for r in cb_rows] for m in range(PQ_M)],
+        dtype=np.float64,
+    )  # (M, K, SUBDIM)
+    sample_rows = (
+        nv.where(hash48(F.col("vec_id").cast("string")) % 5 < 1)
+        .select("nv")
+        .collect()
+    )
+    new_cb = cb.copy()
+    if sample_rows:
+        v = np.array([list(r["nv"]) for r in sample_rows], dtype=np.float64)
+        n = len(v)
+        sub = v.reshape(n, PQ_M, 1, PQ_SUBDIM)
+        d = sub - cb[None, :, :, :]
+        terms = np.floor(d * d * float(FXP_SCALE) + 0.5).astype(np.int64)
+        comp = terms.sum(axis=3) * 128 + (np.arange(PQ_K, dtype=np.int64) + 1)
+        assign = (comp.min(axis=2) % 128) - 1  # (n, M) 0-based code index
+        vs = np.floor(v * float(MEAN_SCALE) + 0.5).astype(np.int64)  # (n, DIM)
+        for m in range(PQ_M):
+            seg = vs[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            for c in range(PQ_K):
+                mask = assign[:, m] == c
+                cnt = int(mask.sum())
+                if cnt:
+                    s = seg[mask].sum(axis=0, dtype=np.int64)
+                    new_cb[m, c] = s.astype(np.float64) / float(MEAN_SCALE) / cnt
+    out = [
+        {
+            "code": r["code"],
+            **{
+                f"sw{m}": [float(x) for x in new_cb[m, i]]
+                for m in range(PQ_M)
+            },
+        }
+        for i, r in enumerate(cb_rows)
     ]
-    return cbw.join(rw, "code", "left").select("code", *refined)
+    return spark.createDataFrame(out, cb_schema)
 
 
 def pq_adc_topk(emb: DataFrame, k: int = 5, train: bool = True) -> DataFrame:
@@ -735,43 +921,30 @@ def pq_adc_topk(emb: DataFrame, k: int = 5, train: bool = True) -> DataFrame:
     table, not the embeddings — the I/O win PQ exists for; pair with IVF
     coarse clustering (ivf_assign) to also shrink the candidate set, and
     exact-rerank the ADC shortlist where final ordering matters."""
-    spark = emb.sparkSession
-
-    def _materialize(df: DataFrame) -> DataFrame:
-        # codebooks are PQ_K rows by construction (bounded, corpus-size-
-        # independent); as lazy plans their corpus-scan subtrees would be
-        # RE-EXECUTED by every consumer (measured 108 parquet scans / 23k
-        # plan nodes in the unmaterialized pq_search plan).  Collected
-        # rows re-created as a literal DataFrame keep every double
-        # bit-identical and run each corpus pass exactly once.
-        return spark.createDataFrame(df.collect(), df.schema)
-
+    # codebooks are PQ_K rows by construction (bounded, corpus-size-
+    # independent): collected ONCE here (two tiny jobs — init sample +
+    # one Lloyd round) and re-shipped as the 1-row broadcast _cb array.
+    # As lazy plans their corpus-scan subtrees would be RE-EXECUTED by
+    # every consumer (measured 108 parquet scans / 23k plan nodes in the
+    # unmaterialized pq_search plan); binary py4j doubles keep every
+    # codeword bit-identical.
     nv = _normalized(emb)
-    cbw = _materialize(pq_codebook(emb))
+    cb_rows = pq_codebook(emb).collect()
     if train:
-        cbw = _materialize(pq_train(nv, cbw))
-    codes = pq_encode(nv, cbw)
+        cb_rows = pq_train(nv, cb_rows).collect()
+    cw = _cb_lists(cb_rows)
+    cbdf = _cb_onerow(emb.sparkSession, cw)
+    codes = pq_encode(nv, cb_rows)
     q = nv.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
     )
-    qd = q.crossJoin(F.broadcast(cbw)).select(
+    # per-query ADC tables as a projection against the joined codebook
+    # row (array-ordered by code — the order the element_at lookups
+    # assume); replaces a crossJoin + collect_list/array_sort aggregation
+    luts = q.crossJoin(F.broadcast(cbdf)).select(
         "query_id",
-        "code",
-        *[
-            fxp_l2_sub(F.col("qv"), F.col(f"sw{m}"), m).alias(f"d{m}")
-            for m in range(PQ_M)
-        ],
+        *[F.expr(_lut_sql(m, "qv")).alias(f"l{m}") for m in range(PQ_M)],
     )
-    def _lut(m: int) -> Column:
-        # transform's lambda must be unary (a binary lambda receives the
-        # array index as its second arg); the f-string binds m eagerly
-        # because transform builds the expression at call time
-        return F.transform(
-            F.array_sort(F.collect_list(F.struct("code", f"d{m}"))),
-            lambda s: s.getField(f"d{m}"),
-        ).alias(f"l{m}")
-
-    luts = qd.groupBy("query_id").agg(*[_lut(m) for m in range(PQ_M)])
     scored = codes.crossJoin(F.broadcast(luts)).where(
         F.col("vec_id") != F.col("query_id")
     )
@@ -800,13 +973,13 @@ def pq_search(
     recall floor and the improvement over the untrained sample."""
     sl = pq_adc_topk(emb, k=shortlist, train=train).select("query_id", "vec_id")
     base = emb.select("vec_id", "embedding").withColumn(
-        "_nrm", norm(F.col("embedding"))
+        "_nrm", norm_expr("embedding")
     )
     q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    ).withColumn("_qnrm", norm(F.col("qv")))
+    ).withColumn("_qnrm", norm_expr("qv"))
     j = sl.join(base, "vec_id").join(F.broadcast(q), "query_id")
-    sim = (fxp_dot(F.col("embedding"), F.col("qv")).cast("double") / FXP_SCALE) / (
+    sim = (fxp_dot_expr("embedding", "qv").cast("double") / FXP_SCALE) / (
         F.col("_nrm") * F.col("_qnrm")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
@@ -836,34 +1009,21 @@ def ivf_pq_topk(emb: DataFrame, k: int = 5, train: bool = True) -> DataFrame:
     )
     clusters = assign_to_centroids(emb, cents).select("vec_id", "cluster")
 
-    def _materialize(df: DataFrame) -> DataFrame:
-        return spark.createDataFrame(df.collect(), df.schema)
-
     nv = _normalized(emb)
-    cbw = _materialize(pq_codebook(emb))
+    cb_rows = pq_codebook(emb).collect()
     if train:
-        cbw = _materialize(pq_train(nv, cbw))
-    codes = pq_encode(nv, cbw).join(clusters, "vec_id")
+        cb_rows = pq_train(nv, cb_rows).collect()
+    cw = _cb_lists(cb_rows)
+    cbdf = _cb_onerow(emb.sparkSession, cw)
+    codes = pq_encode(nv, cb_rows).join(clusters, "vec_id")
 
     q = nv.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
     )
-    qd = q.crossJoin(F.broadcast(cbw)).select(
+    luts = q.crossJoin(F.broadcast(cbdf)).select(
         "query_id",
-        "code",
-        *[
-            fxp_l2_sub(F.col("qv"), F.col(f"sw{m}"), m).alias(f"d{m}")
-            for m in range(PQ_M)
-        ],
+        *[F.expr(_lut_sql(m, "qv")).alias(f"l{m}") for m in range(PQ_M)],
     )
-
-    def _lut(m: int) -> Column:
-        return F.transform(
-            F.array_sort(F.collect_list(F.struct("code", f"d{m}"))),
-            lambda s: s.getField(f"d{m}"),
-        ).alias(f"l{m}")
-
-    luts = qd.groupBy("query_id").agg(*[_lut(m) for m in range(PQ_M)])
     qprobe = luts.join(
         clusters.where(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), F.col("cluster").alias("qcluster")

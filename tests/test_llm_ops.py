@@ -372,3 +372,58 @@ def test_chunk_dup_stats_tail_and_exact_dup_edges(spark):
     assert got[1] == (3, 3, 1.0)
     assert got[2] == (3, 3, 1.0)
     assert got[3] == (2, 0, 0.0)
+
+
+def test_pq_encode_kernels_bit_equal(spark, sf_dir):
+    """The three PQ encode formulations must agree BIT-FOR-BIT: the
+    fxp_l2_sub Column form (the executable spec — crossJoin against the
+    broadcast codebook + composite min aggregate), the literal-codebook
+    SQL kernel (pq_encode, the narrow zero-shuffle default), and the
+    numpy-over-Arrow kernel (pq_encode_arrow, the high-throughput path).
+    Same IEEE-754 double ops + exact int64 sums on all three, so any
+    divergence is a kernel bug, not noise."""
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.vector import (
+        PQ_M,
+        _normalized,
+        fxp_l2_sub,
+        pq_codebook,
+        pq_encode,
+        pq_encode_arrow,
+        pq_train,
+    )
+    from findb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nv = _normalized(emb)
+    cbw = pq_train(nv, pq_codebook(emb))
+    cb_rows = cbw.collect()
+
+    j = nv.crossJoin(F.broadcast(cbw))
+    dists = j.select(
+        "vec_id",
+        *[
+            (fxp_l2_sub(F.col("nv"), F.col(f"sw{m}"), m) * 128 + F.col("code")).alias(
+                f"d{m}"
+            )
+            for m in range(PQ_M)
+        ],
+    )
+    agg = dists.groupBy("vec_id").agg(
+        *[F.min(f"d{m}").alias(f"d{m}") for m in range(PQ_M)]
+    )
+    spec = {
+        r["vec_id"]: tuple(r[f"d{m}"] % 128 for m in range(PQ_M))
+        for r in agg.collect()
+    }
+    sql_k = {
+        r["vec_id"]: tuple(r[f"c{m}"] for m in range(PQ_M))
+        for r in pq_encode(nv, cb_rows).collect()
+    }
+    arrow_k = {
+        r["vec_id"]: tuple(r[f"c{m}"] for m in range(PQ_M))
+        for r in pq_encode_arrow(nv, cb_rows).collect()
+    }
+    assert spec == sql_k
+    assert spec == arrow_k
