@@ -570,3 +570,264 @@ def events_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         best,
         (agg.user_id == best.user_id) & (agg.max_run_len == best.run_len),
     ).select(agg.user_id, "n_runs", "max_run_len", "max_run_type")
+
+
+@register(
+    "events_retention_cohorts",
+    """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+  FROM events GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_date, CAST(COUNT(*) AS BIGINT) AS n_cohort
+  FROM firsts GROUP BY cohort_date
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+ret AS (
+  SELECT f.cohort_date,
+         CAST(date_diff('day', f.cohort_date, a.d) AS BIGINT) AS day_n,
+         CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+  FROM active a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT CAST(r.cohort_date AS VARCHAR) AS cohort_day, r.day_n, r.n_active,
+       s.n_cohort, ROUND(r.n_active / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+FROM ret r JOIN sizes s USING (cohort_date)
+""",
+    category="events",
+    description=(
+        "Cohort retention matrix: users grouped by first-seen date, "
+        "fraction still active N days later — the standard "
+        "product-analytics retention triangle.  Two-level aggregation: "
+        "the wide passes (first-seen, distinct active days) shuffle on "
+        "user_id once each and co-partition the join; the (cohort, "
+        "offset) matrix is tiny at any corpus size"
+    ),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention as relational algebra: first-seen per user (min over one
+    user_id shuffle), distinct (user, day) activity, a user_id equi-join
+    (both sides hash-partitioned on the same key — AQE reuses the
+    partitioning), then a count-distinct on the small (cohort, offset)
+    grid.  At 100 TB the only wide data is per-user state; the output is
+    |cohorts| x |offsets| regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    sizes = firsts.groupBy("cohort_date").agg(
+        F.count("*").cast("bigint").alias("n_cohort")
+    )
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    ret = (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff("d", "cohort_date").cast("bigint").alias("day_n"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    return ret.join(sizes, "cohort_date").select(
+        F.col("cohort_date").cast("string").alias("cohort_day"),
+        "day_n",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort").cast("double"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+@register(
+    "events_attribution",
+    """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events
+),
+g AS (
+  -- walking time BACKWARD, a running sum of purchase markers groups every
+  -- touch with the NEXT purchase that follows it in time
+  SELECT *,
+         SUM(is_p) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                         ROWS UNBOUNDED PRECEDING) AS grp
+  FROM o
+),
+conv AS (
+  SELECT user_id, grp, ts AS p_ts, value AS p_value
+  FROM g WHERE is_p = 1
+),
+touches AS (
+  SELECT g.user_id, g.grp, g.event_type, g.ts, g.event_id,
+         c.p_ts, c.p_value
+  FROM g JOIN conv c ON g.user_id = c.user_id AND g.grp = c.grp
+  WHERE g.is_p = 0
+    AND g.event_type IN ('click', 'view')
+    AND g.ts < c.p_ts
+    AND g.ts + INTERVAL 168 HOUR > c.p_ts
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id, grp ORDER BY ts, event_id) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY user_id, grp ORDER BY ts DESC, event_id DESC) AS rn_last,
+         COUNT(*) OVER (PARTITION BY user_id, grp) AS n_touch
+  FROM touches
+)
+SELECT event_type AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       ROUND(SUM(CASE WHEN rn_first = 1 THEN p_value ELSE 0 END), 4) AS first_touch_rev,
+       ROUND(SUM(CASE WHEN rn_last = 1 THEN p_value ELSE 0 END), 4) AS last_touch_rev,
+       ROUND(SUM(p_value / n_touch), 4) AS linear_rev
+FROM ranked GROUP BY event_type
+""",
+    category="events",
+    description=(
+        "Multi-touch attribution: every click/view touch within 7 days "
+        "before a user's next purchase shares that purchase's revenue "
+        "under first-touch / last-touch / linear models.  The "
+        "touch-to-conversion assignment is a reverse-cumulative-sum "
+        "window (no time-range self-join): one shuffle on user_id, every "
+        "window and the conversion join reuse that partitioning"
+    ),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution Spark-first: walking each user's stream backward, a
+    running SUM of purchase markers assigns every touch to the next
+    purchase after it (the gaps-and-islands trick applied to
+    conversions) — O(n log n) per user via one sort, where the naive
+    formulation is a time-range self-join (quadratic per heavy user).
+    The conversion join is user_id+grp equi (co-partitioned); window
+    lookback is a pure filter.  All revenue sums rounded to 4dp."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+    wrev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = o.withColumn("grp", F.sum("is_p").over(wrev))
+    conv = g.where("is_p = 1").select(
+        "user_id", "grp", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    touches = (
+        g.where("is_p = 0")
+        .where(F.col("event_type").isin("click", "view"))
+        .join(conv, ["user_id", "grp"])
+        .where(
+            (F.col("ts") < F.col("p_ts"))
+            # microsecond-exact lookback bound (interval arithmetic on both
+            # engines; an epoch-seconds or date_diff('hour') formulation
+            # truncates and diverges at the window edge)
+            & (F.col("ts") + F.expr("INTERVAL 168 HOURS") > F.col("p_ts"))
+        )
+    )
+    wf = Window.partitionBy("user_id", "grp").orderBy("ts", "event_id")
+    wl = Window.partitionBy("user_id", "grp").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id", "grp")
+    ranked = touches.select(
+        "event_type",
+        "p_value",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+        F.count("*").over(wc).alias("n_touch"),
+    )
+    return ranked.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.round(
+            F.sum(F.when(F.col("rn_first") == 1, F.col("p_value")).otherwise(0.0)), 4
+        ).alias("first_touch_rev"),
+        F.round(
+            F.sum(F.when(F.col("rn_last") == 1, F.col("p_value")).otherwise(0.0)), 4
+        ).alias("last_touch_rev"),
+        F.round(F.sum(F.col("p_value") / F.col("n_touch")), 4).alias("linear_rev"),
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         quantile_cont(cnt, 0.5) AS med
+  FROM hourly GROUP BY event_type
+),
+dev AS (
+  SELECT h.event_type, h.h, h.cnt, s.med, ABS(h.cnt - s.med) AS adev
+  FROM hourly h JOIN stats s USING (event_type)
+),
+mads AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       ROUND(ANY_VALUE(d.med), 4) AS median_cnt,
+       ROUND(ANY_VALUE(m.mad), 4) AS mad,
+       CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       ROUND(MAX(d.adev), 4) AS max_abs_dev
+FROM dev d JOIN mads m USING (event_type)
+GROUP BY d.event_type
+""",
+    category="events",
+    description=(
+        "Robust anomaly detection on the event stream: hourly counts per "
+        "type flagged where |count - median| > 3*MAD — the "
+        "outlier-resistant volume monitor (a traffic spike cannot drag "
+        "its own threshold the way mean/stddev gates do).  Exact "
+        "percentiles run on the (type, hour) rollup, never raw events"
+    ),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level robust stats: the wide pass is the map-side-combinable
+    hourly COUNT (output = |types| x |hours|, corpus-size-independent);
+    median and MAD are exact percentiles over that small rollup.  The
+    same shape drives the streaming DQ monitor
+    (streaming/events_stream.py) in batch form."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.expr("percentile(cnt, 0.5)").alias("med")
+    )
+    dev = hourly.join(stats, "event_type").select(
+        "event_type",
+        "h",
+        "cnt",
+        "med",
+        F.abs(F.col("cnt") - F.col("med")).alias("adev"),
+    )
+    mads = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mads, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.round(F.first("med"), 4).alias("median_cnt"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+            F.round(F.max("adev"), 4).alias("max_abs_dev"),
+        )
+    )

@@ -1391,3 +1391,93 @@ def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t, k in [("lineitem", "l_partkey"), ("orders", "o_custkey")]:
         out = out.unionByName(profile(t, k))
     return out
+
+
+@register(
+    "orders_market_basket",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+freq AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM items GROUP BY l_partkey HAVING COUNT(*) >= 2
+),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN freq f1 ON a.l_partkey = f1.l_partkey
+  JOIN freq f2 ON b.l_partkey = f2.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT p.p1, p.p2, p.support,
+       ROUND(p.support / CAST(f1.cnt AS DOUBLE), 6) AS confidence,
+       ROUND(CAST(p.support * n.n_orders AS DOUBLE) / (f1.cnt * f2.cnt), 4) AS lift
+FROM pairs p
+JOIN freq f1 ON p.p1 = f1.l_partkey
+JOIN freq f2 ON p.p2 = f2.l_partkey
+CROSS JOIN n
+ORDER BY lift DESC, p1, p2 LIMIT 20
+""",
+    category="relational",
+    description=(
+        "Market-basket association rules: part pairs co-purchased in the "
+        "same order, scored by support / confidence / lift, top-20 by "
+        "lift.  Apriori-style pruning — parts below min-support are "
+        "dropped BEFORE the pair self-join, and the join key is the "
+        "order id (basket size bounds fan-out, so no hub-key hazard)"
+    ),
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining Spark-first: distinct (order, part) once, the
+    frequency filter (the Apriori downward-closure prune) applied to
+    BOTH sides before the self-join so infrequent parts never enter the
+    pair space, pair support via one map-side-combinable groupBy.  The
+    1-row order-count aggregate broadcasts (same pattern as the bench's
+    asof_batch bounds).  At 100 TB the self-join fans out per order as
+    basket_size^2/2 — bounded by data semantics, not corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .where(F.col("cnt") >= 2)
+    )
+    a = items.join(freq.select("l_partkey"), "l_partkey").select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p1")
+    )
+    b = items.join(freq.select("l_partkey"), "l_partkey").select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    f1 = freq.select(F.col("l_partkey").alias("p1"), F.col("cnt").alias("cnt1"))
+    f2 = freq.select(F.col("l_partkey").alias("p2"), F.col("cnt").alias("cnt2"))
+    return (
+        pairs.join(f1, "p1")
+        .join(f2, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.round(F.col("support") / F.col("cnt1").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("support") * F.col("n_orders")).cast("double")
+                / (F.col("cnt1") * F.col("cnt2")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "p1", "p2")
+        .limit(20)
+    )

@@ -771,3 +771,73 @@ def vec_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 5)
     )
+
+
+def _pq_recall_oracle_sql() -> str:
+    return f"""
+WITH {_pq_ctes()},
+sl AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, vec_id) AS srnk
+    FROM scored
+  ) WHERE srnk <= 20
+),
+exq AS (SELECT vec_id AS query_id, embedding AS eqv FROM embeddings WHERE vec_id < 3),
+ex AS (
+  SELECT query_id, vec_id FROM (
+    SELECT exq.query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY exq.query_id
+                              ORDER BY {cosine_sql('e.embedding', 'exq.eqv')} DESC,
+                                       e.vec_id) AS rnk
+    FROM embeddings e CROSS JOIN exq WHERE e.vec_id != exq.query_id
+  ) WHERE rnk <= 5
+)
+SELECT ex.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(sl.vec_id) AS BIGINT) AS n_hit,
+       ROUND(COUNT(sl.vec_id) / 5.0, 4) AS recall_at_5
+FROM ex LEFT JOIN sl ON ex.query_id = sl.query_id AND ex.vec_id = sl.vec_id
+GROUP BY ex.query_id
+"""
+
+
+@register(
+    "vec_pq_recall",
+    _pq_recall_oracle_sql(),
+    category="vector",
+    description=(
+        "PQ quality dial: recall@5 of the trained-codebook ADC top-20 "
+        "shortlist against exact cosine top-5, per query — the "
+        "measurement that sizes the shortlist/rerank trade (the PQ "
+        "analog of dedup_minhash_calibration).  Both sides and the "
+        "comparison run in one plan; the exact side is the bounded "
+        "broadcast-NL baseline"
+    ),
+)
+def vec_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall as a relational comparison: LEFT JOIN the exact top-5 onto
+    the ADC shortlist on (query, candidate) and count survivors — no
+    collect, no driver-side set math, so the same plan scales to any
+    query-set size.  Tests pin the trained-codebook recall floor;
+    this query makes the number a driver-checked artifact per round."""
+    from findb_spark.ops.vector import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sl = (
+        pq_adc_topk(emb, k=20)
+        .select("query_id", "vec_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    exact = cosine_topk(emb, _queryset(spark, sf_dir), k=5).select(
+        "query_id", "vec_id"
+    )
+    return (
+        exact.join(sl, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.count("_hit").cast("bigint").alias("n_hit"),
+            F.round(F.count("_hit") / F.lit(5.0), 4).alias("recall_at_5"),
+        )
+    )

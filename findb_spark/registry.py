@@ -61,14 +61,19 @@ _SPECS: dict[str, QuerySpec] = {}
 #: roundtrips (certifying O1-O4/O14 end-to-end, incl. the literal `.db`
 #: B+tree format in both directions), the 7 deferred robust-stats /
 #: time-series queries, the PQ/IVF-PQ ANN family, the remaining dedup /
-#: text / pipeline / events / UDF / DQ tail — followed by 13 re-confirmation
-#: slots: headline (bench-flagged) queries whose only green rows date from
-#: r1/r2, so every benched number in BENCH_r4 is backed by a fresh hard
-#: signal on the current code (this round also touches two of them:
-#: dedup_pair_triangles gained degree orientation, text_heavy_hitters_cms a
-#: single-pass sketch build).  After this window every registered query
-#: carries a driver hard-signal row; from round 5 on the prefix holds new
-#: additions plus a rolling re-confirmation of the headline set.
+#: text / pipeline / events / UDF / DQ tail — then the 8 queries ADDED this
+#: round (chunking, run-lengths, key-skew profile, retention cohorts,
+#: attribution, MAD anomaly monitor, market basket, PQ recall dial), then 5
+#: re-confirmation slots for the most load-bearing headline queries whose
+#: only green rows date from r1 (this round also touches two headline
+#: queries directly: dedup_pair_triangles gained degree orientation,
+#: text_heavy_hitters_cms a single-pass sketch build).  After this window
+#: every query registered BEFORE round 4 carries a driver hard-signal row
+#: and every round-4 addition gets its first one; the remaining headline
+#: re-confirmations (asof_join_shifted, dedup_minhash_lsh,
+#: dedup_ngram_jaccard, dedup_simhash_pairs, events_tumbling_hourly,
+#: vec_ann_lsh, vec_cosine_topk, ts_moving_avg) rotate through the round-5
+#: prefix alongside round-5 additions.
 _CHECK_FIRST: tuple[str, ...] = (
     # ---- the 37 never-driver-checked queries ----
     # source/sink roundtrip certification suite (O1-O4/O14)
@@ -115,20 +120,22 @@ _CHECK_FIRST: tuple[str, ...] = (
     "events_variant_extract",
     "sql_udf_acct_band",
     "dq_documents_audit",
-    # ---- 13 headline re-confirmation rows (bench-flagged, last green r1/r2) ----
+    # ---- the 8 round-4 additions (never driver-checked by definition) ----
+    "text_chunk_windows",
+    "events_run_lengths",
+    "stats_key_skew",
+    "events_retention_cohorts",
+    "events_attribution",
+    "events_anomaly_mad",
+    "orders_market_basket",
+    "vec_pq_recall",
+    # ---- 5 headline re-confirmation rows (bench-flagged, last green r1;
+    # the remaining headline set rotates through the round-5 prefix) ----
     "asof_range",
     "asof_batch",
-    "asof_join_shifted",
     "q1_pricing_summary",
     "dedup_clusters",
     "dedup_jaccard_prefix",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "events_tumbling_hourly",
-    "vec_ann_lsh",
-    "vec_cosine_topk",
-    "ts_moving_avg",
 )
 
 

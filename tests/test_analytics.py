@@ -1,0 +1,166 @@
+"""Hand-built fixtures for the round-4 analytics queries: attribution,
+retention cohorts, MAD anomaly flags, market basket.  The registered
+queries run against the driver tables under the DuckDB oracle gate; these
+tests pin the SEMANTICS on streams small enough to verify by hand."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+TS0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, TS0 + dt.timedelta(hours=h), u, t, float(v), "{}")
+            for i, (h, u, t, v) in enumerate(rows)
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+
+
+def _attribution(spark, ev):
+    """Run the registered events_attribution logic against an in-memory
+    events table by monkey-loading it through a temp view-compatible
+    path: the query fn only needs load_table(...,'events')."""
+    import findb_spark.queries.events_queries as eq
+
+    orig = eq.load_table
+    try:
+        eq.load_table = lambda s, d, n: ev
+        return eq.events_attribution(spark, "unused")
+    finally:
+        eq.load_table = orig
+
+
+def test_attribution_models_tiny_stream(spark):
+    # user 1: click(h0) -> view(h1) -> purchase(h2, $10); view(h200) with NO
+    # later purchase (orphan touch, credited nowhere)
+    # user 2: view(h0) -> purchase(h1, $6) -> click(h2) -> purchase(h3, $9)
+    ev = _ev(
+        spark,
+        [
+            (0, 1, "click", 0),
+            (1, 1, "view", 0),
+            (2, 1, "purchase", 10.0),
+            (200, 1, "view", 0),
+            (0, 2, "view", 0),
+            (1, 2, "purchase", 6.0),
+            (2, 2, "click", 0),
+            (3, 2, "purchase", 9.0),
+        ],
+    )
+    got = {
+        r.channel: (r.n_touches, r.first_touch_rev, r.last_touch_rev, r.linear_rev)
+        for r in _attribution(spark, ev).collect()
+    }
+    # user 1 purchase $10: first=click, last=view, linear 5/5
+    # user 2 purchase $6: only the h0 view -> all models $6
+    # user 2 purchase $9: only the h2 click -> all models $9
+    assert got["click"] == (2, 19.0, 9.0, 14.0)
+    assert got["view"] == (2, 6.0, 16.0, 11.0)
+
+
+def test_attribution_lookback_edge_is_exclusive(spark):
+    # touch exactly 168h before the purchase is OUTSIDE the window
+    # (ts + 168h > p_ts is false at equality); 167h59m is inside
+    ev = _ev(
+        spark,
+        [
+            (0, 1, "click", 0),
+            (168, 1, "purchase", 5.0),
+            (0, 2, "click", 0),
+            (167, 2, "purchase", 7.0),
+        ],
+    )
+    got = {r.channel: r.linear_rev for r in _attribution(spark, ev).collect()}
+    assert got.get("click") == 7.0
+
+
+def test_retention_cohort_matrix_tiny(spark):
+    import findb_spark.queries.events_queries as eq
+
+    # users 1,2 first seen day 0 (user 2 returns day 1); user 3 first seen day 1
+    ev = _ev(
+        spark,
+        [
+            (0, 1, "view", 0),
+            (1, 2, "view", 0),
+            (25, 2, "view", 0),
+            (30, 3, "view", 0),
+        ],
+    )
+    orig = eq.load_table
+    try:
+        eq.load_table = lambda s, d, n: ev
+        rows = eq.events_retention_cohorts(spark, "unused").collect()
+    finally:
+        eq.load_table = orig
+    got = {(r.cohort_day, r.day_n): (r.n_active, r.n_cohort, r.retention) for r in rows}
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert got[("2024-01-02", 0)] == (1, 1, 1.0)
+    assert len(got) == 3
+
+
+def test_anomaly_mad_flags_spike_not_threshold_drag(spark):
+    import findb_spark.queries.events_queries as eq
+
+    # 9 quiet hours of 2 events + one 30-event spike: median stays 2,
+    # MAD stays 0... adev>3*0 flags every deviation, so use counts 1..3
+    # noise and a big spike: median ~2, mad ~1 -> only the spike flagged
+    rows = []
+    counts = [1, 2, 3, 2, 1, 2, 3, 2, 1, 30]
+    for h, c in enumerate(counts):
+        for k in range(c):
+            rows.append((h, 1, "view", 0))
+    ev = _ev(spark, rows)
+    orig = eq.load_table
+    try:
+        eq.load_table = lambda s, d, n: ev
+        r = eq.events_anomaly_mad(spark, "unused").collect()[0]
+    finally:
+        eq.load_table = orig
+    assert r.n_hours == 10
+    assert r.median_cnt == 2.0
+    assert r.n_anomalies == 1
+    assert r.max_abs_dev == 28.0
+
+
+def test_market_basket_support_confidence_lift(spark):
+    import findb_spark.queries.relational as rel
+
+    # 4 orders: {A,B} x3, {A,C} x1 -> pair (A,B) support 3;
+    # (A,C) support 1 -> pruned by min-support 2
+    rows = []
+    baskets = [(1, ["A", "B"]), (2, ["A", "B"]), (3, ["A", "B"]), (4, ["A", "C"])]
+    part_ids = {"A": 101, "B": 102, "C": 103}
+    ln = 0
+    for ok, parts in baskets:
+        for p in parts:
+            ln += 1
+            rows.append((ok, part_ids[p], 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", TS0))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+    orig = rel.load_table
+    try:
+        rel.load_table = lambda s, d, n: li
+        got = rel.orders_market_basket(spark, "unused").collect()
+    finally:
+        rel.load_table = orig
+    assert len(got) == 1
+    r = got[0]
+    assert (r.p1, r.p2, r.support) == (101, 102, 3)
+    # confidence = 3/4 (A appears in 4 orders); lift = 3*4/(4*3) = 1.0
+    assert r.confidence == 0.75
+    assert r.lift == 1.0
