@@ -40,6 +40,23 @@ def tumbling_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
     )
 
 
+def session_events(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Event-level session assignment (the building block under
+    :func:`sessionize` and the path-analysis queries): every event row
+    plus ``tus`` (epoch micros) and its ``session_num`` under the
+    strictly-greater gap rule.  One shuffle on user_id; both windows
+    reuse the same sort."""
+    e = with_micros(events)
+    order = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    prev = F.lag("tus").over(order)
+    flagged = e.withColumn(
+        "is_start",
+        F.when(prev.isNull() | ((F.col("tus") - prev) > gap_us), 1).otherwise(0),
+    )
+    running = order.rowsBetween(Window.unboundedPreceding, 0)
+    return flagged.withColumn("session_num", F.sum("is_start").over(running))
+
+
 def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     """Gap-based sessionization: a session breaks after `gap_us` of
     inactivity per user. Returns per-session stats.
@@ -52,15 +69,7 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     tests/test_streaming.py::test_sessionize_exact_gap_boundary_matches_session_window
     (an availableNow replay of session_window over micros-precise
     boundary events merges at == gap and splits at gap + 1µs)."""
-    e = with_micros(events)
-    order = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    prev = F.lag("tus").over(order)
-    flagged = e.withColumn(
-        "is_start",
-        F.when(prev.isNull() | ((F.col("tus") - prev) > gap_us), 1).otherwise(0),
-    )
-    running = order.rowsBetween(Window.unboundedPreceding, 0)
-    sessions = flagged.withColumn("session_num", F.sum("is_start").over(running))
+    sessions = session_events(events, gap_us)
     return (
         sessions.groupBy("user_id", "session_num")
         .agg(

@@ -599,12 +599,15 @@ FROM ret r JOIN sizes s USING (cohort_date)
 """,
     category="events",
     description=(
-        "Cohort retention matrix: users grouped by first-seen date, "
-        "fraction still active N days later — the standard "
-        "product-analytics retention triangle.  Two-level aggregation: "
-        "the wide passes (first-seen, distinct active days) shuffle on "
-        "user_id once each and co-partition the join; the (cohort, "
-        "offset) matrix is tiny at any corpus size"
+        "Cohort retention matrix with NORMALIZED ratios: users grouped by "
+        "first-seen date, active-user count AND retained fraction "
+        "(n_active/n_cohort) per day offset — the product metric form of "
+        "the raw count triangle `events_retention` produces (that query "
+        "stays as the counts-only shape; this one adds the cohort-size "
+        "join + ratio).  Two-level aggregation: the wide passes "
+        "(first-seen, distinct active days) shuffle on user_id once each "
+        "and co-partition the join; the (cohort, offset) matrix is tiny "
+        "at any corpus size"
     ),
 )
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -789,7 +792,8 @@ GROUP BY d.event_type
         "Robust anomaly detection on the event stream: hourly counts per "
         "type flagged where |count - median| > 3*MAD — the "
         "outlier-resistant volume monitor (a traffic spike cannot drag "
-        "its own threshold the way mean/stddev gates do).  Exact "
+        "its own threshold the way mean/stddev gates do; the robust twin "
+        "of the per-user z-score gate `events_hourly_anomaly`).  Exact "
         "percentiles run on the (type, hour) rollup, never raw events"
     ),
 )
@@ -830,4 +834,94 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_anomalies"),
             F.round(F.max("adev"), 4).alias("max_abs_dev"),
         )
+    )
+
+
+@register(
+    "events_session_paths",
+    """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+s AS (
+  SELECT user_id, event_id, event_type, tus,
+         CASE WHEN LAG(tus) OVER w IS NULL
+                OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_start
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+g AS (
+  SELECT user_id, event_id, event_type, tus,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+  FROM s
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_num
+                               ORDER BY tus, event_id) AS rn
+  FROM g
+),
+per AS (
+  SELECT user_id, session_num,
+         string_agg(CASE WHEN rn <= 3 THEN event_type END, '>' ORDER BY rn) AS path,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
+  FROM r GROUP BY 1, 2
+)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(has_p) AS BIGINT) AS n_converted,
+       ROUND(SUM(has_p) / CAST(COUNT(*) AS DOUBLE), 6) AS conv_rate
+FROM per GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 20
+""",
+    category="events",
+    description=(
+        "User-journey path analysis: the top 20 session-opening paths "
+        "(first 3 event types per gap-session, in order) with session "
+        "count and purchase-conversion rate — the Sankey-diagram feed.  "
+        "Built on the SAME strictly-greater gap rule the sessionize "
+        "suite pins against native session_window"
+    ),
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining Spark-first: `ops.events.session_events` assigns
+    sessions in one user_id sort; the per-session path is array algebra
+    (sort_array of (rank, type) structs -> slice -> array_join), so the
+    second aggregation groups by a bounded-cardinality string, never
+    re-sorting events.  Conversion is computed over the WHOLE session
+    (a purchase at step 7 still counts for its opening path)."""
+    from findb_spark.ops.events import session_events
+
+    ev = load_table(spark, sf_dir, "events")
+    g = session_events(ev)
+    wn = Window.partitionBy("user_id", "session_num").orderBy("tus", "event_id")
+    r = g.select(
+        "user_id",
+        "session_num",
+        "event_type",
+        F.row_number().over(wn).alias("rn"),
+    )
+    per = r.groupBy("user_id", "session_num").agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s.getField("rn") <= 3,
+                ),
+                lambda s: s.getField("event_type"),
+            ),
+            ">",
+        ).alias("path"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_p"),
+    )
+    return (
+        per.groupBy("path")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("has_p").cast("bigint").alias("n_converted"),
+            F.round(
+                F.sum("has_p") / F.count("*").cast("double"), 6
+            ).alias("conv_rate"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
     )

@@ -129,11 +129,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     "events_anomaly_mad",
     "orders_market_basket",
     "vec_pq_recall",
-    # ---- 5 headline re-confirmation rows (bench-flagged, last green r1;
+    "events_session_paths",
+    # ---- 4 headline re-confirmation rows (bench-flagged, last green r1;
     # the remaining headline set rotates through the round-5 prefix) ----
     "asof_range",
     "asof_batch",
-    "q1_pricing_summary",
     "dedup_clusters",
     "dedup_jaccard_prefix",
 )
