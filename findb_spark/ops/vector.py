@@ -112,6 +112,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (F.sqrt(na) * F.sqrt(nb))
 
 
+def cosine_expr(a: str, b: str, dim: int = DIM) -> Column:
+    """:func:`cosine` over plain column NAMES (see :func:`fxp_dot_expr`):
+    the identical dot/(sqrt*sqrt) float-op tree, one py4j call."""
+    return (fxp_dot_expr(a, b, dim).cast("double") / FXP_SCALE) / (
+        F.sqrt(fxp_dot_expr(a, a, dim).cast("double") / FXP_SCALE)
+        * F.sqrt(fxp_dot_expr(b, b, dim).cast("double") / FXP_SCALE)
+    )
+
+
 def cosine_sql(a: str, b: str, dim: int = DIM) -> str:
     return (
         f"({fxp_dot_sql(a, b, dim)} / {FXP_SCALE}.0) / "
@@ -310,7 +319,7 @@ def assign_to_centroids(emb: DataFrame, cents: DataFrame) -> DataFrame:
         "vec_id",
         "embedding",
         "cent_id",
-        cosine(F.col("embedding"), F.col("cvec")).alias("_cos"),
+        cosine_expr("embedding", "cvec").alias("_cos"),
     )
     return (
         j.groupBy("vec_id")
@@ -380,7 +389,7 @@ def kmeans_cluster_profile(emb: DataFrame, n_cent: int = IVF_K) -> DataFrame:
     asg2 = emb.crossJoin(F.broadcast(cents1)).select(
         "vec_id",
         "cent_id",
-        cosine(F.col("embedding"), F.col("cvec")).alias("_cos"),
+        cosine_expr("embedding", "cvec").alias("_cos"),
     )
     best = asg2.groupBy("vec_id").agg(
         F.max_by(
@@ -439,7 +448,7 @@ def ivf_topk(
             "qv",
             "_qnrm",
             "cent_id",
-            cosine(F.col("qv"), F.col("cvec")).alias("_ccos"),
+            cosine_expr("qv", "cvec").alias("_ccos"),
         )
         .withColumn("_pr", F.row_number().over(pw))
         .where(F.col("_pr") <= nprobe)

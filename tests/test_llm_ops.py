@@ -427,3 +427,45 @@ def test_pq_encode_kernels_bit_equal(spark, sf_dir):
     }
     assert spec == sql_k
     assert spec == arrow_k
+
+
+def test_string_built_fxp_kernels_bit_equal_to_dsl(spark, sf_dir):
+    """fxp_dot_expr / norm_expr / cosine_expr (server-side-parsed string
+    forms, one py4j call) must be BIT-EQUAL to the Column-DSL spec forms
+    on real embeddings — same Floor/Multiply/Add tree, only the
+    construction path differs."""
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.vector import (
+        FXP_SCALE,
+        cosine,
+        cosine_expr,
+        fxp_dot,
+        fxp_dot_expr,
+        norm,
+        norm_expr,
+    )
+    from findb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    j = emb.crossJoin(F.broadcast(q))
+    rows = j.select(
+        "vec_id",
+        "qid",
+        (fxp_dot(F.col("embedding"), F.col("qv")) - fxp_dot_expr("embedding", "qv")).alias("d_dot"),
+        (norm(F.col("embedding")) - norm_expr("embedding")).alias("d_norm"),
+        (
+            cosine(F.col("embedding"), F.col("qv"))
+            - cosine_expr("embedding", "qv")
+        ).alias("d_cos"),
+    ).agg(
+        F.max(F.abs("d_dot")).alias("dot"),
+        F.max(F.abs("d_norm")).alias("nrm"),
+        F.max(F.abs("d_cos")).alias("cos"),
+    ).first()
+    assert rows.dot == 0
+    assert rows.nrm == 0.0
+    assert rows.cos == 0.0
