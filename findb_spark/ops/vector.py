@@ -916,7 +916,9 @@ def pq_train(nv: DataFrame, cbw: DataFrame | list) -> DataFrame:
     return spark.createDataFrame(out, cb_schema)
 
 
-def pq_adc_topk(emb: DataFrame, k: int = 5, train: bool = True) -> DataFrame:
+def pq_adc_topk(
+    emb: DataFrame, k: int = 5, train: bool = True, kernel: str = "arrow"
+) -> DataFrame:
     """PQ-ADC approximate top-k for the standard query set (vec_id < 3).
 
     Plan: normalize once (unit-vector L2 ranks identically to cosine);
@@ -929,7 +931,15 @@ def pq_adc_topk(emb: DataFrame, k: int = 5, train: bool = True) -> DataFrame:
     cross-engine).  At 100 TB the scored relation reads only the 8-code
     table, not the embeddings — the I/O win PQ exists for; pair with IVF
     coarse clustering (ivf_assign) to also shrink the candidate set, and
-    exact-rerank the ADC shortlist where final ordering matters."""
+    exact-rerank the ADC shortlist where final ordering matters.
+
+    ``kernel`` picks the corpus-encode implementation — both pinned
+    BIT-EQUAL by tests/test_llm_ops.py: "arrow" (default,
+    :func:`pq_encode_arrow` — vectorized numpy over Arrow batches; wins
+    end-to-end already at sf0.1, 5.5s vs 6.6s, and by orders of
+    magnitude on large corpora where per-row HOF interpretation
+    dominates) or "sql" (:func:`pq_encode` — zero Python boundary, the
+    right choice where Python workers are unavailable)."""
     # codebooks are PQ_K rows by construction (bounded, corpus-size-
     # independent): collected ONCE here (two tiny jobs — init sample +
     # one Lloyd round) and re-shipped as the 1-row broadcast _cb array.
@@ -943,7 +953,8 @@ def pq_adc_topk(emb: DataFrame, k: int = 5, train: bool = True) -> DataFrame:
         cb_rows = pq_train(nv, cb_rows).collect()
     cw = _cb_lists(cb_rows)
     cbdf = _cb_onerow(emb.sparkSession, cw)
-    codes = pq_encode(nv, cb_rows)
+    enc = pq_encode_arrow if kernel == "arrow" else pq_encode
+    codes = enc(nv, cb_rows)
     q = nv.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
     )
@@ -970,7 +981,11 @@ def pq_adc_topk(emb: DataFrame, k: int = 5, train: bool = True) -> DataFrame:
 
 
 def pq_search(
-    emb: DataFrame, k: int = 5, shortlist: int = 50, train: bool = True
+    emb: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    train: bool = True,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Production PQ search shape: ADC shortlist (integer lookups over the
     compressed code table) -> exact cosine rerank of only the shortlist
@@ -980,7 +995,9 @@ def pq_search(
     (queries x shortlist)-row join back to the embedding table.  Recall =
     P(true top-k inside the ADC shortlist); tests pin the trained-codebook
     recall floor and the improvement over the untrained sample."""
-    sl = pq_adc_topk(emb, k=shortlist, train=train).select("query_id", "vec_id")
+    sl = pq_adc_topk(emb, k=shortlist, train=train, kernel=kernel).select(
+        "query_id", "vec_id"
+    )
     base = emb.select("vec_id", "embedding").withColumn(
         "_nrm", norm_expr("embedding")
     )
@@ -999,7 +1016,9 @@ def pq_search(
     )
 
 
-def ivf_pq_topk(emb: DataFrame, k: int = 5, train: bool = True) -> DataFrame:
+def ivf_pq_topk(
+    emb: DataFrame, k: int = 5, train: bool = True, kernel: str = "arrow"
+) -> DataFrame:
     """IVF-PQ (the FAISS IVFPQ architecture, Jegou TPAMI'11 §V): coarse
     IVF clustering bounds WHICH candidates are scored (the query's
     assigned cluster only, nprobe=1), product quantization bounds WHAT is
@@ -1024,7 +1043,8 @@ def ivf_pq_topk(emb: DataFrame, k: int = 5, train: bool = True) -> DataFrame:
         cb_rows = pq_train(nv, cb_rows).collect()
     cw = _cb_lists(cb_rows)
     cbdf = _cb_onerow(emb.sparkSession, cw)
-    codes = pq_encode(nv, cb_rows).join(clusters, "vec_id")
+    enc = pq_encode_arrow if kernel == "arrow" else pq_encode
+    codes = enc(nv, cb_rows).join(clusters, "vec_id")
 
     q = nv.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
