@@ -61,9 +61,10 @@ _SPECS: dict[str, QuerySpec] = {}
 #: roundtrips (certifying O1-O4/O14 end-to-end, incl. the literal `.db`
 #: B+tree format in both directions), the 7 deferred robust-stats /
 #: time-series queries, the PQ/IVF-PQ ANN family, the remaining dedup /
-#: text / pipeline / events / UDF / DQ tail — then the 8 queries ADDED this
+#: text / pipeline / events / UDF / DQ tail — then the 9 queries ADDED this
 #: round (chunking, run-lengths, key-skew profile, retention cohorts,
-#: attribution, MAD anomaly monitor, market basket, PQ recall dial), then 5
+#: attribution, MAD anomaly monitor, market basket, PQ recall dial, session
+#: paths), then 4
 #: re-confirmation slots for the most load-bearing headline queries whose
 #: only green rows date from r1 (this round also touches two headline
 #: queries directly: dedup_pair_triangles gained degree orientation,
@@ -120,7 +121,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "events_variant_extract",
     "sql_udf_acct_band",
     "dq_documents_audit",
-    # ---- the 8 round-4 additions (never driver-checked by definition) ----
+    # ---- the 9 round-4 additions (never driver-checked by definition) ----
     "text_chunk_windows",
     "events_run_lengths",
     "stats_key_skew",
