@@ -597,10 +597,9 @@ SELECT query_id, vec_id, adc_dist, rnk FROM (
         "compressed to 8 codes (32x memory), queries scored via ADC "
         "lookup tables — integer adds per candidate, no float math; the "
         "index-in-RAM scale path for 100 TB corpora.  Not a bench "
-        "headline: ~6s of its wall is fixed driver-side codebook "
-        "construction that amortizes across queries (index built once), "
-        "which at sf0.1 would drown the data-proportional signal the "
-        "bench exists to track"
+        "headline (vec_pq_search, the shortlist+rerank production shape "
+        "over the same pipeline, is the tracked number); its fixed "
+        "codebook-build cost amortizes across queries — index built once"
     ),
 )
 def vec_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:

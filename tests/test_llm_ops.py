@@ -469,3 +469,16 @@ def test_string_built_fxp_kernels_bit_equal_to_dsl(spark, sf_dir):
     assert rows.dot == 0
     assert rows.nrm == 0.0
     assert rows.cos == 0.0
+
+
+def test_pq_adc_kernels_agree_end_to_end(spark, sf_dir):
+    """The full ADC top-k must be IDENTICAL under both corpus-encode
+    kernels (kernel='arrow' default vs kernel='sql') — same codes, same
+    integer ADC distances, same ranking."""
+    from findb_spark.ops.vector import pq_adc_topk
+    from findb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, pq_adc_topk(emb, k=20, kernel="arrow").collect()))
+    s = sorted(map(tuple, pq_adc_topk(emb, k=20, kernel="sql").collect()))
+    assert a == s
