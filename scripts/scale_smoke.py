@@ -169,6 +169,45 @@ def replicate_embeddings(spark, factor: int) -> str:
     return WORK
 
 
+def replicate_events(spark, factor: int) -> str:
+    """Union `factor` user_id-shifted copies: each copy is a disjoint user
+    population in the same time window, so the per-user analytics shapes
+    (sessionization, attribution, retention) scale by user count — the
+    honest growth axis for an event stream — while per-user stream
+    density stays realistic."""
+    ev = load_table(spark, BASE_SF, "events")
+    max_user = ev.agg(F.max("user_id")).first()[0]
+    max_event = ev.agg(F.max("event_id")).first()[0]
+    copies = [
+        ev.withColumn("user_id", F.col("user_id") + F.lit(i * (max_user + 1)))
+        .withColumn("event_id", F.col("event_id") + F.lit(i * (max_event + 1)))
+        for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    path = f"{WORK}/events.parquet"
+    out.write.mode("overwrite").parquet(path)
+    return WORK
+
+
+def events_workload(spark, sf_dir: str) -> dict[str, float]:
+    from findb_spark.registry import all_specs
+
+    specs = all_specs()
+    return {
+        # one user_id sort + reverse-cumsum conversion grouping: must
+        # scale with user count, no time-range self-join blowup
+        "attribution": timed(
+            lambda: specs["events_attribution"].fn(spark, sf_dir).count()
+        ),
+        # session assignment + per-session path array algebra
+        "session_paths": timed(
+            lambda: specs["events_session_paths"].fn(spark, sf_dir).count()
+        ),
+    }
+
+
 def vector_workload(spark, sf_dir: str) -> dict[str, float]:
     from findb_spark.ops.vector import pq_adc_topk
 
@@ -191,9 +230,12 @@ def main() -> None:
     base.update(dedup_workload(spark, BASE_SF))
     vector_workload(spark, BASE_SF)  # warm-up
     base.update(vector_workload(spark, BASE_SF))
+    events_workload(spark, BASE_SF)  # warm-up
+    base.update(events_workload(spark, BASE_SF))
     scaled_dir = replicate_lineitem(spark, factor)
     replicate_documents(spark, factor)
     replicate_embeddings(spark, factor)
+    replicate_events(spark, factor)
     rows = spark.read.parquet(f"{scaled_dir}/lineitem.parquet").count()
     workload(spark, scaled_dir)  # warm-up the scaled plans too
     scaled = workload(spark, scaled_dir)
@@ -201,6 +243,8 @@ def main() -> None:
     scaled.update(dedup_workload(spark, scaled_dir))
     vector_workload(spark, scaled_dir)  # warm-up
     scaled.update(vector_workload(spark, scaled_dir))
+    events_workload(spark, scaled_dir)  # warm-up
+    scaled.update(events_workload(spark, scaled_dir))
     print(
         json.dumps(
             {
