@@ -33,7 +33,7 @@ clearCache() between sweeps.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from findb_spark.functions.hashing import hash48, perm_hash, permutation_params
 from findb_spark.ops.text import shingles_of
@@ -555,3 +555,67 @@ def minhash_lsh_pairs_incremental(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return _verify_pairs(cand, arrs, threshold)
+
+
+def substring_run_stats(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Per-document duplicated-substring profile at n-gram-window
+    granularity — the window-level approximation of exact-substring
+    training-data dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499): a position's n-token
+    window is *duplicated* when the identical window occurs at >= 2
+    positions corpus-wide (other docs or elsewhere in the same doc), and
+    consecutive duplicated positions chain into runs — a long run is a
+    long verbatim shared span, the removal target of substring dedup.
+
+    Output per doc (docs shorter than ``n`` tokens have no windows and
+    are absent): ``n_windows``, ``n_dup_windows``, ``dup_frac``,
+    ``max_run`` (longest consecutive duplicated-position run, 0 if none).
+
+    Scale shape (100 TB posture): one explode to (doc_id, pos, h48),
+    one map-side-combinable occurrence count on the 8-byte window hash,
+    one equi-join back on the hash, then per-doc aggregation — the run
+    window only scans each doc's own duplicated positions. Everything is
+    linear in corpus token count; no pairwise expansion exists anywhere
+    (the suffix-array of the batch formulation is replaced by the
+    hash-occurrence join, the standard distributed reformulation)."""
+    from pyspark.storagelevel import StorageLevel
+
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    # doc_id + pos + 8-byte hash: persisted so the corpus text is scanned
+    # and shingled exactly ONCE — both the occurrence count and the join
+    # probe side read the cached relation (module persist convention).
+    pos = (
+        toks.select(
+            "doc_id", F.posexplode(shingles_of(F.col("toks"), n)).alias("pos", "sh")
+        )
+        .select("doc_id", "pos", hash48(F.col("sh")).alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    occ = pos.groupBy("h").agg(F.count("*").alias("occ"))
+    # doc_id + pos + bool: tiny; reused by the per-doc count and the run
+    # chain below.
+    flagged = (
+        pos.join(occ, "h")
+        .select("doc_id", "pos", (F.col("occ") >= 2).alias("dup"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.col("dup").cast("long")).alias("n_dup_windows"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        flagged.where(F.col("dup"))
+        .withColumn("g", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("max_run"))
+    )
+    return per_doc.join(runs, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        (F.col("n_dup_windows").cast("double") / F.col("n_windows")).alias("dup_frac"),
+        F.coalesce(F.col("max_run"), F.lit(0)).cast("long").alias("max_run"),
+    )

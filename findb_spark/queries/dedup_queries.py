@@ -946,3 +946,50 @@ def dedup_pair_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "dedup_substring_runs",
+    f"""
+WITH t AS (SELECT doc_id, {shingles_duck('text', 5)} AS sh FROM documents),
+x AS (
+  SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS pos
+  FROM t WHERE len(sh) >= 1
+),
+ph AS (SELECT doc_id, pos, {hash48_duck('sh[pos]')} AS h FROM x),
+occ AS (SELECT h, COUNT(*) AS occ FROM ph GROUP BY h),
+f AS (SELECT doc_id, pos, (occ >= 2) AS dup FROM ph JOIN occ USING (h)),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+         CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+  FROM f GROUP BY doc_id
+),
+runs AS (
+  SELECT doc_id, MAX(run_len) AS max_run FROM (
+    SELECT doc_id, g, COUNT(*) AS run_len FROM (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM f WHERE dup
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_windows, d.n_dup_windows,
+       CAST(d.n_dup_windows AS DOUBLE) / d.n_windows AS dup_frac,
+       COALESCE(r.max_run, 0) AS max_run
+FROM per_doc d LEFT JOIN runs r USING (doc_id)
+""",
+    category="dedup",
+    description=(
+        "Exact-substring dedup profile at 5-token-window granularity "
+        "(Lee et al. arXiv:2107.06499 reformulated distributed): per doc, "
+        "the fraction of token windows duplicated anywhere in the corpus "
+        "and the longest consecutive duplicated run — the verbatim shared "
+        "span length substring dedup would cut; suffix-array matching "
+        "becomes a hash-occurrence join (explode + 8-byte-key count + "
+        "join back), linear in corpus tokens with no pairwise expansion"
+    ),
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.dedup import substring_run_stats
+
+    return substring_run_stats(load_table(spark, sf_dir, "documents"), n=5)

@@ -645,3 +645,85 @@ def roundtrip_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             fxp_sum(F.col("value"), "sum_value"),
         )
     )
+
+
+@register(
+    "roundtrip_stream_dedup",
+    """
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+FROM events
+""",
+    category="roundtrip",
+    description=(
+        "Streaming-dedup hard signal: the events file read as TWO "
+        "independent file streams, unioned (an at-least-once source "
+        "delivering every event twice), then "
+        "dropDuplicatesWithinWatermark on event_id replayed availableNow "
+        "— the result must equal the events table itself, row for row; "
+        "without the dedup the count would be exactly 2x, so a green row "
+        "certifies bounded-state streaming dedup end-to-end"
+    ),
+)
+def roundtrip_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.streaming.events_stream import (
+        dedup_stream,
+        read_events_stream,
+    )
+
+    # Two separate readStream sources over the same file model redelivery:
+    # the duplicate pairs carry identical event time, so they are always
+    # within any watermark of each other and dedup is guaranteed (the
+    # dropDuplicatesWithinWatermark contract).
+    doubled = read_events_stream(spark, sf_dir).unionAll(
+        read_events_stream(spark, sf_dir)
+    )
+    name = _replay_to_memory(dedup_stream(doubled), mode="append")
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+    )
+
+
+@register(
+    "roundtrip_stream_join",
+    """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       epoch_us(v.ts) AS view_ts_us,
+       epoch_us(c.ts) AS click_ts_us
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+""",
+    category="roundtrip",
+    description=(
+        "Stream-stream join hard signal: each view matched to the same "
+        "user's clicks within 30 minutes, both sides watermarked so join "
+        "state expires, replayed availableNow — must equal the batch "
+        "interval self-join the oracle computes; certifies watermark-"
+        "bounded stream-stream join semantics (state expiry + event-time "
+        "interval condition) under the driver, not just pytest"
+    ),
+)
+def roundtrip_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.streaming.events_stream import (
+        read_events_stream,
+        view_click_join_stream,
+    )
+
+    joined = view_click_join_stream(read_events_stream(spark, sf_dir))
+    name = _replay_to_memory(joined, mode="append")
+    return spark.table(name).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.unix_micros(F.col("view_ts")).alias("view_ts_us"),
+        F.unix_micros(F.col("click_ts")).alias("click_ts_us"),
+    )

@@ -61,20 +61,21 @@ _SPECS: dict[str, QuerySpec] = {}
 #: roundtrips (certifying O1-O4/O14 end-to-end, incl. the literal `.db`
 #: B+tree format in both directions), the 7 deferred robust-stats /
 #: time-series queries, the PQ/IVF-PQ ANN family, the remaining dedup /
-#: text / pipeline / events / UDF / DQ tail — then the 9 queries ADDED this
+#: text / pipeline / events / UDF / DQ tail — then the 12 queries ADDED this
 #: round (chunking, run-lengths, key-skew profile, retention cohorts,
 #: attribution, MAD anomaly monitor, market basket, PQ recall dial, session
-#: paths), then 4
-#: re-confirmation slots for the most load-bearing headline queries whose
-#: only green rows date from r1 (this round also touches two headline
-#: queries directly: dedup_pair_triangles gained degree orientation,
-#: text_heavy_hitters_cms a single-pass sketch build).  After this window
-#: every query registered BEFORE round 4 carries a driver hard-signal row
-#: and every round-4 addition gets its first one; the remaining headline
-#: re-confirmations (asof_join_shifted, dedup_minhash_lsh,
-#: dedup_ngram_jaccard, dedup_simhash_pairs, events_tumbling_hourly,
-#: vec_ann_lsh, vec_cosine_topk, ts_moving_avg) rotate through the round-5
-#: prefix alongside round-5 additions.
+#: paths, substring-run dedup, streaming dedup + stream-stream join
+#: roundtrips), then re-confirmation slots for the most load-bearing
+#: headline queries whose only green rows date from r1 (this round also
+#: touches two headline queries directly: dedup_pair_triangles gained
+#: degree orientation, text_heavy_hitters_cms a single-pass sketch build).
+#: After this window every query registered BEFORE round 4 carries a
+#: driver hard-signal row and every round-4 addition gets its first one;
+#: the names past the driver's 50-slot window (the re-confirmation tail)
+#: plus the remaining headline re-confirmations (asof_join_shifted,
+#: dedup_minhash_lsh, dedup_ngram_jaccard, dedup_simhash_pairs,
+#: events_tumbling_hourly, vec_ann_lsh, vec_cosine_topk, ts_moving_avg)
+#: rotate through the round-5 prefix alongside round-5 additions.
 _CHECK_FIRST: tuple[str, ...] = (
     # ---- the 37 never-driver-checked queries ----
     # source/sink roundtrip certification suite (O1-O4/O14)
@@ -131,8 +132,12 @@ _CHECK_FIRST: tuple[str, ...] = (
     "orders_market_basket",
     "vec_pq_recall",
     "events_session_paths",
-    # ---- 4 headline re-confirmation rows (bench-flagged, last green r1;
-    # the remaining headline set rotates through the round-5 prefix) ----
+    "dedup_substring_runs",
+    "roundtrip_stream_dedup",
+    "roundtrip_stream_join",
+    # ---- headline re-confirmation rows (bench-flagged, last green r1;
+    # names past the driver's 50-slot window roll to the round-5 prefix
+    # with the rest of the headline set) ----
     "asof_range",
     "asof_batch",
     "dedup_clusters",

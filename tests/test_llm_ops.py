@@ -482,3 +482,30 @@ def test_pq_adc_kernels_agree_end_to_end(spark, sf_dir):
     a = sorted(map(tuple, pq_adc_topk(emb, k=20, kernel="arrow").collect()))
     s = sorted(map(tuple, pq_adc_topk(emb, k=20, kernel="sql").collect()))
     assert a == s
+
+
+def test_substring_run_stats_runs_and_fractions(spark):
+    """Hand-computable corpus for the window-level substring-dedup profile:
+    doc 1 and 2 share a verbatim 8-token prefix (4 consecutive duplicated
+    5-token windows -> max_run 4); doc 3 shares nothing; doc 4 is a
+    4-token doc (< n) and must be absent."""
+    from findb_spark.ops.dedup import substring_run_stats
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, shared + " one two three"),
+        (2, shared + " four five six"),
+        (3, "totally unrelated words that never repeat anywhere at all"),
+        (4, "too short for windows"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in substring_run_stats(docs, n=5).collect()}
+    assert set(out) == {1, 2, 3}
+    # 11 tokens -> 7 windows; windows starting in the shared prefix
+    # (positions 1-4 of the 8-token span) are duplicated across docs 1/2
+    for d in (1, 2):
+        assert out[d].n_windows == 7
+        assert out[d].n_dup_windows == 4
+        assert out[d].max_run == 4
+        assert out[d].dup_frac == pytest.approx(4 / 7)
+    assert out[3].n_dup_windows == 0 and out[3].max_run == 0

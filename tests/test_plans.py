@@ -305,3 +305,18 @@ def test_retention_no_cartesian_and_bounded_shape(spark):
     assert "BroadcastNestedLoopJoin" not in p
     ex = re.findall(r"^\(\d+\) Exchange", p, flags=re.M)
     assert len(ex) <= 6
+
+
+def test_substring_runs_no_pairwise_expansion(spark):
+    """The substring-dedup profile must stay linear in corpus tokens: the
+    duplicated-window decision is a hash-occurrence equi-join, never any
+    pairwise doc x doc form — no cartesian/nested-loop node anywhere, and
+    the whole query touches the documents parquet exactly once (the
+    flagged relation is persisted and reused by both aggregates)."""
+    import re
+
+    p = _plan(spark, "dedup_substring_runs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)
+    assert len(scans) == 1, f"expected 1 parquet scan, got {len(scans)}:\n{p}"
