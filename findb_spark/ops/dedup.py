@@ -619,3 +619,65 @@ def substring_run_stats(docs: DataFrame, n: int = 5) -> DataFrame:
         (F.col("n_dup_windows").cast("double") / F.col("n_windows")).alias("dup_frac"),
         F.coalesce(F.col("max_run"), F.lit(0)).cast("long").alias("max_run"),
     )
+
+
+def cdc_chunk_stats(docs: DataFrame, gear_mod: int = 16) -> DataFrame:
+    """Content-defined chunking dedup profile (the FastCDC/LBFS idea at
+    token granularity): a chunk boundary falls AFTER every token whose
+    hash is ``0 mod gear_mod``, so boundaries are decided by content, not
+    position — inserting or deleting tokens re-chunks only the affected
+    chunk, while every other chunk's text (and therefore its dedup hash)
+    is unchanged.  Fixed-width windows (``chunk_dup_stats``) lose
+    alignment after one insertion; CDC is the standard fix in dedup
+    storage systems and near-dup curation pipelines alike.
+
+    Per doc: chunk count, chunks whose exact text occurs in >= 2 distinct
+    docs, duplicated fraction, and the largest chunk size (expected chunk
+    length is ``gear_mod`` tokens; the max pins the pathological-run
+    tail).
+
+    Scale shape: one explode to (doc_id, pos, tok), one per-doc running
+    sum (window, no self-join) to assign chunk ids, one groupBy to
+    rebuild chunk text, one map-side-combinable document-frequency
+    aggregate on the chunk key, one join back.  All linear; the join key
+    is raw chunk text for oracle exactness — pre-hash with ``xxhash64``
+    at 100 TB exactly as documented on ``chunk_dup_stats``."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    flagged = toks.withColumn(
+        "b", ((hash48(F.col("tok")) % gear_mod) == 0).cast("long")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunks = flagged.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum("b").over(w), F.lit(0)).alias("chunk_id"),
+    )
+    agg = chunks.groupBy("doc_id", "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("chunk"),
+        F.count("*").alias("n_toks"),
+    )
+    dfreq = agg.groupBy("chunk").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.sum((F.col("nd") >= 2).cast("long"))
+    return (
+        agg.join(dfreq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+            (dup.cast("double") / F.count("*")).alias("dup_frac"),
+            F.max("n_toks").alias("max_chunk_tokens"),
+        )
+    )

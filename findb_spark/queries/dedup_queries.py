@@ -993,3 +993,55 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from findb_spark.ops.dedup import substring_run_stats
 
     return substring_run_stats(load_table(spark, sf_dir, "documents"), n=5)
+
+
+@register(
+    "dedup_cdc_chunks",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+x AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM t),
+tk AS (SELECT doc_id, pos, toks[pos] AS tok FROM x),
+fl AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN {hash48_duck('tok')} % 16 = 0 THEN 1 ELSE 0 END AS b
+  FROM tk
+),
+ch AS (
+  SELECT doc_id, pos, tok,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS chunk_id
+  FROM fl
+),
+agg AS (
+  SELECT doc_id, chunk_id,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk,
+         COUNT(*) AS n_toks
+  FROM ch GROUP BY doc_id, chunk_id
+),
+dfreq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM agg GROUP BY chunk)
+SELECT a.doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_frac,
+       MAX(a.n_toks) AS max_chunk_tokens
+FROM agg a JOIN dfreq d USING (chunk)
+GROUP BY a.doc_id
+""",
+    category="dedup",
+    description=(
+        "Content-defined chunking dedup profile (FastCDC/LBFS at token "
+        "granularity): chunk boundaries fall after tokens whose hash is "
+        "0 mod 16, so an insertion re-chunks only its own chunk and every "
+        "other chunk's dedup key survives — the alignment-robust "
+        "complement to the fixed-window chunk profile; one explode + one "
+        "per-doc running sum + chunk-key document-frequency join, linear, "
+        "no pairwise form"
+    ),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(load_table(spark, sf_dir, "documents"), gear_mod=16)

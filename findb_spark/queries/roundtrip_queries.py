@@ -727,3 +727,39 @@ def roundtrip_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("view_ts")).alias("view_ts_us"),
         F.unix_micros(F.col("click_ts")).alias("click_ts_us"),
     )
+
+
+@register(
+    "roundtrip_stream_enrich",
+    """
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       c.c_mktsegment AS segment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+""",
+    category="roundtrip",
+    description=(
+        "Stream-static enrichment hard signal: the event stream left-"
+        "joined to a broadcast customer dimension (the static side is "
+        "re-read per microbatch, never shuffled with the stream) replayed "
+        "availableNow — must equal the batch left join the oracle "
+        "computes, unmatched users passing through with NULL segment"
+    ),
+)
+def roundtrip_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.streaming.events_stream import (
+        enriched_stream,
+        read_events_stream,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = enriched_stream(read_events_stream(spark, sf_dir), dim)
+    name = _replay_to_memory(s, mode="append")
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "segment",
+    )

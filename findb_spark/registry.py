@@ -61,11 +61,12 @@ _SPECS: dict[str, QuerySpec] = {}
 #: roundtrips (certifying O1-O4/O14 end-to-end, incl. the literal `.db`
 #: B+tree format in both directions), the 7 deferred robust-stats /
 #: time-series queries, the PQ/IVF-PQ ANN family, the remaining dedup /
-#: text / pipeline / events / UDF / DQ tail — then the 12 queries ADDED this
+#: text / pipeline / events / UDF / DQ tail — then the 13 queries ADDED this
 #: round (chunking, run-lengths, key-skew profile, retention cohorts,
 #: attribution, MAD anomaly monitor, market basket, PQ recall dial, session
 #: paths, substring-run dedup, streaming dedup + stream-stream join
-#: roundtrips), then re-confirmation slots for the most load-bearing
+#: roundtrips, content-defined chunking dedup — filling the 50-slot window
+#: exactly), then re-confirmation slots for the most load-bearing
 #: headline queries whose only green rows date from r1 (this round also
 #: touches two headline queries directly: dedup_pair_triangles gained
 #: degree orientation, text_heavy_hitters_cms a single-pass sketch build).
@@ -135,6 +136,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "dedup_substring_runs",
     "roundtrip_stream_dedup",
     "roundtrip_stream_join",
+    "dedup_cdc_chunks",
     # ---- headline re-confirmation rows (bench-flagged, last green r1;
     # names past the driver's 50-slot window roll to the round-5 prefix
     # with the rest of the headline set) ----
@@ -142,6 +144,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "asof_batch",
     "dedup_clusters",
     "dedup_jaccard_prefix",
+    # ---- round-5 prefix head: registered after the round-4 window
+    # filled; first driver row due next round ----
+    "roundtrip_stream_enrich",
 )
 
 

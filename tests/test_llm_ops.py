@@ -509,3 +509,35 @@ def test_substring_run_stats_runs_and_fractions(spark):
         assert out[d].max_run == 4
         assert out[d].dup_frac == pytest.approx(4 / 7)
     assert out[3].n_dup_windows == 0 and out[3].max_run == 0
+
+
+def test_cdc_chunks_survive_insertion_fixed_windows_do_not(spark):
+    """The property content-defined chunking exists for: inserting one
+    token re-chunks only the chunk it lands in (boundaries are content
+    hashes, not positions), so almost every chunk key still matches the
+    original doc — while fixed-width windows lose alignment for the
+    entire tail after the insertion point."""
+    import random
+
+    from findb_spark.ops.dedup import cdc_chunk_stats, chunk_dup_stats
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    words = [rng.choice(vocab) for _ in range(240)]
+    inserted = words[:120] + ["zzz"] + words[120:]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(inserted))],
+        "doc_id BIGINT, text STRING",
+    )
+    cdc = {r.doc_id: r for r in cdc_chunk_stats(docs, gear_mod=16).collect()}
+    assert cdc[1].n_chunks > 5  # boundaries actually fire
+    # at most the chunk containing the insertion (split into two on the
+    # inserted-token-is-boundary edge) differs
+    for d in (1, 2):
+        assert cdc[d].n_dup_chunks >= cdc[d].n_chunks - 2
+        assert cdc[d].dup_frac > 0.7
+    fixed = {r.doc_id: r for r in chunk_dup_stats(docs, chunk_tokens=16).collect()}
+    # fixed windows: every window after the insertion point shifts by one
+    # token and stops matching — CDC must beat them on the same pair
+    for d in (1, 2):
+        assert cdc[d].dup_frac > fixed[d].dup_frac
