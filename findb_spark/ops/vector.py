@@ -1074,3 +1074,43 @@ def ivf_pq_topk(
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )
+
+
+def cluster_silhouette(emb: DataFrame, k: int = IVF_K) -> DataFrame:
+    """Per-vector centroid silhouette over the IVF coarse clustering — the
+    cluster-quality dial for everything built on ``ivf_assign``
+    (IVF/IVF-PQ ANN, SemDeDup semantic dedup): a(i) = cosine distance to
+    the assigned centroid, b(i) = distance to the nearest OTHER centroid,
+    s(i) = (b - a) / max(a, b)  (Rousseeuw 1987, centroid simplification
+    — exact per row, no cross-row float accumulation, so every silhouette
+    is a bit-deterministic double cross-engine).
+
+    Scale shape: ONE corpus scan against the broadcast K-row codebook,
+    one bounded groupBy per vector collecting the K (cos, centroid)
+    pairs into a sorted array and reading its top two — no shuffle of
+    pairwise data, no window over the n*K relation.  Low s flags vectors
+    on cluster boundaries (ANN recall risk at nprobe=1) or a K that is
+    too coarse/fine."""
+    cents = ivf_centroids(emb, k)
+    j = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.struct(
+            cosine_expr("embedding", "cvec").alias("_c"),
+            (-F.col("cent_id")).alias("_nc"),
+        ).alias("sc"),
+    )
+    top2 = j.groupBy("vec_id").agg(
+        F.slice(F.sort_array(F.collect_list("sc"), asc=False), 1, 2).alias("t")
+    )
+    best = F.col("t")[0]["_c"]
+    second = F.col("t")[1]["_c"]
+    d_a = F.lit(1.0) - best
+    d_b = F.lit(1.0) - second
+    sil = F.when(F.greatest(d_a, d_b) == 0, F.lit(0.0)).otherwise(
+        (best - second) / F.greatest(d_a, d_b)
+    )
+    return top2.select(
+        "vec_id",
+        (-F.col("t")[0]["_nc"]).cast("bigint").alias("cluster"),
+        sil.alias("sil"),
+    )

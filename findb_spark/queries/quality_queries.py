@@ -245,3 +245,60 @@ def dq_documents_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_audit(docs, row_rules=rules, unique_key=["doc_id"]).withColumnRenamed(
         "check", "check_name"
     )
+
+
+@register(
+    "pii_kanonymity",
+    """
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0)
+              AS BIGINT) AS bal_band
+  FROM customer
+),
+cls AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS sz
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_below_k5,
+       CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_below_k10
+FROM cls
+""",
+    category="quality",
+    description=(
+        "k-anonymity audit (Sweeney 2002): equivalence classes over the "
+        "quasi-identifier tuple (nation, market segment, $1000 balance "
+        "band — band edges via the exact fixed-point cents idiom), "
+        "reporting the dataset's k plus re-identification exposure (rows "
+        "in classes below k=5/k=10) — one map-side-combinable groupBy + "
+        "one 1-row aggregate; the release gate a privacy review runs "
+        "before training data leaves the pipeline"
+    ),
+)
+def pii_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    band = F.floor(cents / F.lit(100000.0)).cast("bigint")
+    cls = (
+        customer.select(
+            "c_nationkey", "c_mktsegment", band.alias("bal_band")
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count("*").alias("sz"))
+    )
+    return cls.agg(
+        F.sum("sz").alias("n_rows"),
+        F.count("*").alias("n_classes"),
+        F.min("sz").alias("k_anonymity"),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0)).alias(
+            "rows_below_k5"
+        ),
+        F.sum(F.when(F.col("sz") < 10, F.col("sz")).otherwise(0)).alias(
+            "rows_below_k10"
+        ),
+    )

@@ -840,3 +840,44 @@ def vec_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("_hit") / F.lit(5.0), 4).alias("recall_at_5"),
         )
     )
+
+
+@register(
+    "vec_cluster_silhouette",
+    f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  ORDER BY {hash48_duck('CAST(vec_id AS VARCHAR)')}, vec_id LIMIT {IVF_K}
+),
+sc AS (
+  SELECT e.vec_id, c.cent_id, {cosine_sql('e.embedding', 'c.cvec')} AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+rk AS (
+  SELECT vec_id, cent_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cent_id) AS rn
+  FROM sc
+),
+b AS (SELECT vec_id, cent_id AS cluster, cos AS best FROM rk WHERE rn = 1),
+s AS (SELECT vec_id, cos AS second FROM rk WHERE rn = 2)
+SELECT b.vec_id, b.cluster,
+       CASE WHEN GREATEST(1.0 - best, 1.0 - second) = 0 THEN 0.0
+            ELSE (best - second) / GREATEST(1.0 - best, 1.0 - second)
+       END AS sil
+FROM b JOIN s USING (vec_id)
+""",
+    category="vector",
+    description=(
+        "Per-vector centroid silhouette over the IVF clustering "
+        "(Rousseeuw 1987, centroid form): s = (b - a)/max(a, b) from the "
+        "two nearest centroids — the cluster-quality dial behind "
+        "IVF/IVF-PQ ANN recall and SemDeDup bucketing; one corpus scan "
+        "vs the broadcast codebook, per-vector top-2 from a bounded "
+        "sorted array, zero pairwise shuffle, every s bit-deterministic"
+    ),
+)
+def vec_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.vector import cluster_silhouette
+
+    return cluster_silhouette(load_table(spark, sf_dir, "embeddings"))

@@ -145,8 +145,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "dedup_clusters",
     "dedup_jaccard_prefix",
     # ---- round-5 prefix head: registered after the round-4 window
-    # filled; first driver row due next round ----
+    # filled; first driver rows due next round ----
     "roundtrip_stream_enrich",
+    "pii_kanonymity",
+    "vec_cluster_silhouette",
 )
 
 

@@ -101,11 +101,13 @@ def workload(spark, sf_dir: str) -> dict[str, float]:
 
 def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
     from findb_spark.ops.dedup import (
+        cdc_chunk_stats,
         chunk_dup_stats,
         containment_pairs,
         jaccard_pairs,
         minhash_lsh_pairs,
         simhash_banded_pairs,
+        substring_run_stats,
     )
     from findb_spark.ops.graph import triangles_oriented
     from findb_spark.ops.text import quality_score
@@ -126,6 +128,11 @@ def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
         "containment": timed(lambda: containment_pairs(docs).count()),
         "text_quality": timed(lambda: quality_score(docs).count()),
         "chunk_dedup": timed(lambda: chunk_dup_stats(docs).count()),
+        # hash-occurrence join + per-doc run window: linear in corpus
+        # tokens; the persist means one text scan per evaluation
+        "substring_runs": timed(lambda: substring_run_stats(docs).count()),
+        # explode + running-sum chunk ids + chunk-key df join: linear
+        "cdc_chunks": timed(lambda: cdc_chunk_stats(docs).count()),
         # degree-oriented triangle listing over the near-dup graph: wedge
         # fan-out bounded by oriented out-degree, so the ratio must track
         # the pair-graph growth, not any hub's degree squared

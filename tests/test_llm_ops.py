@@ -541,3 +541,22 @@ def test_cdc_chunks_survive_insertion_fixed_windows_do_not(spark):
     # token and stops matching — CDC must beat them on the same pair
     for d in (1, 2):
         assert cdc[d].dup_frac > fixed[d].dup_frac
+
+
+def test_cluster_silhouette_bounds_and_assignment_consistency(spark):
+    """Silhouette invariants on the real sf0.001 embeddings: one row per
+    vector, s in [-1, 1] up to float rounding (a vector that IS a
+    centroid computes cos(self, self) one ulp off 1.0 through the
+    fixed-point sqrt, nudging s past 1 by ~2e-16 — deterministic, not a
+    bug), and the reported cluster is
+    EXACTLY the ivf_assign cluster — the metric must grade the same
+    partition the ANN/semantic-dedup operators use."""
+    from findb_spark.ops.vector import cluster_silhouette, ivf_assign
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sil = {r.vec_id: r for r in cluster_silhouette(emb).collect()}
+    assigned = {r.vec_id: r.cluster for r in ivf_assign(emb).collect()}
+    assert set(sil) == set(assigned)
+    for vid, r in sil.items():
+        assert -1.0 - 1e-12 <= r.sil <= 1.0 + 1e-12
+        assert r.cluster == assigned[vid], vid
