@@ -988,6 +988,7 @@ FROM per_doc d LEFT JOIN runs r USING (doc_id)
         "becomes a hash-occurrence join (explode + 8-byte-key count + "
         "join back), linear in corpus tokens with no pairwise expansion"
     ),
+    bench=True,
 )
 def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from findb_spark.ops.dedup import substring_run_stats
@@ -1040,6 +1041,7 @@ GROUP BY a.doc_id
         "per-doc running sum + chunk-key document-frequency join, linear, "
         "no pairwise form"
     ),
+    bench=True,
 )
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from findb_spark.ops.dedup import cdc_chunk_stats
