@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from findb_spark.functions.hashing import hash48_duck
 from findb_spark.ops.events import event_type_pivot, sessionize, tumbling_agg
 from findb_spark.registry import register
 from findb_spark.session import load_table
@@ -924,4 +925,109 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
+    )
+
+
+#: alpha_64 * m^2 as the SAME double-op sequence both engines fold:
+#: all literals cast to DOUBLE first, so neither engine routes through
+#: DECIMAL arithmetic (Spark ANSI types bare decimal literals as
+#: DECIMAL; DuckDB likewise) — identical IEEE ops, identical constant.
+_HLL_ALPHA_M2 = (
+    "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + "
+    "CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE))) * CAST(4096.0 AS DOUBLE)"
+)
+
+
+@register(
+    "events_hll_exact_registers",
+    f"""
+WITH h AS (
+  SELECT event_type, user_id,
+         {hash48_duck("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events
+),
+r AS (
+  SELECT event_type, hv % 64 AS bucket,
+         43 - length(bin(hv >> 6)) AS rho
+  FROM h
+),
+regs AS (
+  SELECT event_type, bucket, MAX(rho) AS m FROM r GROUP BY 1, 2
+),
+z AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+         SUM(CAST(1.0 AS DOUBLE)
+             / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE)) AS zobs
+  FROM regs GROUP BY 1
+),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT z.event_type, z.n_buckets_hit,
+       {_HLL_ALPHA_M2}
+         / (zobs + CAST(64 - n_buckets_hit AS DOUBLE)) AS hll_estimate,
+       ex.exact_users,
+       ({_HLL_ALPHA_M2}
+         / (zobs + CAST(64 - n_buckets_hit AS DOUBLE)) - exact_users)
+         / exact_users AS rel_err
+FROM z JOIN ex USING (event_type)
+""",
+    category="events",
+    description=(
+        "Register-exact HyperLogLog (Flajolet 2007, m=64) built from "
+        "first principles as DataFrame algebra: bucket = hash48 mod 64, "
+        "rho from the bit-length of the remaining 42 bits (integer "
+        "string ops, exact), registers via max-groupBy, and the raw "
+        "estimate alpha*m^2/Z where Z sums 64 dyadic terms — exactly "
+        "representable in a double at any summation order, so the "
+        "ESTIMATE itself is bit-identical cross-engine and sits under "
+        "the oracle hash gate (the engine-native hll_sketch_agg twin "
+        "stays rows-only by design); the small-range linear-counting "
+        "correction needs ln (not ulp-stable cross-engine) so the raw "
+        "estimate ships with n_buckets_hit and the consumer applies "
+        "m*ln(m/V) below 2.5m — pinned by the estimator-sanity test; "
+        "per-type exact distinct + relative error reported alongside"
+    ),
+)
+def events_hll_exact_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.functions.hashing import hash48
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        "user_id",
+        hash48(F.col("user_id").cast("string")).alias("hv"),
+    )
+    r = h.select(
+        "event_type",
+        (F.col("hv") % 64).alias("bucket"),
+        (F.lit(43) - F.length(F.expr("bin(hv >> 6)"))).alias("rho"),
+    )
+    regs = r.groupBy("event_type", "bucket").agg(F.max("rho").alias("m"))
+    z = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_buckets_hit"),
+        F.sum(
+            F.expr(
+                "CAST(1.0 AS DOUBLE)"
+                " / CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)"
+            )
+        ).alias("zobs"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    est = F.expr(_HLL_ALPHA_M2) / (
+        F.col("zobs") + F.expr("CAST(64 - n_buckets_hit AS DOUBLE)")
+    )
+    return (
+        z.join(ex, "event_type")
+        .select(
+            "event_type",
+            "n_buckets_hit",
+            est.alias("hll_estimate"),
+            "exact_users",
+            ((est - F.col("exact_users")) / F.col("exact_users")).alias("rel_err"),
+        )
     )

@@ -149,6 +149,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "roundtrip_stream_enrich",
     "pii_kanonymity",
     "vec_cluster_silhouette",
+    "events_hll_exact_registers",
 )
 
 

@@ -164,3 +164,30 @@ def test_market_basket_support_confidence_lift(spark):
     # confidence = 3/4 (A appears in 4 orders); lift = 3*4/(4*3) = 1.0
     assert r.confidence == 0.75
     assert r.lift == 1.0
+
+
+def test_hll_exact_registers_estimator_sanity(spark):
+    """The register-exact HLL must behave like an m=64 HLL once the
+    standard small-range (linear counting) correction is applied — the
+    query deliberately ships the RAW estimate (ln is not bit-stable
+    cross-engine) plus n_buckets_hit, so the consumer-side correction is
+    applied here exactly as Flajolet 2007 prescribes: for est <= 2.5m
+    with empty buckets, est = m * ln(m / V)."""
+    import math
+
+    from findb_spark.registry import all_specs
+
+    rows = (
+        all_specs()["events_hll_exact_registers"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    m = 64
+    for r in rows:
+        assert 0 < r.n_buckets_hit <= m
+        est = r.hll_estimate
+        v = m - r.n_buckets_hit
+        if est <= 2.5 * m and v > 0:
+            est = m * math.log(m / v)
+        assert abs(est - r.exact_users) / r.exact_users < 0.4, (r, est)
