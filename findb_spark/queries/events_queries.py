@@ -1031,3 +1031,119 @@ def events_hll_exact_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((est - F.col("exact_users")) / F.col("exact_users")).alias("rel_err"),
         )
     )
+
+
+#: 2^48 (the hash48 range) and k-1 as doubles via exact integer casts:
+#: 31 * 2^48 < 2^53, so the numerator is exactly representable.
+_KMV_K = 32
+_KMV_NUM = "CAST(31 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)"
+
+
+@register(
+    "events_kmv_sketch_setops",
+    f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         {hash48_duck("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+),
+u AS (
+  SELECT DISTINCT 'view_click_union' AS set_name, h FROM d
+  WHERE event_type IN ('view', 'click')
+),
+base AS (
+  SELECT event_type AS set_name, h FROM d
+  UNION ALL SELECT set_name, h FROM u
+),
+kept AS (
+  SELECT set_name, h FROM (
+    SELECT set_name, h,
+           ROW_NUMBER() OVER (PARTITION BY set_name ORDER BY h) AS rn
+    FROM base) WHERE rn <= {_KMV_K}
+),
+sk AS (
+  SELECT set_name, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         MAX(h) AS kth_min
+  FROM kept GROUP BY set_name
+),
+ex AS (
+  SELECT event_type AS set_name,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT 'view_click_union', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+  FROM events WHERE event_type IN ('view', 'click')
+),
+est AS (
+  SELECT set_name, n_kept, kth_min,
+         CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS DOUBLE)
+              ELSE {_KMV_NUM} / CAST(kth_min AS DOUBLE)
+         END AS kmv_estimate
+  FROM sk
+)
+SELECT e.set_name, e.n_kept, e.kth_min, e.kmv_estimate, x.exact_users,
+       (e.kmv_estimate - x.exact_users) / x.exact_users AS rel_err
+FROM est e JOIN ex x USING (set_name)
+""",
+    category="events",
+    description=(
+        "KMV (k-minimum-values) distinct sketch with SET ALGEBRA "
+        "(Bar-Yossef 2002 / Beyer SIGMOD'07): per event type the 32 "
+        "smallest user hashes; estimate (k-1)*2^48/h_(k) — order-"
+        "independent integer selection + one exact double divide, so "
+        "like the register-exact HLL the estimate is bit-identical "
+        "cross-engine and ORACLE-HASH-CHECKED. The extra row is the "
+        "sketch-level UNION (view+click): k smallest of the merged "
+        "sketches estimates the union cardinality without touching raw "
+        "data again — the mergeable-summaries property that lets 100 TB "
+        "partial sketches roll up for free; top-k-per-group is one "
+        "window over the deduped (set, hash) relation"
+    ),
+)
+def events_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.functions.hashing import hash48
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", hash48(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    u = (
+        d.where(F.col("event_type").isin("view", "click"))
+        .select(F.lit("view_click_union").alias("set_name"), "h")
+        .distinct()
+    )
+    base = d.select(F.col("event_type").alias("set_name"), "h").unionAll(u)
+    w = Window.partitionBy("set_name").orderBy("h")
+    kept = base.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _KMV_K
+    )
+    sk = kept.groupBy("set_name").agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth_min")
+    )
+    est = F.when(
+        F.col("n_kept") < _KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(F.expr(_KMV_NUM) / F.col("kth_min").cast("double"))
+    ex = (
+        ev.groupBy(F.col("event_type").alias("set_name"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .unionAll(
+            ev.where(F.col("event_type").isin("view", "click")).select(
+                F.lit("view_click_union").alias("set_name"), "user_id"
+            )
+            .groupBy("set_name")
+            .agg(F.countDistinct("user_id").alias("exact_users"))
+        )
+    )
+    return (
+        sk.join(ex, "set_name")
+        .select(
+            "set_name",
+            "n_kept",
+            "kth_min",
+            est.alias("kmv_estimate"),
+            "exact_users",
+            ((est - F.col("exact_users")) / F.col("exact_users")).alias(
+                "rel_err"
+            ),
+        )
+    )

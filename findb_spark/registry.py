@@ -150,6 +150,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "pii_kanonymity",
     "vec_cluster_silhouette",
     "events_hll_exact_registers",
+    "events_kmv_sketch_setops",
 )
 
 
