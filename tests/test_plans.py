@@ -320,3 +320,28 @@ def test_substring_runs_no_pairwise_expansion(spark):
     assert "BroadcastNestedLoopJoin" not in p
     scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)
     assert len(scans) == 1, f"expected 1 parquet scan, got {len(scans)}:\n{p}"
+
+
+def test_new_sketch_and_audit_plans_stay_linear(spark):
+    """Round-4-close additions: no pairwise/cartesian form anywhere, and
+    parquet scan counts pinned at their audited values (a regression to
+    per-branch rescans or a nested-loop join fails here before it turns
+    into a 100x slowdown at scale). The one BroadcastNestedLoopJoin in
+    the silhouette plan is the 64-row broadcast codebook cross join —
+    bounded by construction."""
+    import re
+
+    expected_scans = {
+        "dedup_cdc_chunks": 2,          # chunk agg + chunk-df branches
+        "events_hll_exact_registers": 2,  # registers + exact ground truth
+        "events_kmv_sketch_setops": 4,  # sketch/union + exact ground truth
+        "pii_kanonymity": 1,            # single scan-aggregate
+        "vec_cluster_silhouette": 2,    # corpus + codebook pick
+    }
+    for name, n_scans in expected_scans.items():
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        scans = len(re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M))
+        assert scans <= n_scans, f"{name}: {scans} scans (pinned {n_scans})"
+        bnlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", p, flags=re.M))
+        assert bnlj <= (1 if name == "vec_cluster_silhouette" else 0), name
