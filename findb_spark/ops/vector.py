@@ -870,11 +870,23 @@ def pq_train(nv: DataFrame, cbw: DataFrame | list) -> DataFrame:
     this function."""
     import numpy as np
 
+    from pyspark.sql import types as T
+
     spark = nv.sparkSession
     if isinstance(cbw, DataFrame):
         cb_schema, cb_rows = cbw.schema, cbw.collect()
     else:
-        cb_schema, cb_rows = None, list(cbw)
+        # explicit schema (same StructType as pq_codebook builds) — a None
+        # schema would fall back to deprecated dict-based inference and
+        # type `code` as bigint instead of int
+        cb_schema = T.StructType(
+            [T.StructField("code", T.IntegerType(), False)]
+            + [
+                T.StructField(f"sw{m}", T.ArrayType(T.DoubleType()), False)
+                for m in range(PQ_M)
+            ]
+        )
+        cb_rows = list(cbw)
     cb_rows.sort(key=lambda r: r["code"])
     cb = np.array(
         [[list(r[f"sw{m}"]) for r in cb_rows] for m in range(PQ_M)],

@@ -683,9 +683,12 @@ ranked AS (
 )
 SELECT event_type AS channel,
        CAST(COUNT(*) AS BIGINT) AS n_touches,
-       ROUND(SUM(CASE WHEN rn_first = 1 THEN p_value ELSE 0 END), 4) AS first_touch_rev,
-       ROUND(SUM(CASE WHEN rn_last = 1 THEN p_value ELSE 0 END), 4) AS last_touch_rev,
-       ROUND(SUM(p_value / n_touch), 4) AS linear_rev
+       CAST(SUM(CAST(FLOOR((CASE WHEN rn_first = 1 THEN p_value ELSE 0 END) * 100 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 100 AS first_touch_rev,
+       CAST(SUM(CAST(FLOOR((CASE WHEN rn_last = 1 THEN p_value ELSE 0 END) * 100 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 100 AS last_touch_rev,
+       CAST(SUM(CAST(FLOOR(p_value / n_touch * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000 AS linear_rev
 FROM ranked GROUP BY event_type
 """,
     category="events",
@@ -705,7 +708,10 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversions) — O(n log n) per user via one sort, where the naive
     formulation is a time-range self-join (quadratic per heavy user).
     The conversion join is user_id+grp equi (co-partitioned); window
-    lookback is a pure filter.  All revenue sums rounded to 4dp."""
+    lookback is a pure filter.  Revenue sums are order-independent
+    fixed-point (cents for first/last touch; the linear share applies the
+    per-row divide first, then fxp-scales the quotient at 1e4) so Spark's
+    partial aggregation and DuckDB's sequential sum agree bit-for-bit."""
     ev = load_table(spark, sf_dir, "events")
     o = ev.select(
         "user_id",
@@ -748,15 +754,22 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wl).alias("rn_last"),
         F.count("*").over(wc).alias("n_touch"),
     )
+    first_cents = F.floor(
+        F.when(F.col("rn_first") == 1, F.col("p_value")).otherwise(0.0) * 100
+        + F.lit(0.5)
+    )
+    last_cents = F.floor(
+        F.when(F.col("rn_last") == 1, F.col("p_value")).otherwise(0.0) * 100
+        + F.lit(0.5)
+    )
+    linear_fxp = F.floor(
+        F.col("p_value") / F.col("n_touch") * 10000 + F.lit(0.5)
+    )
     return ranked.groupBy(F.col("event_type").alias("channel")).agg(
         F.count("*").cast("bigint").alias("n_touches"),
-        F.round(
-            F.sum(F.when(F.col("rn_first") == 1, F.col("p_value")).otherwise(0.0)), 4
-        ).alias("first_touch_rev"),
-        F.round(
-            F.sum(F.when(F.col("rn_last") == 1, F.col("p_value")).otherwise(0.0)), 4
-        ).alias("last_touch_rev"),
-        F.round(F.sum(F.col("p_value") / F.col("n_touch")), 4).alias("linear_rev"),
+        (F.sum(first_cents).cast("double") / 100).alias("first_touch_rev"),
+        (F.sum(last_cents).cast("double") / 100).alias("last_touch_rev"),
+        (F.sum(linear_fxp).cast("double") / 10000).alias("linear_rev"),
     )
 
 
@@ -948,7 +961,8 @@ WITH h AS (
 ),
 r AS (
   SELECT event_type, hv % 64 AS bucket,
-         43 - length(bin(hv >> 6)) AS rho
+         CASE WHEN hv >> 6 = 0 THEN 43
+              ELSE 43 - length(bin(hv >> 6)) END AS rho
   FROM h
 ),
 regs AS (
@@ -1003,7 +1017,12 @@ def events_hll_exact_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = h.select(
         "event_type",
         (F.col("hv") % 64).alias("bucket"),
-        (F.lit(43) - F.length(F.expr("bin(hv >> 6)"))).alias("rho"),
+        # Flajolet rho: leading-zero count + 1 over the 42-bit suffix;
+        # an all-zero suffix is rho = w+1 = 43 (bin(0)='0' would give 42)
+        F.expr(
+            "CASE WHEN hv >> 6 = 0 THEN 43"
+            " ELSE 43 - length(bin(hv >> 6)) END"
+        ).alias("rho"),
     )
     regs = r.groupBy("event_type", "bucket").agg(F.max("rho").alias("m"))
     z = regs.groupBy("event_type").agg(
