@@ -15,4 +15,5 @@ from findb_spark.queries import (  # noqa: F401
     pipeline_queries,
     quality_queries,
     roundtrip_queries,
+    finance_analytics,
 )

@@ -1,0 +1,542 @@
+"""Advanced finance analytics over the bitemporal daily series (SURVEY §2.2
+'Window functions' / 'Aggregations' rows, extending ops/finance.py): Bollinger
+bands, rolling beta/correlation vs an equal-weight market, autocorrelation,
+MACD, day-of-week seasonality, cross-sectional z-score outliers, and the
+bitemporal snapshot diff (what changed between two knowledge times — the
+introspection query the reference's revision model implies, file.rs:508-570,
+but never shipped).
+
+Numeric parity strategy (see queries/parity.py): every moment (mean, var,
+cov) is assembled from exact fixed-point integer sums — window sums of
+int64 are associativity-independent, so Spark's window buffers and DuckDB's
+segment trees agree bit-for-bit — and the final divides/sqrt are the same
+IEEE op sequence on both engines (sqrt is correctly rounded by IEEE-754).
+
+Scale: everything is one shuffle on asset_id (the window partitioning) plus,
+for the market join, one tiny per-date aggregate that broadcasts.  No
+self-joins, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from findb_spark.prices import PRICES_ORACLE_CTE, prices_from_lineitem
+from findb_spark.queries.asof_queries import ASOF_2000
+from findb_spark.queries.parity import fxp_sum, fxp_sum_sql
+from findb_spark.queries.timeseries import _DAILY_CTE, _daily
+from findb_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# shared CTE fragments: cents-quantized series and fixed-point returns
+# ---------------------------------------------------------------------------
+
+_CENTS_CTE = """
+cents AS (
+  SELECT asset_id, date, value,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM daily
+)
+"""
+
+#: day-over-day returns quantized at 1e-4 — the double division
+#: ``value/lag(value)`` is a single correctly-rounded op (identical on both
+#: engines), and the floor lands it in exact integer space for the window
+#: sums.  Return magnitudes are bounded by the price ratio (~1e2), so
+#: ri <= ~1e6 and every product/sum below stays far inside int64.
+_RET_CTE = """
+ret AS (
+  SELECT asset_id, date,
+         value / LAG(value) OVER (PARTITION BY asset_id ORDER BY date) - 1 AS r
+  FROM daily
+),
+ri AS (
+  SELECT asset_id, date, CAST(FLOOR(r * 10000 + 0.5) AS BIGINT) AS ri
+  FROM ret WHERE r IS NOT NULL
+)
+"""
+
+
+@register(
+    "ts_bollinger",
+    f"""
+WITH {_DAILY_CTE},
+{_CENTS_CTE},
+wnd AS (
+  SELECT asset_id, date, value,
+         COUNT(*) OVER w AS n, SUM(c) OVER w AS s, SUM(c * c) OVER w AS sq
+  FROM cents
+  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT asset_id, date, value,
+       CAST(s AS DOUBLE) / n / 100 AS sma20,
+       (CAST(s AS DOUBLE) / n
+        + 2 * SQRT(CAST(n * sq - s * s AS DOUBLE) / (n * n))) / 100 AS upper_band,
+       (CAST(s AS DOUBLE) / n
+        - 2 * SQRT(CAST(n * sq - s * s AS DOUBLE) / (n * n))) / 100 AS lower_band
+FROM wnd WHERE n = 20
+""",
+    category="timeseries",
+    description=(
+        "Bollinger bands: 20-day SMA +/- 2 population stddev from exact "
+        "fixed-point window sums (sum, sum-of-squares in int64 cents)"
+    ),
+)
+def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("asset_id")
+        .orderBy("date")
+        .rowsBetween(-19, 0)
+    )
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    wnd = daily.select(
+        "asset_id",
+        "date",
+        "value",
+        F.count("*").over(w).alias("n"),
+        F.sum(c).over(w).alias("s"),
+        F.sum(c * c).over(w).alias("sq"),
+    ).where("n = 20")
+    return wnd.select(
+        "asset_id",
+        "date",
+        "value",
+        F.expr("CAST(s AS DOUBLE) / n / 100").alias("sma20"),
+        F.expr(
+            "(CAST(s AS DOUBLE) / n"
+            " + 2 * SQRT(CAST(n * sq - s * s AS DOUBLE) / (n * n))) / 100"
+        ).alias("upper_band"),
+        F.expr(
+            "(CAST(s AS DOUBLE) / n"
+            " - 2 * SQRT(CAST(n * sq - s * s AS DOUBLE) / (n * n))) / 100"
+        ).alias("lower_band"),
+    )
+
+
+@register(
+    "ts_rolling_beta",
+    f"""
+WITH {_DAILY_CTE},
+{_RET_CTE},
+mkt AS (
+  -- equal-weight market return per date, floored back into integer space so
+  -- every downstream window moment stays exact int64
+  SELECT date, CAST(FLOOR(CAST(SUM(ri) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mi
+  FROM ri GROUP BY date
+),
+j AS (SELECT ri.asset_id, ri.date, ri.ri, mkt.mi FROM ri JOIN mkt USING (date)),
+wnd AS (
+  SELECT asset_id, date,
+         COUNT(*) OVER w AS n,
+         SUM(ri) OVER w AS sx, SUM(mi) OVER w AS sy,
+         SUM(ri * mi) OVER w AS sxy,
+         SUM(ri * ri) OVER w AS sxx, SUM(mi * mi) OVER w AS syy
+  FROM j
+  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT asset_id, date,
+       CAST(n * sxy - sx * sy AS DOUBLE) / (n * syy - sy * sy) AS beta,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+         AS corr_mkt
+FROM wnd
+WHERE n = 20 AND n * syy - sy * sy > 0 AND n * sxx - sx * sx > 0
+""",
+    category="timeseries",
+    description=(
+        "20-day rolling beta + correlation of each asset's returns vs the "
+        "equal-weight market: returns fixed-point at 1e-4, market mean "
+        "floored to int, all moments exact int64 window sums"
+    ),
+)
+def ts_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    wlag = Window.partitionBy("asset_id").orderBy("date")
+    ret = daily.select(
+        "asset_id",
+        "date",
+        (F.col("value") / F.lag("value").over(wlag) - 1).alias("r"),
+    )
+    ri = ret.where(F.col("r").isNotNull()).select(
+        "asset_id",
+        "date",
+        F.floor(F.col("r") * 10000 + F.lit(0.5)).cast("bigint").alias("ri"),
+    )
+    mkt = ri.groupBy("date").agg(
+        F.expr("CAST(FLOOR(CAST(SUM(ri) AS DOUBLE) / COUNT(*)) AS BIGINT)").alias("mi")
+    )
+    j = ri.join(F.broadcast(mkt), "date").select("asset_id", "date", "ri", "mi")
+    w = Window.partitionBy("asset_id").orderBy("date").rowsBetween(-19, 0)
+    wnd = j.select(
+        "asset_id",
+        "date",
+        F.count("*").over(w).alias("n"),
+        F.sum("ri").over(w).alias("sx"),
+        F.sum("mi").over(w).alias("sy"),
+        F.sum(F.col("ri") * F.col("mi")).over(w).alias("sxy"),
+        F.sum(F.col("ri") * F.col("ri")).over(w).alias("sxx"),
+        F.sum(F.col("mi") * F.col("mi")).over(w).alias("syy"),
+    ).where("n = 20 AND n * syy - sy * sy > 0 AND n * sxx - sx * sx > 0")
+    return wnd.select(
+        "asset_id",
+        "date",
+        F.expr("CAST(n * sxy - sx * sy AS DOUBLE) / (n * syy - sy * sy)").alias("beta"),
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n * syy - sy * sy AS DOUBLE))"
+        ).alias("corr_mkt"),
+    )
+
+
+@register(
+    "ts_autocorr",
+    f"""
+WITH {_DAILY_CTE},
+{_RET_CTE},
+lagged AS (
+  SELECT asset_id, ri,
+         LAG(ri) OVER (PARTITION BY asset_id ORDER BY date) AS rj
+  FROM ri
+),
+m AS (
+  SELECT asset_id, COUNT(*) AS n,
+         SUM(ri) AS sx, SUM(rj) AS sy, SUM(ri * rj) AS sxy,
+         SUM(ri * ri) AS sxx, SUM(rj * rj) AS syy
+  FROM lagged WHERE rj IS NOT NULL GROUP BY asset_id
+)
+SELECT asset_id, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+         AS autocorr_lag1
+FROM m WHERE n >= 30 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""",
+    category="timeseries",
+    description=(
+        "Lag-1 autocorrelation of daily returns per asset (mean-reversion "
+        "screen): exact integer moment sums, one shuffle"
+    ),
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    wlag = Window.partitionBy("asset_id").orderBy("date")
+    ri = (
+        daily.select(
+            "asset_id",
+            "date",
+            (F.col("value") / F.lag("value").over(wlag) - 1).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+        .select(
+            "asset_id",
+            "date",
+            F.floor(F.col("r") * 10000 + F.lit(0.5)).cast("bigint").alias("ri"),
+        )
+    )
+    lagged = ri.select(
+        "asset_id", "ri", F.lag("ri").over(wlag).alias("rj")
+    ).where(F.col("rj").isNotNull())
+    m = lagged.groupBy("asset_id").agg(
+        F.count("*").alias("n"),
+        F.sum("ri").alias("sx"),
+        F.sum("rj").alias("sy"),
+        F.sum(F.col("ri") * F.col("rj")).alias("sxy"),
+        F.sum(F.col("ri") * F.col("ri")).alias("sxx"),
+        F.sum(F.col("rj") * F.col("rj")).alias("syy"),
+    ).where("n >= 30 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0")
+    return m.select(
+        "asset_id",
+        "n",
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n * syy - sy * sy AS DOUBLE))"
+        ).alias("autocorr_lag1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MACD: two truncated EMAs + a truncated-EMA signal line (see ops/finance.py
+# ewma for why truncation: the exact recursion is non-associative; the K-term
+# form is a FIXED lag expression — no iteration, no UDF, weight literals
+# embedded identically in both plans)
+# ---------------------------------------------------------------------------
+
+_MACD_K = 8
+
+
+def _ema_terms(col: str, alpha: float, k: int = _MACD_K) -> tuple[str, float]:
+    weights = [alpha * (1.0 - alpha) ** i for i in range(k)]
+    terms = " + ".join(
+        f"LAG({col}, {i}) OVER w * {w!r}" for i, w in enumerate(weights)
+    )
+    return terms, sum(weights)
+
+
+def _macd_sql() -> str:
+    fast_t, fast_n = _ema_terms("value", 2.0 / 13.0)
+    slow_t, slow_n = _ema_terms("value", 2.0 / 27.0)
+    sig_t, sig_n = _ema_terms("macd", 2.0 / 10.0)
+    return f"""
+WITH {_DAILY_CTE},
+e AS (
+  SELECT asset_id, date, value,
+         ({fast_t}) / {fast_n!r} - ({slow_t}) / {slow_n!r} AS macd,
+         ROW_NUMBER() OVER w AS rn
+  FROM daily
+  WINDOW w AS (PARTITION BY asset_id ORDER BY date)
+),
+s AS (
+  SELECT asset_id, date, value, macd,
+         ({sig_t}) / {sig_n!r} AS signal_line,
+         rn
+  FROM e WHERE rn >= {_MACD_K}
+  WINDOW w AS (PARTITION BY asset_id ORDER BY date)
+)
+SELECT asset_id, date, value, macd, signal_line,
+       macd - signal_line AS histogram
+FROM s WHERE rn >= {2 * _MACD_K - 1}
+"""
+
+
+@register(
+    "ts_macd",
+    _macd_sql(),
+    category="timeseries",
+    description=(
+        "MACD(12,26) + signal(9) as truncated-EMA lag expressions: two "
+        "window passes, zero iteration, bit-identical weight literals"
+    ),
+)
+def ts_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("asset_id").orderBy("date")
+
+    def ema(col: str, alpha: float) -> F.Column:
+        weights = [alpha * (1.0 - alpha) ** i for i in range(_MACD_K)]
+        acc = None
+        for i, wt in enumerate(weights):
+            term = F.lag(col, i).over(w) * F.lit(wt)
+            acc = term if acc is None else acc + term
+        return acc / F.lit(sum(weights))
+
+    e = daily.select(
+        "asset_id",
+        "date",
+        "value",
+        (ema("value", 2.0 / 13.0) - ema("value", 2.0 / 27.0)).alias("macd"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") >= _MACD_K)
+    s = e.select(
+        "asset_id",
+        "date",
+        "value",
+        "macd",
+        ema("macd", 2.0 / 10.0).alias("signal_line"),
+        "rn",
+    ).where(F.col("rn") >= 2 * _MACD_K - 1)
+    return s.select(
+        "asset_id",
+        "date",
+        "value",
+        "macd",
+        "signal_line",
+        (F.col("macd") - F.col("signal_line")).alias("histogram"),
+    )
+
+
+@register(
+    "ts_seasonality_dow",
+    f"""
+WITH {_DAILY_CTE},
+d AS (
+  SELECT dayofweek(strptime(CAST(date AS VARCHAR), '%Y%m%d')) AS dow,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM daily
+),
+tot AS (SELECT SUM(c) AS st, COUNT(*) AS ct FROM d)
+SELECT dow,
+       COUNT(*) AS n_obs,
+       CAST(SUM(c) AS DOUBLE) / COUNT(*) / 100 AS mean_value,
+       CAST(SUM(c) AS DOUBLE) / COUNT(*) / 100
+         - CAST(st AS DOUBLE) / ct / 100 AS dev_from_mean
+FROM d CROSS JOIN tot
+GROUP BY dow, st, ct
+""",
+    category="timeseries",
+    description=(
+        "Day-of-week seasonality profile: per-weekday mean vs the grand "
+        "mean (1-row totals broadcast; Sunday=0 on both engines)"
+    ),
+)
+def ts_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    # Spark dayofweek is 1-based (Sunday=1); DuckDB's is 0-based (Sunday=0)
+    d = daily.select(
+        (F.dayofweek(F.to_date(F.col("date").cast("string"), "yyyyMMdd")) - 1).alias(
+            "dow"
+        ),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+    tot = d.agg(F.sum("c").alias("st"), F.count("*").alias("ct"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("dow", "st", "ct")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.expr("CAST(SUM(c) AS DOUBLE) / COUNT(*) / 100").alias("mean_value"),
+            F.expr(
+                "CAST(SUM(c) AS DOUBLE) / COUNT(*) / 100"
+                " - CAST(st AS DOUBLE) / ct / 100"
+            ).alias("dev_from_mean"),
+        )
+        .drop("st", "ct")
+    )
+
+
+@register(
+    "ts_zscore_xsection",
+    f"""
+WITH {_DAILY_CTE},
+cc AS (
+  SELECT asset_id, date, value,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM daily
+),
+s AS (
+  SELECT date, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS sq
+  FROM cc GROUP BY date
+),
+z AS (
+  SELECT asset_id, cc.date, value,
+         ROUND((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n)
+               / SQRT(CAST(n * sq - s * s AS DOUBLE) / (n * n)), 6) AS z
+  FROM cc JOIN s ON cc.date = s.date
+  WHERE n >= 10 AND n * sq - s * s > 0
+)
+SELECT asset_id, date, value, z FROM z WHERE ABS(z) > 2
+""",
+    category="timeseries",
+    description=(
+        "Cross-sectional z-score outliers: per-date mean/std across assets "
+        "from exact integer sums; |z|>2 flags (the surveillance screen)"
+    ),
+)
+def ts_zscore_xsection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    cc = daily.select(
+        "asset_id",
+        "date",
+        "value",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+    s = cc.groupBy("date").agg(
+        F.count("*").alias("n"), F.sum("c").alias("s"), F.sum(F.col("c") * F.col("c")).alias("sq")
+    )
+    z = (
+        cc.join(F.broadcast(s), "date")
+        .where("n >= 10 AND n * sq - s * s > 0")
+        .select(
+            "asset_id",
+            "date",
+            "value",
+            F.expr(
+                "ROUND((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n)"
+                " / SQRT(CAST(n * sq - s * s AS DOUBLE) / (n * n)), 6)"
+            ).alias("z"),
+        )
+    )
+    return z.where(F.abs(F.col("z")) > 2)
+
+
+# ---------------------------------------------------------------------------
+# bitemporal snapshot diff
+# ---------------------------------------------------------------------------
+
+#: knowledge-time cut INSIDE a business day (epoch 1996-07-01 + 3): rows of
+#: that date with linenumber <= 3 are known, later revisions are not — so the
+#: diff can classify 'changed' rows, not just 'added' ones
+_TS0 = 836179203
+
+
+def _snap_cte(name: str, asof: int) -> str:
+    return f"""
+{name} AS (
+  SELECT asset_id, date, value FROM (
+    SELECT asset_id, date, value,
+           ROW_NUMBER() OVER (PARTITION BY asset_id, date
+                              ORDER BY ts DESC, value DESC) AS rn
+    FROM prices_v WHERE ts <= {asof})
+  WHERE rn = 1
+)
+"""
+
+
+@register(
+    "asof_bitemporal_diff",
+    f"""
+WITH {PRICES_ORACLE_CTE},
+{_snap_cte("s0", _TS0)},
+{_snap_cte("s1", ASOF_2000)},
+d AS (
+  SELECT COALESCE(s1.asset_id, s0.asset_id) AS asset_id,
+         s1.value AS new_value,
+         CASE WHEN s0.asset_id IS NULL THEN 'added'
+              WHEN s1.asset_id IS NULL THEN 'removed'
+              WHEN s0.value <> s1.value THEN 'changed'
+              ELSE 'same' END AS change_type
+  FROM s0 FULL OUTER JOIN s1
+    ON s0.asset_id = s1.asset_id AND s0.date = s1.date
+)
+SELECT change_type,
+       asset_id % 10 AS bucket,
+       COUNT(*) AS n,
+       {fxp_sum_sql('new_value')} AS sum_new_value
+FROM d WHERE change_type <> 'same'
+GROUP BY change_type, bucket
+""",
+    category="asof",
+    description=(
+        "Bitemporal snapshot diff: what the as-of view of (asset, date) "
+        "gained/changed between two knowledge times (full-outer join of two "
+        "latest-revision dedups; the audit query the reference's revision "
+        "model implies, file.rs:508-570)"
+    ),
+)
+def asof_bitemporal_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.asof import _latest_revision
+
+    prices = prices_from_lineitem(spark, sf_dir)
+
+    def snap(asof: int) -> DataFrame:
+        return _latest_revision(
+            ["asset_id", "date"], prices.where(F.col("ts") <= asof)
+        ).select("asset_id", "date", "value")
+
+    s0 = snap(_TS0)
+    s1 = snap(ASOF_2000)
+    d = s0.alias("s0").join(
+        s1.alias("s1"),
+        (F.col("s0.asset_id") == F.col("s1.asset_id"))
+        & (F.col("s0.date") == F.col("s1.date")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("s1.asset_id"), F.col("s0.asset_id")).alias("asset_id"),
+        F.col("s1.value").alias("new_value"),
+        F.when(F.col("s0.asset_id").isNull(), "added")
+        .when(F.col("s1.asset_id").isNull(), "removed")
+        .when(F.col("s0.value") != F.col("s1.value"), "changed")
+        .otherwise("same")
+        .alias("change_type"),
+    )
+    return (
+        d.where(F.col("change_type") != "same")
+        .groupBy("change_type", (F.col("asset_id") % 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            fxp_sum(F.col("new_value"), "sum_new_value"),
+        )
+    )
