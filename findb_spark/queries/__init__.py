@@ -16,4 +16,5 @@ from findb_spark.queries import (  # noqa: F401
     quality_queries,
     roundtrip_queries,
     finance_analytics,
+    stats_queries,
 )

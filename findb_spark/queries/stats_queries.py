@@ -1,0 +1,516 @@
+"""Statistical profiling / hypothesis-test query specs (SURVEY §2.2
+'Aggregations — robust stats' row, extending stats_profile_lineitem et al):
+Welch's t, chi-squared independence, Benford first-digit screening, a
+distributed-rank Gini coefficient, Simpson diversity, windowed distinct
+counting, bitmap aggregation, and an explicit Bloom-filter semi-join.
+
+Parity strategy: all moments from exact int64 sums (queries/parity.py);
+sqrt is correctly rounded under IEEE-754 so test statistics are
+deterministic cross-engine; the only transcendental inputs (Benford's
+expected shares) are Python-float literals embedded identically in both
+plans.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from findb_spark.functions.hashing import hash48, hash48_duck
+from findb_spark.queries.parity import fxp_sum, fxp_sum_sql
+from findb_spark.registry import register
+from findb_spark.session import load_table
+
+
+@register(
+    "stats_welch_ttest",
+    """
+WITH d AS (
+  SELECT o_orderpriority AS grp,
+         CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+m AS (
+  SELECT grp, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS sq
+  FROM d GROUP BY grp
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN grp = '1-URGENT' THEN n END) AS n1,
+    MAX(CASE WHEN grp = '5-LOW' THEN n END) AS n2,
+    MAX(CASE WHEN grp = '1-URGENT' THEN s END) AS s1,
+    MAX(CASE WHEN grp = '5-LOW' THEN s END) AS s2,
+    MAX(CASE WHEN grp = '1-URGENT' THEN sq END) AS sq1,
+    MAX(CASE WHEN grp = '5-LOW' THEN sq END) AS sq2
+  FROM m
+)
+SELECT n1, n2,
+       CAST(s1 AS DOUBLE) / n1 AS mean1,
+       CAST(s2 AS DOUBLE) / n2 AS mean2,
+       (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+         / SQRT(CAST(n1 * sq1 - s1 * s1 AS DOUBLE) / n1 / (n1 - 1) / n1
+                + CAST(n2 * sq2 - s2 * s2 AS DOUBLE) / n2 / (n2 - 1) / n2)
+         AS t_stat
+FROM w
+""",
+    category="relational",
+    description=(
+        "Welch's unequal-variance t statistic between two order-priority "
+        "cohorts on total price (dollar-quantized exact moments; sqrt is "
+        "IEEE-correctly-rounded so the statistic is deterministic)"
+    ),
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    m = d.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("sq"),
+    )
+    w = m.agg(
+        *[
+            F.max(F.when(F.col("grp") == g, F.col(c))).alias(f"{c}{i}")
+            for i, g in ((1, "1-URGENT"), (2, "5-LOW"))
+            for c in ("n", "s", "sq")
+        ]
+    )
+    return w.select(
+        "n1",
+        "n2",
+        F.expr("CAST(s1 AS DOUBLE) / n1").alias("mean1"),
+        F.expr("CAST(s2 AS DOUBLE) / n2").alias("mean2"),
+        F.expr(
+            "(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)"
+            " / SQRT(CAST(n1 * sq1 - s1 * s1 AS DOUBLE) / n1 / (n1 - 1) / n1"
+            " + CAST(n2 * sq2 - s2 * s2 AS DOUBLE) / n2 / (n2 - 1) / n2)"
+        ).alias("t_stat"),
+    )
+
+
+@register(
+    "stats_chi2_independence",
+    """
+WITH d AS (
+  SELECT event_type, dayofweek(ts) AS dow FROM events
+),
+cells AS (SELECT event_type, dow, COUNT(*) AS o FROM d GROUP BY 1, 2),
+rt AS (SELECT event_type, SUM(o) AS row_tot FROM cells GROUP BY 1),
+ct AS (SELECT dow, SUM(o) AS col_tot FROM cells GROUP BY 1),
+g AS (SELECT SUM(o) AS grand FROM cells),
+terms AS (
+  SELECT CAST(FLOOR(
+           (o - CAST(row_tot * col_tot AS DOUBLE) / grand)
+           * (o - CAST(row_tot * col_tot AS DOUBLE) / grand)
+           / (CAST(row_tot * col_tot AS DOUBLE) / grand) * 1000000 + 0.5)
+         AS BIGINT) AS t
+  FROM cells
+  JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN g
+),
+nr AS (SELECT COUNT(DISTINCT event_type) AS r FROM cells),
+nc AS (SELECT COUNT(DISTINCT dow) AS c FROM cells)
+SELECT CAST(SUM(t) AS DOUBLE) / 1000000 AS chi2,
+       CAST((MAX(r) - 1) * (MAX(c) - 1) AS BIGINT) AS dof
+FROM terms CROSS JOIN nr CROSS JOIN nc
+""",
+    category="events",
+    description=(
+        "Chi-squared independence test of event type vs day-of-week: "
+        "expected counts are exact rationals of integer marginals; per-cell "
+        "terms fixed-pointed before the (order-independent) sum"
+    ),
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Spark dayofweek is Sunday=1..7; DuckDB's Sunday=0..6
+    d = ev.select(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    )
+    cells = d.groupBy("event_type", "dow").agg(F.count("*").alias("o"))
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
+    ct = cells.groupBy("dow").agg(F.sum("o").alias("col_tot"))
+    g = cells.agg(F.sum("o").alias("grand"))
+    terms = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.expr(
+                "CAST(FLOOR("
+                "(o - CAST(row_tot * col_tot AS DOUBLE) / grand)"
+                " * (o - CAST(row_tot * col_tot AS DOUBLE) / grand)"
+                " / (CAST(row_tot * col_tot AS DOUBLE) / grand) * 1000000 + 0.5)"
+                " AS BIGINT)"
+            ).alias("t"),
+            "event_type",
+            "dow",
+        )
+    )
+    dims = terms.agg(
+        F.countDistinct("event_type").alias("r"), F.countDistinct("dow").alias("c")
+    )
+    return terms.crossJoin(F.broadcast(dims)).agg(
+        F.expr("CAST(SUM(t) AS DOUBLE) / 1000000").alias("chi2"),
+        F.expr("CAST((MAX(r) - 1) * (MAX(c) - 1) AS BIGINT)").alias("dof"),
+    )
+
+
+#: Benford expected first-digit shares log10(1 + 1/d) — transcendental, so
+#: computed ONCE in Python and embedded as identical float literals
+_BENFORD = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items()
+)
+
+
+@register(
+    "stats_benford",
+    f"""
+WITH c AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+n AS (SELECT COUNT(*) AS tot FROM c)
+SELECT digit,
+       COUNT(*) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / tot, 6) AS share,
+       CASE digit {_BENFORD_CASE} END AS benford_expected,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / tot
+             - CASE digit {_BENFORD_CASE} END, 6) AS deviation
+FROM c CROSS JOIN n
+GROUP BY digit, tot
+ORDER BY digit
+""",
+    category="relational",
+    description=(
+        "Benford's-law first-digit screen on order totals (fraud/DQ "
+        "heuristic): digit extracted from the exact integer cents string, "
+        "never from double formatting"
+    ),
+)
+def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = o.where(F.col("o_totalprice") > 0).select(
+        F.expr(
+            "CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            " AS STRING), 1, 1) AS INT)"
+        ).alias("digit")
+    )
+    n = c.agg(F.count("*").alias("tot"))
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("digit", "tot")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("share"),
+            F.expr(f"CASE digit {_BENFORD_CASE} END").alias("benford_expected"),
+            F.round(
+                F.col("n").cast("double") / F.col("tot")
+                - F.expr(f"CASE digit {_BENFORD_CASE} END"),
+                6,
+            ).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "stats_gini_revenue",
+    """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS r
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS i FROM rev
+),
+agg AS (SELECT COUNT(*) AS n, SUM(r) AS sr, SUM(i * r) AS sir FROM ranked)
+SELECT n AS n_customers,
+       CAST(2 * sir - (n + 1) * sr AS DOUBLE) / (n * sr) AS gini
+FROM agg
+""",
+    category="relational",
+    description=(
+        "Gini coefficient of customer revenue concentration via "
+        "DISTRIBUTED global ranking: range-bucket the revenue axis, rank "
+        "within buckets, add broadcast prefix offsets — no single-partition "
+        "window at any scale"
+    ),
+)
+def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank without a global window: bucket revenues onto a coarse
+    grid (bounded bucket count), row_number within each bucket (shuffle
+    partitioned by bucket), then add each bucket's exclusive prefix count
+    (a tiny broadcast). Identical ranks to the oracle's single
+    ROW_NUMBER, but the plan has no 1-partition exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")).alias(
+            "r"
+        )
+    )
+    b = rev.withColumn("bucket", F.expr("CAST(r / 10000000 AS BIGINT)"))
+    counts = b.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    wpre = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # tiny relation (bounded bucket count) — the only ordered window
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("cnt").over(wpre), F.lit(0)).alias("offset")
+    )
+    wb = Window.partitionBy("bucket").orderBy("r", "o_custkey")
+    ranked = (
+        b.join(F.broadcast(offsets), "bucket")
+        .select("r", (F.row_number().over(wb) + F.col("offset")).alias("i"))
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("i") * F.col("r")).alias("sir"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.expr("CAST(2 * sir - (n + 1) * sr AS DOUBLE) / (n * sr)").alias("gini"),
+    )
+
+
+@register(
+    "stats_simpson_diversity",
+    """
+WITH d AS (
+  SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
+),
+s AS (
+  SELECT source,
+         CAST(SUM(cnt) AS BIGINT) AS tot,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS ssq,
+         COUNT(*) AS n_langs
+  FROM d GROUP BY source
+)
+SELECT source, n_langs, tot AS n_docs,
+       1 - CAST(ssq AS DOUBLE) / (tot * tot) AS simpson_diversity,
+       CAST(tot * tot AS DOUBLE) / ssq AS effective_langs
+FROM s
+""",
+    category="text",
+    description=(
+        "Simpson diversity + effective language count per source — a "
+        "log-free diversity index that stays an exact rational of integer "
+        "counts (corpus-mix observability)"
+    ),
+)
+def stats_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    s = d.groupBy("source").agg(
+        F.sum("cnt").alias("tot"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ssq"),
+        F.count("*").alias("n_langs"),
+    )
+    return s.select(
+        "source",
+        "n_langs",
+        F.col("tot").alias("n_docs"),
+        F.expr("1 - CAST(ssq AS DOUBLE) / (tot * tot)").alias("simpson_diversity"),
+        F.expr("CAST(tot * tot AS DOUBLE) / ssq").alias("effective_langs"),
+    )
+
+
+@register(
+    "window_rolling_distinct",
+    """
+SELECT user_id, event_id,
+       CAST(COUNT(DISTINCT event_type)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_types_last10
+FROM events
+""",
+    category="events",
+    description=(
+        "Distinct event types over each user's trailing 10 events: Spark "
+        "has no windowed COUNT(DISTINCT), so the engine expresses it as "
+        "size(collect_set) over the frame — bounded by the type-domain "
+        "cardinality, safe at any scale"
+    ),
+)
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias(
+            "n_types_last10"
+        ),
+    )
+
+
+@register(
+    "bitmap_active_months",
+    """
+SELECT o_custkey,
+       CAST(bit_or(CAST(1 AS BIGINT) << (month(o_orderdate) - 1)) AS BIGINT)
+         AS months_bitmap,
+       CAST(bit_count(bit_or(CAST(1 AS BIGINT) << (month(o_orderdate) - 1)))
+            AS BIGINT) AS n_active_months
+FROM orders GROUP BY o_custkey
+""",
+    category="relational",
+    description=(
+        "Bitmap-index-style aggregation: calendar-month activity per "
+        "customer as one bigint bitmap (bit_or) + popcount — the roaring-"
+        "bitmap pattern for cheap distinct-bucket counting at scale"
+    ),
+)
+def bitmap_active_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), month(o_orderdate) - 1)")
+    return o.groupBy("o_custkey").agg(
+        F.bit_or(bit).cast("bigint").alias("months_bitmap"),
+        F.bit_count(F.bit_or(bit)).cast("bigint").alias("n_active_months"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# explicit Bloom-filter semi-join
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 16  # m = 65536 bits -> 2048 x 32-bit words
+_BLOOM_WORDS = _BLOOM_BITS // 32
+
+_BLOOM_KEYS_SQL = """
+keys AS (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+)
+"""
+
+_BLOOM_HASH_SQL = f"""
+kh AS (
+  SELECT o_orderkey,
+         {hash48_duck("CAST(o_orderkey AS VARCHAR)")} AS hv
+  FROM keys
+),
+pos AS (
+  SELECT hv % {_BLOOM_BITS} AS p FROM kh
+  UNION ALL
+  SELECT (hv // 65536) % {_BLOOM_BITS} AS p FROM kh
+),
+words AS (
+  SELECT p // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+)
+"""
+
+
+@register(
+    "bloom_prefilter_join",
+    f"""
+WITH {_BLOOM_KEYS_SQL},
+{_BLOOM_HASH_SQL},
+lh AS (
+  SELECT l_orderkey, l_returnflag, l_extendedprice,
+         {hash48_duck("CAST(l_orderkey AS VARCHAR)")} AS hv
+  FROM lineitem
+),
+cand AS (
+  SELECT lh.l_orderkey, lh.l_returnflag, lh.l_extendedprice
+  FROM lh
+  JOIN words w1 ON w1.word_idx = (lh.hv % {_BLOOM_BITS}) // 32
+               AND ((w1.bits >> CAST((lh.hv % {_BLOOM_BITS}) % 32 AS INT)) & 1) = 1
+  JOIN words w2 ON w2.word_idx = ((lh.hv // 65536) % {_BLOOM_BITS}) // 32
+               AND ((w2.bits >> CAST(((lh.hv // 65536) % {_BLOOM_BITS}) % 32 AS INT)) & 1) = 1
+),
+verified AS (
+  SELECT c.* FROM cand c SEMI JOIN keys k ON c.l_orderkey = k.o_orderkey
+),
+nc AS (SELECT COUNT(*) AS n_candidates FROM cand)
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       {fxp_sum_sql('l_extendedprice')} AS revenue,
+       MAX(n_candidates) AS n_candidates
+FROM verified CROSS JOIN nc
+GROUP BY l_returnflag
+""",
+    category="relational",
+    description=(
+        "Explicit Bloom-filter semi-join: high-value order keys build a "
+        "65536-bit / 2-hash Bloom bitmap (2048-row bit_or relation, "
+        "broadcast); lineitem probes it before the exact verify join. "
+        "n_candidates certifies the bloom's false-positive behavior itself, "
+        "not just losslessness — the pattern that replaces shuffling a "
+        "100 TB fact against a non-broadcastable key set"
+    ),
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = o.where(F.col("o_totalprice") > 400000).select("o_orderkey")
+    kh = keys.select(
+        "o_orderkey", hash48(F.col("o_orderkey").cast("string")).alias("hv")
+    )
+    pos = kh.select((F.col("hv") % _BLOOM_BITS).alias("p")).unionAll(
+        kh.select(
+            (F.expr("hv div 65536") % _BLOOM_BITS).alias("p")
+        )
+    )
+    words = pos.groupBy(F.expr("p div 32").alias("word_idx")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")
+        ).alias("bits")
+    )
+    lh = li.select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_extendedprice",
+        hash48(F.col("l_orderkey").cast("string")).alias("hv"),
+    )
+    h1 = F.col("hv") % _BLOOM_BITS
+    h2 = F.expr("hv div 65536") % _BLOOM_BITS
+    cand = (
+        lh.join(
+            F.broadcast(words.alias("w1")),
+            (F.col("w1.word_idx") == F.expr(f"(hv % {_BLOOM_BITS}) div 32"))
+            & (
+                F.expr(
+                    f"(shiftright(w1.bits, CAST((hv % {_BLOOM_BITS}) % 32 AS INT)) & 1) = 1"
+                )
+            ),
+        )
+        .drop("word_idx", "bits")
+        .join(
+            F.broadcast(words.alias("w2")),
+            (F.col("w2.word_idx") == F.expr(f"((hv div 65536) % {_BLOOM_BITS}) div 32"))
+            & (
+                F.expr(
+                    f"(shiftright(w2.bits, CAST(((hv div 65536) % {_BLOOM_BITS}) % 32 AS INT)) & 1) = 1"
+                )
+            ),
+        )
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+    )
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    verified = cand.join(
+        F.broadcast(keys), cand.l_orderkey == keys.o_orderkey, "semi"
+    )
+    return (
+        verified.crossJoin(F.broadcast(nc))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            fxp_sum(F.col("l_extendedprice"), "revenue"),
+            F.max("n_candidates").alias("n_candidates"),
+        )
+    )
