@@ -17,4 +17,5 @@ from findb_spark.queries import (  # noqa: F401
     roundtrip_queries,
     finance_analytics,
     stats_queries,
+    corpus_queries,
 )

@@ -1,0 +1,321 @@
+"""Corpus-level language-model analytics (SURVEY §2.2 LLM-pipeline mandate,
+extending ops/text.py): unigram-LM surprisal scoring, Zipf's-law slope fit,
+hapax ratio, character-trigram diversity, cross-source duplicate detection,
+and bigram vocabulary coverage.
+
+Parity strategy: transcendental-free where possible — surprisal is the
+integer log2 (bit length) of the inverse unigram probability, diversity and
+coverage are exact rationals of integer counts.  The one genuinely
+log-scaled fit (Zipf) fixed-points ln per row at 1e4 before exact integer
+moment sums, keeping the regression deterministic to ~1e-4 while the
+cross-engine ulp flip probability stays ~1e-9 per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from findb_spark.registry import register
+from findb_spark.session import load_table
+
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+"""
+
+
+@register(
+    "text_unigram_surprisal",
+    f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+surp AS (
+  -- integer log2 of the inverse unigram probability: bit length of
+  -- floor(total/count).  Exact on both engines — no transcendentals.
+  SELECT tok,
+         CAST(length(bin(CAST(FLOOR(CAST(n AS DOUBLE) / cnt) AS BIGINT)))
+              AS BIGINT) AS sbits
+  FROM tf CROSS JOIN tot
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(sbits) AS DOUBLE) / COUNT(*) AS mean_surprisal_bits
+FROM toks t JOIN surp USING (tok)
+GROUP BY t.doc_id
+""",
+    category="text",
+    description=(
+        "Unigram-LM surprisal per document (perplexity proxy for quality "
+        "filtering): surprisal = bit length of inverse token probability — "
+        "an integer, so per-doc means are exact rationals"
+    ),
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = toks.agg(F.count("*").cast("bigint").alias("n"))
+    surp = tf.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.expr(
+            "CAST(length(bin(CAST(FLOOR(CAST(n AS DOUBLE) / cnt) AS BIGINT)))"
+            " AS BIGINT)"
+        ).alias("sbits"),
+    )
+    return (
+        toks.join(surp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.expr("CAST(SUM(sbits) AS DOUBLE) / COUNT(*)").alias(
+                "mean_surprisal_bits"
+            ),
+        )
+    )
+
+
+@register(
+    "text_zipf_slope",
+    f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+  FROM tf ORDER BY cnt DESC, tok LIMIT 1000
+),
+ll AS (
+  SELECT CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS y
+  FROM ranked
+),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM ll
+)
+SELECT n AS n_terms,
+       CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS zipf_slope,
+       (CAST(sy AS DOUBLE) / n
+        - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+          * (CAST(sx AS DOUBLE) / n)) / 10000 AS zipf_intercept
+FROM m
+""",
+    category="text",
+    description=(
+        "Zipf's-law fit: OLS slope of log-frequency on log-rank over the "
+        "top-1000 vocabulary (a healthy natural-language corpus sits near "
+        "-1; gibberish and boilerplate deviate) — ln fixed-pointed per row, "
+        "moments exact"
+    ),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # top-k under a deterministic total order: TakeOrderedAndProject, no
+    # global window over the full vocabulary
+    ranked = (
+        tf.orderBy(F.desc("cnt"), "tok")
+        .limit(1000)
+        .select(
+            "cnt",
+            # 1000-row relation by construction — the ordered window is tiny
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "tok"))
+            .alias("rnk"),
+        )
+    )
+    ll = ranked.select(
+        F.expr("CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 10000 + 0.5) AS BIGINT)").alias(
+            "x"
+        ),
+        F.expr("CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 10000 + 0.5) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    m = ll.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        F.col("n").alias("n_terms"),
+        F.expr("CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)").alias(
+            "zipf_slope"
+        ),
+        F.expr(
+            "(CAST(sy AS DOUBLE) / n"
+            " - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)"
+            " * (CAST(sx AS DOUBLE) / n)) / 10000"
+        ).alias("zipf_intercept"),
+    )
+
+
+@register(
+    "text_hapax_ratio",
+    """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT source, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS hapax_ratio
+FROM tf GROUP BY source
+""",
+    category="text",
+    description=(
+        "Hapax legomena ratio per source (lexical-richness / OCR-noise "
+        "screen): share of the vocabulary occurring exactly once"
+    ),
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    hap = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+    return tf.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        hap.cast("bigint").alias("n_hapax"),
+        (hap.cast("double") / F.count("*")).alias("hapax_ratio"),
+    )
+
+
+@register(
+    "text_trigram_diversity",
+    """
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
+tg AS (
+  SELECT doc_id, substring(text, CAST(i AS INT), 3) AS tri
+  FROM d, unnest(generate_series(1, length(text) - 2)) AS t(i)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(COUNT(DISTINCT tri) AS BIGINT) AS n_distinct,
+       CAST(COUNT(DISTINCT tri) AS DOUBLE) / COUNT(*) AS trigram_diversity
+FROM tg GROUP BY doc_id
+""",
+    category="text",
+    description=(
+        "Character-trigram diversity per document (repetition / gibberish "
+        "detector used by pretraining quality filters): distinct over total "
+        "sliding 3-grams — an exact rational"
+    ),
+)
+def text_trigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    tg = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substring(text, CAST(i AS INT), 3)").alias("tri"))
+    return tg.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_trigrams"),
+        F.countDistinct("tri").cast("bigint").alias("n_distinct"),
+        (F.countDistinct("tri").cast("double") / F.count("*")).alias(
+            "trigram_diversity"
+        ),
+    )
+
+
+@register(
+    "dedup_cross_source",
+    """
+WITH h AS (SELECT doc_id, source, md5(text) AS th FROM documents),
+g AS (
+  SELECT th,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         MIN(doc_id) AS min_doc_id
+  FROM h GROUP BY th
+)
+SELECT th, n_docs, n_sources, min_doc_id
+FROM g WHERE n_sources > 1
+""",
+    category="dedup",
+    description=(
+        "Cross-source exact duplicates: documents whose identical text "
+        "appears under more than one source — the contamination shape "
+        "(benchmark text inside crawl data) exact dedup alone won't surface"
+    ),
+)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source", F.md5("text").alias("th"))
+    g = h.groupBy("th").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+    return g.where(F.col("n_sources") > 1)
+
+
+@register(
+    "text_bigram_coverage",
+    f"""
+WITH {_TOKS_CTE},
+bg AS (
+  SELECT doc_id, tok,
+         LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           unnest(generate_series(1, length(string_split(text, ' ')))) AS pos
+    FROM documents
+  )
+),
+bf AS (
+  SELECT tok || ' ' || nxt AS bigram, COUNT(*) AS cnt
+  FROM bg WHERE nxt IS NOT NULL GROUP BY 1
+),
+topk AS (
+  SELECT cnt FROM bf ORDER BY cnt DESC, bigram LIMIT 1000
+),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_distinct FROM bf),
+tk AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top_cnt FROM topk)
+SELECT total AS total_bigrams,
+       n_distinct AS distinct_bigrams,
+       top_cnt AS top1000_occurrences,
+       CAST(top_cnt AS DOUBLE) / total AS top1000_coverage
+FROM t CROSS JOIN tk
+""",
+    category="text",
+    description=(
+        "Bigram vocabulary coverage: what share of all bigram occurrences "
+        "the top-1000 bigrams explain (tokenizer/vocab sizing signal)"
+    ),
+)
+def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.select("doc_id", "tok", F.lead("tok").over(w).alias("nxt")).where(
+        F.col("nxt").isNotNull()
+    )
+    bf = bg.groupBy(
+        F.concat_ws(" ", "tok", "nxt").alias("bigram")
+    ).agg(F.count("*").alias("cnt"))
+    topk = bf.orderBy(F.desc("cnt"), "bigram").limit(1000).select("cnt")
+    t = bf.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count("*").alias("n_distinct"),
+    )
+    tk = topk.agg(F.sum("cnt").cast("bigint").alias("top_cnt"))
+    return (
+        t.crossJoin(tk)
+        .select(
+            F.col("total").alias("total_bigrams"),
+            F.col("n_distinct").alias("distinct_bigrams"),
+            F.col("top_cnt").alias("top1000_occurrences"),
+            F.expr("CAST(top_cnt AS DOUBLE) / total").alias("top1000_coverage"),
+        )
+    )
