@@ -18,4 +18,5 @@ from findb_spark.queries import (  # noqa: F401
     finance_analytics,
     stats_queries,
     corpus_queries,
+    events_analytics,
 )

@@ -1,0 +1,332 @@
+"""Product-analytics query specs over the events stream (SURVEY §2.2
+'Events / sessionization' row, extending events_queries.py): exact sliding
+distinct actives (DAU/WAU), conversion-delay histograms, second-order Markov
+transitions, cohort LTV curves, and churn by signup cohort.
+
+The DAU/WAU query is the interesting operator: an EXACT count-distinct over
+a sliding window without per-day user sets.  Each user's active day
+contributes to window days [a, min(a+6, next_active-1)] — a bounded
+interval decomposition that turns sliding distinct into a plain groupBy
+count (7 rows max per active day), fully distributed.  The collect_set /
+HLL alternatives are respectively unbounded-state and approximate.
+
+Time arithmetic parity: all deltas are exact microsecond integers
+(unix_micros / epoch_us) — never fractional epoch seconds, which truncate
+differently at window edges (see events_attribution's interval note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from findb_spark.queries.parity import fxp_sum, fxp_sum_sql
+from findb_spark.registry import register
+from findb_spark.session import load_table
+
+
+@register(
+    "events_dau_wau",
+    """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+nxt AS (
+  SELECT user_id, day,
+         LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+  FROM ud
+),
+contrib AS (
+  SELECT user_id, unnest(generate_series(
+           day,
+           LEAST(day + 6, COALESCE(next_day - 1, day + 6)),
+           INTERVAL 1 DAY)) AS wday
+  FROM nxt
+),
+wau AS (SELECT CAST(wday AS DATE) AS day, COUNT(*) AS wau FROM contrib GROUP BY 1),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+span AS (SELECT MIN(day) AS d0 FROM ud)
+SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+       ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day CROSS JOIN span
+WHERE dau.day >= d0 + 6
+""",
+    category="events",
+    description=(
+        "DAU / trailing-7-day WAU / stickiness with EXACT sliding distinct: "
+        "each (user, active-day) contributes to window days "
+        "[a, min(a+6, next_active-1)] — interval decomposition makes "
+        "sliding count-distinct a plain groupBy, no per-day user sets"
+    ),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    nxt = ud.select("user_id", "day", F.lead("day").over(w).alias("next_day"))
+    contrib = nxt.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "sequence(day,"
+                " least(date_add(day, 6),"
+                " coalesce(date_sub(next_day, 1), date_add(day, 6))),"
+                " INTERVAL 1 DAY)"
+            )
+        ).alias("wday"),
+    )
+    wau = contrib.groupBy(F.col("wday").cast("date").alias("day")).agg(
+        F.count("*").alias("wau")
+    )
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    span = ud.agg(F.min("day").alias("d0"))
+    return (
+        dau.join(wau, "day")
+        .crossJoin(F.broadcast(span))
+        .where(F.expr("day >= date_add(d0, 6)"))
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+@register(
+    "events_time_to_convert",
+    """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT (t_purchase - t_signup) // 3600000000 AS delay_hours
+  FROM firsts
+  WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+    AND t_purchase >= t_signup
+),
+n AS (SELECT COUNT(*) AS n_conv FROM conv)
+SELECT CAST(delay_hours // 24 AS BIGINT) AS delay_days,
+       COUNT(*) AS n_users,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / n_conv, 6) AS share
+FROM conv CROSS JOIN n
+GROUP BY delay_days, n_conv
+ORDER BY delay_days
+""",
+    category="events",
+    description=(
+        "Time-to-convert histogram (first signup -> first purchase) in "
+        "whole days: deltas are exact microsecond integers, so bucket "
+        "edges cannot diverge cross-engine"
+    ),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+        ).alias("t_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("t_purchase"),
+    )
+    conv = firsts.where(
+        "t_signup IS NOT NULL AND t_purchase IS NOT NULL AND t_purchase >= t_signup"
+    ).select(F.expr("(t_purchase - t_signup) div 3600000000").alias("delay_hours"))
+    n = conv.agg(F.count("*").alias("n_conv"))
+    return (
+        conv.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr("CAST(delay_hours div 24 AS BIGINT)").alias("delay_days"),
+            "n_conv",
+        )
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            "delay_days",
+            "n_users",
+            F.round(F.col("n_users").cast("double") / F.col("n_conv"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("delay_days")
+    )
+
+
+@register(
+    "events_markov2",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type, 1) OVER w AS prev1,
+         LAG(event_type, 2) OVER w AS prev2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT prev2, prev1, event_type AS next_type, COUNT(*) AS cnt
+  FROM seq WHERE prev2 IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+ctx AS (
+  SELECT prev2, prev1, CAST(SUM(cnt) AS BIGINT) AS ctx_total
+  FROM tri GROUP BY 1, 2
+)
+SELECT t.prev2, t.prev1, t.next_type,
+       CAST(t.cnt AS BIGINT) AS cnt,
+       ROUND(CAST(t.cnt AS DOUBLE) / c.ctx_total, 6) AS prob
+FROM tri t JOIN ctx c ON t.prev2 = c.prev2 AND t.prev1 = c.prev1
+""",
+    category="events",
+    description=(
+        "Second-order Markov transition model of event types (journey "
+        "prediction): P(next | prev2, prev1) from exact trigram counts — "
+        "one window shuffle on user_id, everything downstream co-partitioned"
+    ),
+)
+def events_markov2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    ).where(F.col("prev2").isNotNull())
+    tri = seq.groupBy(
+        "prev2", "prev1", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("cnt"))
+    ctx = tri.groupBy("prev2", "prev1").agg(
+        F.sum("cnt").cast("bigint").alias("ctx_total")
+    )
+    return tri.join(ctx, ["prev2", "prev1"]).select(
+        "prev2",
+        "prev1",
+        "next_type",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(F.col("cnt").cast("double") / F.col("ctx_total"), 6).alias("prob"),
+    )
+
+
+@register(
+    "events_cohort_ltv",
+    """
+WITH cohort AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+),
+sizes AS (SELECT cohort_day, COUNT(*) AS n_users FROM cohort GROUP BY cohort_day),
+rev AS (
+  SELECT c.cohort_day,
+         date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS age_days,
+         SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events e JOIN cohort c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_day, age_days,
+         SUM(cents) OVER (PARTITION BY cohort_day ORDER BY age_days
+                          ROWS UNBOUNDED PRECEDING) AS cum_cents
+  FROM rev
+)
+SELECT cum.cohort_day, CAST(age_days AS BIGINT) AS age_days,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(cum_cents AS DOUBLE) / 100 AS cum_revenue,
+       CAST(cum_cents AS DOUBLE) / 100 / n_users AS ltv_per_user
+FROM cum JOIN sizes ON cum.cohort_day = sizes.cohort_day
+""",
+    category="events",
+    description=(
+        "Cohort LTV curves: cumulative purchase revenue per signup-day "
+        "cohort by account age (fixed-point cents; one shuffle on "
+        "cohort_day for the cumulative window)"
+    ),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    sizes = cohort.groupBy("cohort_day").agg(F.count("*").alias("n_users"))
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "age_days"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cohort_day", "age_days", F.sum("cents").over(w).alias("cum_cents")
+    )
+    return cum.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        F.col("age_days").cast("bigint").alias("age_days"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.expr("CAST(cum_cents AS DOUBLE) / 100").alias("cum_revenue"),
+        F.expr("CAST(cum_cents AS DOUBLE) / 100 / n_users").alias("ltv_per_user"),
+    )
+
+
+@register(
+    "events_churn_inactive",
+    """
+WITH u AS (
+  SELECT user_id,
+         MIN(CAST(ts AS DATE)) AS first_day,
+         MAX(CAST(ts AS DATE)) AS last_day
+  FROM events GROUP BY user_id
+),
+horizon AS (SELECT MAX(last_day) AS max_day FROM u)
+SELECT CAST(date_trunc('week', first_day) AS DATE) AS cohort_week,
+       COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN last_day < max_day - 7 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_churned,
+       ROUND(CAST(SUM(CASE WHEN last_day < max_day - 7
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS churn_rate
+FROM u CROSS JOIN horizon
+GROUP BY cohort_week, max_day
+ORDER BY cohort_week
+""",
+    category="events",
+    description=(
+        "Churn by signup-week cohort: users silent for the trailing 7 days "
+        "of the observation window (Monday-based ISO weeks on both engines)"
+    ),
+)
+def events_churn_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+    )
+    horizon = u.agg(F.max("last_day").alias("max_day"))
+    churned = F.sum(
+        F.when(F.expr("last_day < date_sub(max_day, 7)"), 1).otherwise(0)
+    )
+    return (
+        u.crossJoin(F.broadcast(horizon))
+        .groupBy(F.date_trunc("week", "first_day").cast("date").alias("cohort_week"), "max_day")
+        .agg(
+            F.count("*").alias("n_users"),
+            churned.cast("bigint").alias("n_churned"),
+            F.round(churned.cast("double") / F.count("*"), 6).alias("churn_rate"),
+        )
+        .drop("max_day")
+        .orderBy("cohort_week")
+    )
