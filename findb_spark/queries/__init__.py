@@ -19,4 +19,5 @@ from findb_spark.queries import (  # noqa: F401
     stats_queries,
     corpus_queries,
     events_analytics,
+    vector_analytics,
 )

@@ -1,0 +1,391 @@
+"""Vector-search analytics beyond plain top-k (SURVEY §2.2 similarity-search
+mandate, extending vector_queries.py): a bucketed kNN graph, MMR diversified
+reranking, an LSH recall curve, and embedding-norm profiling.
+
+All similarity math reuses the fixed-point cosine kernel
+(ops/vector.py fxp_dot_expr / cosine_sql) so every score is bit-identical
+cross-engine; MMR's lambda blend uses CAST(...AS DOUBLE) literals on both
+engines (Spark ANSI would otherwise type bare decimals as DECIMAL).
+
+Scale notes: the kNN graph joins within LSH buckets (candidate cost
+sum(bucket^2), never n^2); MMR operates on a top-10 candidate pool per
+query, so the greedy steps touch k*pool rows regardless of corpus size;
+the recall curve's exact arm is the broadcast-query scan that exists as
+the ANN exactness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from findb_spark.ops.vector import (
+    FXP_SCALE,
+    cosine_expr,
+    cosine_sql,
+    cosine_topk,
+    fxp_dot_sql,
+    lsh_buckets,
+    norm_expr,
+)
+from findb_spark.queries.vector_queries import _bucket_sql, _queryset
+from findb_spark.registry import register
+from findb_spark.session import load_table
+
+
+@register(
+    "vec_knn_graph",
+    f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {cosine_sql('a.embedding', 'b.embedding')} AS cos_sim
+  FROM corpus a JOIN corpus b
+    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                               ORDER BY cos_sim DESC, dst) AS rnk
+  FROM p
+)
+SELECT src, dst, cos_sim, rnk FROM r WHERE rnk <= 3
+""",
+    category="vector",
+    description=(
+        "kNN graph (top-3 out-edges per vector) built inside LSH buckets: "
+        "candidate cost sum(bucket^2) not n^2 — the semantic-dedup / "
+        "clustering substrate at corpus scale"
+    ),
+)
+def vec_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = lsh_buckets(emb)
+    a = corpus.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("aemb"),
+        "bucket",
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("bemb"),
+        "bucket",
+    )
+    p = (
+        a.join(b, "bucket")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", cosine_expr("aemb", "bemb").alias("cos_sim"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+    return (
+        p.select("src", "dst", "cos_sim", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank
+# ---------------------------------------------------------------------------
+
+_L = "CAST(0.7 AS DOUBLE)"
+_ML = "CAST(0.3 AS DOUBLE)"
+
+
+def _mmr_sql() -> str:
+    cos_eq = cosine_sql("e.embedding", "q.embedding")
+    cos_ab = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH cand0 AS (
+  SELECT q.vec_id AS query_id, e.vec_id, {cos_eq} AS simq
+  FROM embeddings e JOIN embeddings q
+    ON q.vec_id < 3 AND e.vec_id != q.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id, simq FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY simq DESC, vec_id) AS rn
+    FROM cand0) WHERE rn <= 10
+),
+ce AS (
+  SELECT c.query_id, c.vec_id, c.simq, e.embedding
+  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+),
+pr AS (
+  SELECT a.query_id, a.vec_id AS d, b.vec_id AS s, {cos_ab} AS simab
+  FROM ce a JOIN ce b ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+),
+s1 AS (
+  SELECT query_id, vec_id, simq FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY simq DESC, vec_id) AS rn
+    FROM cand) WHERE rn = 1
+),
+r1 AS (
+  SELECT c.* FROM cand c ANTI JOIN s1
+    ON c.query_id = s1.query_id AND c.vec_id = s1.vec_id
+),
+sc2 AS (
+  SELECT r1.query_id, r1.vec_id, r1.simq,
+         {_L} * r1.simq - {_ML} * pr.simab AS score
+  FROM r1
+  JOIN pr ON pr.query_id = r1.query_id AND pr.d = r1.vec_id
+  JOIN s1 ON s1.query_id = r1.query_id AND s1.vec_id = pr.s
+),
+s2 AS (
+  SELECT query_id, vec_id, simq, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS rn
+    FROM sc2) WHERE rn = 1
+),
+r2 AS (
+  SELECT r1.* FROM r1 ANTI JOIN s2
+    ON r1.query_id = s2.query_id AND r1.vec_id = s2.vec_id
+),
+sel AS (
+  SELECT query_id, vec_id FROM s1
+  UNION ALL SELECT query_id, vec_id FROM s2
+),
+sc3 AS (
+  SELECT r2.query_id, r2.vec_id,
+         {_L} * r2.simq - {_ML} * MAX(pr.simab) AS score
+  FROM r2
+  JOIN pr ON pr.query_id = r2.query_id AND pr.d = r2.vec_id
+  JOIN sel ON sel.query_id = r2.query_id AND sel.vec_id = pr.s
+  GROUP BY r2.query_id, r2.vec_id, r2.simq
+),
+s3 AS (
+  SELECT query_id, vec_id, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS rn
+    FROM sc3) WHERE rn = 1
+)
+SELECT query_id, 1 AS step, vec_id, simq AS mmr_score FROM s1
+UNION ALL SELECT query_id, 2 AS step, vec_id, score FROM s2
+UNION ALL SELECT query_id, 3 AS step, vec_id, score FROM s3
+"""
+
+
+@register(
+    "vec_mmr_rerank",
+    _mmr_sql(),
+    category="vector",
+    description=(
+        "Maximal Marginal Relevance rerank (Carbonell & Goldstein SIGIR'98): "
+        "greedy 3-pick diversified selection from each query's top-10 pool, "
+        "lambda=0.7 — each greedy step is a window argmax over the bounded "
+        "candidate relation, so cost is k x pool regardless of corpus size"
+    ),
+)
+def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queryset(spark, sf_dir)
+    cand = cosine_topk(emb, q, k=10).select(
+        "query_id", "vec_id", F.col("cos_sim").alias("simq")
+    )
+    ce = cand.join(emb, "vec_id").select(
+        "query_id", "vec_id", "simq", "embedding"
+    )
+    a = ce.select(
+        "query_id",
+        F.col("vec_id").alias("d"),
+        F.col("embedding").alias("aemb"),
+    )
+    b = ce.select(
+        "query_id",
+        F.col("vec_id").alias("s"),
+        F.col("embedding").alias("bemb"),
+    )
+    pr = (
+        a.join(b, "query_id")
+        .where(F.col("d") != F.col("s"))
+        .select("query_id", "d", "s", cosine_expr("aemb", "bemb").alias("simab"))
+    )
+    wq = Window.partitionBy("query_id")
+
+    def argmax(df: DataFrame, score_col: str) -> DataFrame:
+        w = wq.orderBy(F.desc(score_col), "vec_id")
+        return (
+            df.select("*", F.row_number().over(w).alias("rn"))
+            .where("rn = 1")
+            .drop("rn")
+        )
+
+    prd = pr.select(
+        "query_id", F.col("d").alias("vec_id"), "s", "simab"
+    )
+    s1 = argmax(cand, "simq")
+    r1 = cand.join(
+        s1.select("query_id", "vec_id"), ["query_id", "vec_id"], "anti"
+    )
+    sc2 = (
+        r1.join(prd, ["query_id", "vec_id"])
+        .join(
+            s1.select("query_id", F.col("vec_id").alias("s")),
+            ["query_id", "s"],
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "simq",
+            F.expr(f"{_L} * simq - {_ML} * simab").alias("score"),
+        )
+    )
+    s2 = argmax(sc2, "score")
+    r2 = r1.join(
+        s2.select("query_id", "vec_id"), ["query_id", "vec_id"], "anti"
+    )
+    sel = s1.select("query_id", "vec_id").unionAll(s2.select("query_id", "vec_id"))
+    sc3 = (
+        r2.join(prd, ["query_id", "vec_id"])
+        .join(
+            sel.select("query_id", F.col("vec_id").alias("s")),
+            ["query_id", "s"],
+        )
+        .groupBy("query_id", "vec_id", "simq")
+        .agg(F.max("simab").alias("maxd"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(f"{_L} * simq - {_ML} * maxd").alias("score"),
+        )
+    )
+    s3 = argmax(sc3, "score")
+    return (
+        s1.select("query_id", F.lit(1).alias("step"), "vec_id", F.col("simq").alias("mmr_score"))
+        .unionAll(
+            s2.select("query_id", F.lit(2).alias("step"), "vec_id", F.col("score").alias("mmr_score"))
+        )
+        .unionAll(
+            s3.select("query_id", F.lit(3).alias("step"), "vec_id", F.col("score").alias("mmr_score"))
+        )
+    )
+
+
+@register(
+    "vec_lsh_recall_curve",
+    f"""
+WITH exact0 AS (
+  SELECT q.vec_id AS query_id, e.vec_id, {cosine_sql('e.embedding', 'q.embedding')} AS cos_sim
+  FROM embeddings e JOIN embeddings q
+    ON q.vec_id < 3 AND e.vec_id != q.vec_id
+),
+exact AS (
+  SELECT query_id, vec_id, rn FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM exact0) WHERE rn <= 5
+),
+corpus AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+qb AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+  FROM corpus WHERE vec_id < 3
+),
+approx0 AS (
+  SELECT query_id, c.vec_id, {cosine_sql('c.embedding', 'qv')} AS cos_sim
+  FROM corpus c JOIN qb ON c.bucket = qb.qbucket AND c.vec_id != qb.query_id
+),
+approx AS (
+  SELECT query_id, vec_id, rn FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM approx0) WHERE rn <= 5
+),
+ks AS (SELECT unnest([1, 3, 5]) AS k),
+grid AS (SELECT DISTINCT query_id, k FROM exact CROSS JOIN ks),
+hits AS (
+  SELECT a.query_id, k.k, COUNT(*) AS n_hit
+  FROM approx a
+  JOIN exact e ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  CROSS JOIN ks k
+  WHERE a.rn <= k.k AND e.rn <= k.k
+  GROUP BY 1, 2
+)
+SELECT g.query_id, CAST(g.k AS INT) AS k,
+       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / g.k, 6) AS recall
+FROM grid g LEFT JOIN hits h ON g.query_id = h.query_id AND g.k = h.k
+""",
+    category="vector",
+    description=(
+        "LSH recall@k curve (k=1,3,5) against the exact broadcast-scan "
+        "oracle: the dial that tells you whether to add multiprobe or more "
+        "planes before scaling the corpus"
+    ),
+)
+def vec_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.vector import ann_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queryset(spark, sf_dir)
+    exact = cosine_topk(emb, q, k=5).select("query_id", "vec_id", F.col("rank").alias("rn"))
+    approx = ann_lsh_topk(emb, q, k=5).select(
+        "query_id", "vec_id", F.col("rank").alias("rn")
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(3), F.lit(5))).alias("k")
+    )
+    grid = exact.select("query_id").distinct().crossJoin(F.broadcast(ks))
+    hits = (
+        approx.alias("a")
+        .join(
+            exact.alias("e"),
+            (F.col("a.query_id") == F.col("e.query_id"))
+            & (F.col("a.vec_id") == F.col("e.vec_id")),
+        )
+        .crossJoin(F.broadcast(ks))
+        .where("a.rn <= k AND e.rn <= k")
+        .groupBy(F.col("a.query_id").alias("query_id"), "k")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return grid.join(hits, ["query_id", "k"], "left").select(
+        "query_id",
+        F.col("k").cast("int").alias("k"),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("k"), 6
+        ).alias("recall"),
+    )
+
+
+@register(
+    "vec_norm_profile",
+    f"""
+WITH n AS (
+  SELECT label,
+         SQRT(CAST({fxp_dot_sql('embedding', 'embedding')} AS DOUBLE)
+              / {FXP_SCALE}) AS nrm
+  FROM embeddings
+),
+q AS (
+  SELECT label, nrm, CAST(FLOOR(nrm * 1000000 + 0.5) AS BIGINT) AS nq FROM n
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(nq) AS DOUBLE) / 1000000 / COUNT(*) AS mean_norm,
+       MIN(nrm) AS min_norm,
+       MAX(nrm) AS max_norm
+FROM q GROUP BY label
+""",
+    category="vector",
+    description=(
+        "Embedding-norm profile per label (the un-normalized-model / "
+        "truncation QA check): fixed-point mean, exact min/max of the "
+        "deterministic L2 norm"
+    ),
+)
+def vec_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select("label", norm_expr("embedding").alias("nrm"))
+    q = n.select(
+        "label",
+        "nrm",
+        F.floor(F.col("nrm") * 1000000 + F.lit(0.5)).cast("bigint").alias("nq"),
+    )
+    return q.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.expr("CAST(SUM(nq) AS DOUBLE) / 1000000 / COUNT(*)").alias("mean_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
