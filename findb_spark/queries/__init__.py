@@ -20,4 +20,5 @@ from findb_spark.queries import (  # noqa: F401
     corpus_queries,
     events_analytics,
     vector_analytics,
+    graph_quality_queries,
 )

@@ -1,0 +1,293 @@
+"""Duplicate-graph structure + privacy/DQ audit query specs (SURVEY §2.2
+dedup/graph + quality rows, extending ops/graph.py and quality_queries.py):
+k-core decomposition, neighbor-set Jaccard, cluster-size histograms,
+l-diversity, and freshness SLA monitoring.
+
+The graph queries run over the MinHash-LSH verified pair graph (the same
+pairs relation every dedup_clusters* query uses), so their oracles reuse
+dedup_queries' CTE constants verbatim — one source of truth for the
+pair-generation semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from findb_spark.ops.dedup import minhash_lsh_pairs
+from findb_spark.queries.dedup_queries import _CLUSTERS_CTES
+from findb_spark.registry import register
+from findb_spark.session import load_table
+
+#: everything in _CLUSTERS_CTES up to (and including) `pairs`/`edges` is
+#: reusable without the recursive closure; DuckDB only evaluates referenced
+#: CTEs, so queries below that skip `reach`/`comp` pay nothing for them.
+
+_N_PEEL = 5
+
+
+def _kcore_sql(k: int = 2, rounds: int = _N_PEEL) -> str:
+    # every e{i} is referenced three times by round i+1 (once directly, twice
+    # through k{i}); MATERIALIZED stops DuckDB's CTE inlining from expanding
+    # the whole minhash pipeline 3^rounds times (the Spark twin checkpoints
+    # per round for the same reason)
+    ctes = [
+        "pmat AS MATERIALIZED (SELECT doc1, doc2 FROM pairs)",
+        "e0 AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM pmat"
+        " UNION ALL SELECT doc2, doc1 FROM pmat)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"d{i} AS (SELECT a, COUNT(*) AS deg FROM e{i} GROUP BY a)"
+        )
+        ctes.append(f"k{i} AS MATERIALIZED (SELECT a FROM d{i} WHERE deg >= {k})")
+        ctes.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e"
+            f" JOIN k{i} x ON e.a = x.a JOIN k{i} y ON e.b = y.a)"
+        )
+    peel = ",\n".join(ctes)
+    return f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+{peel},
+dfin AS (SELECT a, COUNT(*) AS deg FROM e{rounds} GROUP BY a)
+SELECT a AS doc_id, CAST(deg AS BIGINT) AS core_degree
+FROM dfin WHERE deg >= {k}
+"""
+
+
+@register(
+    "graph_kcore",
+    _kcore_sql(),
+    category="dedup",
+    description=(
+        f"2-core of the near-dup pair graph via {_N_PEEL} degree-peel "
+        "rounds (each: one groupBy + two semi-joins): isolates genuinely "
+        "clustered duplication from pendant one-off matches; dup-graph "
+        "diameters are 1-2 (see ops/graph.py), so the fixed round count "
+        "reaches the fixpoint with slack"
+    ),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.4).select("doc1", "doc2")
+    e = pairs.select(
+        F.col("doc1").alias("a"), F.col("doc2").alias("b")
+    ).unionAll(pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b")))
+    # truncate lineage each round: e{i} feeds round i+1 three times (direct
+    # + twice via keep), and without the checkpoint Catalyst re-evaluates
+    # the whole minhash pipeline 3^rounds times (same reason the oracle's
+    # CTEs are MATERIALIZED; same discipline as ops/graph.py propagation)
+    e = e.localCheckpoint(eager=True)
+    for _ in range(_N_PEEL):
+        deg = e.groupBy("a").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= 2).select("a")
+        e = (
+            e.join(keep, "a", "semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "semi")
+        ).localCheckpoint(eager=True)
+    dfin = e.groupBy("a").agg(F.count("*").alias("deg"))
+    return dfin.where(F.col("deg") >= 2).select(
+        F.col("a").alias("doc_id"), F.col("deg").cast("bigint").alias("core_degree")
+    )
+
+
+@register(
+    "graph_neighbor_jaccard",
+    f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+pmat AS MATERIALIZED (SELECT doc1, doc2 FROM pairs),
+e AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM pmat
+      UNION ALL SELECT doc2, doc1 FROM pmat),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY a),
+common AS (
+  SELECT p.doc1, p.doc2, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM pmat p
+  JOIN e e1 ON e1.a = p.doc1
+  JOIN e e2 ON e2.a = p.doc2 AND e2.b = e1.b
+  GROUP BY 1, 2
+)
+SELECT p.doc1, p.doc2, da.deg AS deg1, db.deg AS deg2,
+       COALESCE(c.n_common, 0) AS n_common,
+       ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+             / (da.deg + db.deg - COALESCE(c.n_common, 0)), 6)
+         AS neighbor_jaccard
+FROM pmat p
+JOIN deg da ON da.a = p.doc1
+JOIN deg db ON db.a = p.doc2
+LEFT JOIN common c ON c.doc1 = p.doc1 AND c.doc2 = p.doc2
+""",
+    category="dedup",
+    description=(
+        "Structural (neighbor-set) Jaccard for each adjacent dup pair: "
+        "common-neighbor count over degree union — separates clique-core "
+        "duplicates from bridge edges before transitive clustering merges "
+        "unrelated groups"
+    ),
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # pairs feeds three consumers (edge list twice, final projection once):
+    # checkpoint so the LSH pipeline runs once, not per consumer
+    pairs = (
+        minhash_lsh_pairs(docs, threshold=0.4)
+        .select("doc1", "doc2")
+        .localCheckpoint(eager=True)
+    )
+    e = pairs.select(
+        F.col("doc1").alias("a"), F.col("doc2").alias("b")
+    ).unionAll(pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b")))
+    deg = e.groupBy("a").agg(F.count("*").cast("bigint").alias("deg"))
+    common = (
+        pairs.join(
+            e.select(F.col("a").alias("doc1"), F.col("b").alias("x")), "doc1"
+        )
+        .join(
+            e.select(F.col("a").alias("doc2"), F.col("b").alias("x")),
+            ["doc2", "x"],
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        pairs.join(deg.select(F.col("a").alias("doc1"), F.col("deg").alias("deg1")), "doc1")
+        .join(deg.select(F.col("a").alias("doc2"), F.col("deg").alias("deg2")), "doc2")
+        .join(common, ["doc1", "doc2"], "left")
+        .select(
+            "doc1",
+            "doc2",
+            "deg1",
+            "deg2",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias("n_common"),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.coalesce(F.col("n_common"), F.lit(0))),
+                6,
+            ).alias("neighbor_jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_cluster_stats",
+    f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+asg AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+s AS (SELECT cluster_id, COUNT(*) AS csize FROM asg GROUP BY cluster_id)
+SELECT CAST(csize AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(csize) AS BIGINT) AS n_docs
+FROM s GROUP BY csize
+""",
+    category="dedup",
+    description=(
+        "Duplicate-cluster size histogram (the dedup run's summary "
+        "artifact: how much of the corpus is singleton vs clustered, and "
+        "how large the biggest families are)"
+    ),
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.graph import dedup_cluster_assignment
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.4).select("doc1", "doc2")
+    asg = dedup_cluster_assignment(docs, pairs)
+    s = asg.groupBy("cluster_id").agg(F.count("*").alias("csize"))
+    return s.groupBy(F.col("csize").cast("bigint").alias("cluster_size")).agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("csize").cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
+    "pii_ldiversity",
+    """
+WITH j AS (
+  SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+),
+cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS n_rows,
+         COUNT(DISTINCT o_orderpriority) AS l_div
+  FROM j GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(MIN(l_div) AS BIGINT) AS l_diversity,
+       CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_l3,
+       CAST(SUM(CASE WHEN l_div < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_l5
+FROM cls
+""",
+    category="quality",
+    description=(
+        "l-diversity audit (Machanavajjhala 2007, the k-anonymity "
+        "companion pii_kanonymity lacks): per quasi-identifier class "
+        "(nation, segment), distinct sensitive values (order priority) — "
+        "a class can be k-anonymous yet reveal its attribute when l=1"
+    ),
+)
+def pii_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey).select(
+        "c_nationkey", "c_mktsegment", "o_orderpriority"
+    )
+    cls = j.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderpriority").alias("l_div"),
+    )
+    below = lambda l: F.sum(F.when(F.col("l_div") < l, 1).otherwise(0))  # noqa: E731,E741
+    return cls.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.min("l_div").cast("bigint").alias("l_diversity"),
+        below(3).cast("bigint").alias("classes_below_l3"),
+        below(5).cast("bigint").alias("classes_below_l5"),
+    )
+
+
+@register(
+    "dq_freshness_lag",
+    """
+WITH horizon AS (SELECT MAX(ts) AS max_ts FROM events),
+per AS (
+  SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS last_ts
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       last_ts,
+       CAST((epoch_us(max_ts) - epoch_us(last_ts)) // 60000000 AS BIGINT)
+         AS lag_minutes,
+       CASE WHEN (epoch_us(max_ts) - epoch_us(last_ts)) // 60000000 > 360
+            THEN 'breach' ELSE 'ok' END AS sla_status
+FROM per CROSS JOIN horizon
+""",
+    category="quality",
+    description=(
+        "Per-stream freshness SLA monitor: minutes since each event type "
+        "last arrived, relative to the table's high-water mark (exact "
+        "microsecond arithmetic; the staleness alarm of a feed-ingestion DQ "
+        "suite)"
+    ),
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("max_ts"))
+    per = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.max("ts").alias("last_ts")
+    )
+    lag = "(unix_micros(max_ts) - unix_micros(last_ts)) div 60000000"
+    return per.crossJoin(F.broadcast(horizon)).select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "last_ts",
+        F.expr(f"CAST({lag} AS BIGINT)").alias("lag_minutes"),
+        F.expr(
+            f"CASE WHEN {lag} > 360 THEN 'breach' ELSE 'ok' END"
+        ).alias("sla_status"),
+    )

@@ -21,6 +21,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from findb_spark.functions.hashing import hash48_duck
 from findb_spark.prices import PRICES_ORACLE_CTE, prices_from_lineitem
 from findb_spark.queries.parity import fxp_sum, fxp_sum_sql
 from findb_spark.registry import register
@@ -762,4 +763,124 @@ def roundtrip_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
         "segment",
+    )
+
+
+@register(
+    "roundtrip_time_travel",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+v2 AS (SELECT k, status, cents + 100 AS cents FROM base WHERE k % 5 != 1)
+SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       MIN(k) AS min_key, MAX(k) AS max_key
+FROM base
+UNION ALL
+SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       MIN(k) AS min_key, MAX(k) AS max_key
+FROM v2
+""",
+    category="roundtrip",
+    description=(
+        "Table-level time travel hard signal (versioning.py): v1 and a "
+        "mutated v2 are committed through the versioned sink, then BOTH "
+        "'VERSION AS OF 1' and the latest version are read back through "
+        "the manifest and aggregated — green means committed versions stay "
+        "immutable and version resolution is exact while the table moves on"
+    ),
+)
+def roundtrip_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from findb_spark.versioning import read_version, write_version
+
+    table_dir = _scratch(sf_dir, "tt_orders")
+    shutil.rmtree(table_dir, ignore_errors=True)
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    write_version(base, table_dir)
+    v2 = base.where(F.col("k") % 5 != 1).select(
+        "k", "status", (F.col("cents") + 100).alias("cents")
+    )
+    write_version(v2, table_dir)
+
+    def agg(df, version: int):
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        ).select(F.lit(version).alias("version"), "*")
+
+    as_of_1 = read_version(spark, table_dir, version=1)
+    latest = read_version(spark, table_dir)  # resolves to v2 via manifest
+    return agg(as_of_1, 1).unionAll(agg(latest, 2))
+
+
+_QUIRK_EXPR = "concat('A,\"', c_name, '\"', chr(10), 'B;', c_mktsegment)"
+
+
+@register(
+    "roundtrip_csv_quirks",
+    f"""
+WITH t AS (
+  SELECT c_custkey, {_QUIRK_EXPR} AS tricky
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT tricky) AS BIGINT) AS n_distinct,
+       CAST(SUM({hash48_duck('tricky')} % 100000) AS BIGINT) AS hash_sum,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM t
+""",
+    category="roundtrip",
+    description=(
+        "CSV quoting-quirks hard signal (O1 edge cases): values containing "
+        "commas, RFC-doubled quotes, and embedded newlines are written with "
+        "quoteAll + quote-escape and re-read with multiLine parsing; the "
+        "hash aggregate over recovered strings certifies byte-exact "
+        "round-tripping of every quoting path"
+    ),
+)
+def roundtrip_csv_quirks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.functions.hashing import hash48
+
+    src = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", F.expr(_QUIRK_EXPR).alias("tricky"))
+    )
+    path = _scratch(sf_dir, "csv_quirks")
+    (
+        src.write.mode("overwrite")
+        .options(header=True, quoteAll=True, escape='"')
+        .csv(path)
+    )
+    back = (
+        spark.read.options(
+            header=True, multiLine=True, escape='"', inferSchema=False
+        )
+        .schema("c_custkey BIGINT, tricky STRING")
+        .csv(path)
+    )
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("tricky").cast("bigint").alias("n_distinct"),
+        F.sum(hash48(F.col("tricky")) % 100000).cast("bigint").alias("hash_sum"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
     )

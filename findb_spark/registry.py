@@ -54,103 +54,87 @@ _SPECS: dict[str, QuerySpec] = {}
 #: behind.  Names not yet registered are ignored, so this list never breaks
 #: registration.
 #:
-#: ROUND-4 ROTATION (executing the plan written in round 3): CORRECTNESS_r03
-#: landed 49/50 green (the 50th is the rows-only HLL sketch, no oracle by
-#: design), so this prefix is now exactly the 37 registered queries that
-#: have never carried a driver correctness row — all 13 source/sink
-#: roundtrips (certifying O1-O4/O14 end-to-end, incl. the literal `.db`
-#: B+tree format in both directions), the 7 deferred robust-stats /
-#: time-series queries, the PQ/IVF-PQ ANN family, the remaining dedup /
-#: text / pipeline / events / UDF / DQ tail — then the 13 queries ADDED this
-#: round (chunking, run-lengths, key-skew profile, retention cohorts,
-#: attribution, MAD anomaly monitor, market basket, PQ recall dial, session
-#: paths, substring-run dedup, streaming dedup + stream-stream join
-#: roundtrips, content-defined chunking dedup — filling the 50-slot window
-#: exactly), then re-confirmation slots for the most load-bearing
-#: headline queries whose only green rows date from r1 (this round also
-#: touches two headline queries directly: dedup_pair_triangles gained
-#: degree orientation, text_heavy_hitters_cms a single-pass sketch build).
-#: After this window every query registered BEFORE round 4 carries a
-#: driver hard-signal row and every round-4 addition gets its first one;
-#: the names past the driver's 50-slot window (the re-confirmation tail)
-#: plus the remaining headline re-confirmations (asof_join_shifted,
-#: dedup_minhash_lsh, dedup_ngram_jaccard, dedup_simhash_pairs,
-#: events_tumbling_hourly, vec_ann_lsh, vec_cosine_topk, ts_moving_avg)
-#: rotate through the round-5 prefix alongside round-5 additions.
+#: ROUND-5 ROTATION: CORRECTNESS_r04 landed 50/50 green, so every query
+#: registered before round 5 carries a driver hard-signal row EXCEPT the 5
+#: registered after the round-4 window filled — they lead this prefix.  Next
+#: come 8 re-confirmation slots for the bench-flagged headline queries whose
+#: only green rows date from r1 (asof_join_shifted, dedup_minhash_lsh,
+#: dedup_ngram_jaccard, dedup_simhash_pairs, events_tumbling_hourly,
+#: vec_ann_lsh, vec_cosine_topk, ts_moving_avg — four rounds of engine
+#: evolution sit between those rows and today's code).  The remaining 37
+#: slots are the round-5 additions: advanced finance analytics (Bollinger /
+#: rolling beta / MACD / autocorr / seasonality / cross-sectional z /
+#: bitemporal diff), statistical tests (Welch t, chi-squared, Benford,
+#: distributed-rank Gini, Simpson diversity, windowed distinct, bitmap
+#: months, explicit Bloom semi-join), corpus LM analytics (surprisal, Zipf,
+#: hapax, trigram diversity, cross-source dups, bigram coverage), events
+#: product analytics (exact DAU/WAU, time-to-convert, 2nd-order Markov,
+#: cohort LTV, churn), vector analytics (kNN graph, MMR rerank, LSH recall
+#: curve, norm profile), dup-graph structure (2-core peel, neighbor
+#: Jaccard, cluster histogram), privacy/DQ (l-diversity, freshness SLA),
+#: and two new source/sink hard signals (versioned time travel,
+#: CSV quoting quirks).  5 + 8 + 37 = the 50-slot window exactly; after it
+#: lands, every registered query again carries a driver row.
 _CHECK_FIRST: tuple[str, ...] = (
-    # ---- the 37 never-driver-checked queries ----
-    # source/sink roundtrip certification suite (O1-O4/O14)
-    "roundtrip_csv_ingest",
-    "roundtrip_multiformat_ingest",
-    "roundtrip_textlog_ingest",
-    "roundtrip_zorder_layout",
-    "roundtrip_compact_layout",
-    "roundtrip_bucketed_join",
-    "roundtrip_findb_db",
-    "roundtrip_findb_db_asof",
-    "roundtrip_manifest_pruned_read",
-    "roundtrip_incremental_bars",
-    "roundtrip_schema_evolution",
-    "roundtrip_stream_tumbling",
-    "roundtrip_stream_sessionize",
-    # robust stats / time-series (deferred from round 3 by plan)
-    "customer_rfm",
-    "winsorize_revenue",
-    "robust_mad",
-    "pareto_part_revenue",
-    "corr_matrix_assets",
-    "ts_drawdown",
-    "ts_ewma",
-    # PQ / IVF-PQ ANN family + Matryoshka truncation
-    "vec_pq_adc",
-    "vec_pq_search",
-    "vec_ivf_pq",
-    "vec_truncated_topk",
-    # dedup tail
-    "dedup_chunk_exact",
-    "dedup_select_canonical",
-    "dedup_minhash_calibration",
-    "dedup_pair_triangles",
-    # text tail (CMS sketch, BPE training stats, rarity)
-    "text_token_rarity",
-    "text_heavy_hitters_cms",
-    "text_bpe_merge_candidates",
-    # pipeline / corpus mixing
-    "corpus_mixture_weights",
-    "pipeline_pretrain_mix",
-    # events / UDF / DQ tail
-    "events_sliding_hourly",
-    "events_variant_extract",
-    "sql_udf_acct_band",
-    "dq_documents_audit",
-    # ---- the 9 round-4 additions (never driver-checked by definition) ----
-    "text_chunk_windows",
-    "events_run_lengths",
-    "stats_key_skew",
-    "events_retention_cohorts",
-    "events_attribution",
-    "events_anomaly_mad",
-    "orders_market_basket",
-    "vec_pq_recall",
-    "events_session_paths",
-    "dedup_substring_runs",
-    "roundtrip_stream_dedup",
-    "roundtrip_stream_join",
-    "dedup_cdc_chunks",
-    # ---- headline re-confirmation rows (bench-flagged, last green r1;
-    # names past the driver's 50-slot window roll to the round-5 prefix
-    # with the rest of the headline set) ----
-    "asof_range",
-    "asof_batch",
-    "dedup_clusters",
-    "dedup_jaccard_prefix",
-    # ---- round-5 prefix head: registered after the round-4 window
-    # filled; first driver rows due next round ----
+    # ---- 5 queries registered after the round-4 window filled (first
+    # driver rows due this round) ----
     "roundtrip_stream_enrich",
     "pii_kanonymity",
     "vec_cluster_silhouette",
     "events_hll_exact_registers",
     "events_kmv_sketch_setops",
+    # ---- headline re-confirmation rows: bench-flagged queries whose only
+    # green rows date from r1 (current code differs by 4 rounds of engine
+    # evolution; a recent row per headline keeps the bench trustworthy) ----
+    "asof_join_shifted",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "events_tumbling_hourly",
+    "vec_ann_lsh",
+    "vec_cosine_topk",
+    "ts_moving_avg",
+    # ---- the 37 round-5 additions (never driver-checked by definition):
+    # finance analytics, statistical tests, corpus LM analytics, events
+    # product analytics, vector analytics, dup-graph structure, privacy/DQ,
+    # versioned time travel + CSV quirks roundtrips ----
+    "ts_bollinger",
+    "ts_rolling_beta",
+    "ts_autocorr",
+    "ts_macd",
+    "ts_seasonality_dow",
+    "ts_zscore_xsection",
+    "asof_bitemporal_diff",
+    "stats_welch_ttest",
+    "stats_chi2_independence",
+    "stats_benford",
+    "stats_gini_revenue",
+    "stats_simpson_diversity",
+    "window_rolling_distinct",
+    "bitmap_active_months",
+    "bloom_prefilter_join",
+    "text_unigram_surprisal",
+    "text_zipf_slope",
+    "text_hapax_ratio",
+    "text_trigram_diversity",
+    "dedup_cross_source",
+    "text_bigram_coverage",
+    "events_dau_wau",
+    "events_time_to_convert",
+    "events_markov2",
+    "events_cohort_ltv",
+    "events_churn_inactive",
+    "vec_knn_graph",
+    "vec_mmr_rerank",
+    "vec_lsh_recall_curve",
+    "vec_norm_profile",
+    "graph_kcore",
+    "graph_neighbor_jaccard",
+    "dedup_cluster_stats",
+    "pii_ldiversity",
+    "dq_freshness_lag",
+    "roundtrip_time_travel",
+    "roundtrip_csv_quirks",
 )
 
 
