@@ -96,7 +96,56 @@ def workload(spark, sf_dir: str) -> dict[str, float]:
         "window_sma": timed(
             lambda: moving_average(daily_series(prices, ASOF, max_asset=500), 5).count()
         ),
+        # rolling beta vs the equal-weight market: one window shuffle on
+        # asset_id + a tiny per-date broadcast — must track asset count
+        "rolling_beta": timed(
+            lambda: _rolling_beta_shape(
+                daily_series(prices, ASOF, max_asset=500)
+            ).count()
+        ),
     }
+
+
+def _rolling_beta_shape(daily):
+    """The ts_rolling_beta core over an uncapped asset range (the
+    registered query pins asset_id<=50 for the oracle; here the asset
+    axis must GROW with replication to measure the shape honestly)."""
+    from pyspark.sql import Window
+
+    wlag = Window.partitionBy("asset_id").orderBy("date")
+    ri = (
+        daily.select(
+            "asset_id",
+            "date",
+            (F.col("value") / F.lag("value").over(wlag) - 1).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+        .select(
+            "asset_id",
+            "date",
+            F.floor(F.col("r") * 10000 + F.lit(0.5)).cast("bigint").alias("ri"),
+        )
+    )
+    mkt = ri.groupBy("date").agg(
+        F.expr("CAST(FLOOR(CAST(SUM(ri) AS DOUBLE) / COUNT(*)) AS BIGINT)").alias("mi")
+    )
+    j = ri.join(F.broadcast(mkt), "date")
+    w = Window.partitionBy("asset_id").orderBy("date").rowsBetween(-19, 0)
+    wnd = j.select(
+        "asset_id",
+        "date",
+        F.count("*").over(w).alias("n"),
+        F.sum("ri").over(w).alias("sx"),
+        F.sum("mi").over(w).alias("sy"),
+        F.sum(F.col("ri") * F.col("mi")).over(w).alias("sxy"),
+        F.sum(F.col("ri") * F.col("ri")).over(w).alias("sxx"),
+        F.sum(F.col("mi") * F.col("mi")).over(w).alias("syy"),
+    ).where("n = 20 AND n * syy - sy * sy > 0 AND n * sxx - sx * sx > 0")
+    return wnd.select(
+        "asset_id",
+        "date",
+        F.expr("CAST(n * sxy - sx * sy AS DOUBLE) / (n * syy - sy * sy)").alias("beta"),
+    )
 
 
 def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
@@ -212,6 +261,11 @@ def events_workload(spark, sf_dir: str) -> dict[str, float]:
         "session_paths": timed(
             lambda: specs["events_session_paths"].fn(spark, sf_dir).count()
         ),
+        # exact sliding distinct via interval decomposition: per-user
+        # window + bounded explode — linear in active (user, day) pairs
+        "dau_wau": timed(
+            lambda: specs["events_dau_wau"].fn(spark, sf_dir).count()
+        ),
     }
 
 
@@ -224,7 +278,38 @@ def vector_workload(spark, sf_dir: str) -> dict[str, float]:
         # work is O(n*K) assignment-shaped, so the ratio should track the
         # replication factor ~linearly
         "pq_adc_topk": timed(lambda: pq_adc_topk(emb, k=5).count()),
+        # kNN graph inside LSH buckets: candidate cost sum(bucket^2) —
+        # grows quadratically ONLY within buckets, which replication
+        # densifies honestly
+        "knn_graph": timed(
+            lambda: _knn_graph_shape(emb).count()
+        ),
     }
+
+
+def _knn_graph_shape(emb):
+    from pyspark.sql import Window
+
+    from findb_spark.ops.vector import cosine_expr, lsh_buckets
+
+    corpus = lsh_buckets(emb)
+    a = corpus.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("aemb"), "bucket"
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("bemb"), "bucket"
+    )
+    p = (
+        a.join(b, "bucket")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", cosine_expr("aemb", "bemb").alias("cos_sim"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+    from pyspark.sql import functions as FF
+
+    return p.select(
+        "src", "dst", FF.row_number().over(w).alias("rnk")
+    ).where("rnk <= 3")
 
 
 def main() -> None:
