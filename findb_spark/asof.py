@@ -256,6 +256,61 @@ def asof_join(
     return out
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "asset_id",
+    left_time: str = "qts",
+    right_time: str = "ts",
+    value_cols: tuple[str, ...] = ("ts", "value"),
+) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')``): for every left row, the right row minimizing
+    ``|right_time - left_time|``; exact ties prefer the backward
+    (earlier) match.  Completes the family: :func:`asof_join` covers
+    backward/forward/tolerance, this covers 'closest print either side'
+    — the mark-to-nearest-quote shape.
+
+    Implemented as the backward and forward union+last_value scans joined
+    on the probe key — two one-shuffle passes, still no range-join
+    explosion; the pick is a pure projection.  ``right_time`` must be in
+    ``value_cols`` (the distances need the matched times)."""
+    if right_time not in value_cols:
+        raise ValueError("nearest requires right_time in value_cols")
+    l_cols = [c for c in left.columns]
+    back = asof_join(
+        left, right, on, left_time, right_time, value_cols, "backward"
+    ).select(
+        *l_cols,
+        *[F.col(f"matched_{c}").alias(f"_b_{c}") for c in value_cols],
+    )
+    fwd = asof_join(
+        left, right, on, left_time, right_time, value_cols, "forward"
+    ).select(
+        *l_cols,
+        *[F.col(f"matched_{c}").alias(f"_f_{c}") for c in value_cols],
+    )
+    j = back.join(fwd, l_cols)
+    bt, ft = F.col(f"_b_{right_time}"), F.col(f"_f_{right_time}")
+    lt = F.col(left_time)
+    use_back = F.when(bt.isNull(), F.lit(False)).otherwise(
+        ft.isNull() | ((lt - bt) <= (ft - lt))
+    )
+    return j.select(
+        *l_cols,
+        *[
+            F.when(use_back, F.col(f"_b_{c}"))
+            .otherwise(F.col(f"_f_{c}"))
+            .alias(f"matched_{c}")
+            for c in value_cols
+        ],
+        F.when(bt.isNull() & ft.isNull(), F.lit(None).cast("string"))
+        .when(use_back, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("matched_direction"),
+    )
+
+
 def point_lookup(df: DataFrame, key_col: str, key: int) -> DataFrame:
     """Exact-key lookup (reference mem.rs:387-393). On clustered Parquet this
     prunes to one file / row group via min-max stats."""

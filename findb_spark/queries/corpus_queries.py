@@ -319,3 +319,54 @@ def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(top_cnt AS DOUBLE) / total").alias("top1000_coverage"),
         )
     )
+
+
+@register(
+    "text_langid_confusion",
+    """
+WITH scored AS (
+  SELECT lang AS true_lang,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('the', 'a', 'and'))) AS se,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('le', 'la', 'et'))) AS sf,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('der', 'die', 'und'))) AS sd
+  FROM documents
+),
+p AS (
+  SELECT true_lang,
+         CASE WHEN se >= sf AND se >= sd THEN 'en'
+              WHEN sf >= sd THEN 'fr' ELSE 'de' END AS pred_lang
+  FROM scored
+),
+m AS (SELECT true_lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2),
+tot AS (SELECT true_lang, CAST(SUM(n) AS BIGINT) AS t FROM m GROUP BY 1)
+SELECT m.true_lang, pred_lang, CAST(n AS BIGINT) AS n_docs,
+       ROUND(CAST(n AS DOUBLE) / t, 6) AS row_share
+FROM m JOIN tot ON m.true_lang = tot.true_lang
+""",
+    category="text",
+    description=(
+        "Language-ID confusion matrix: the marker-word classifier "
+        "(ops/text.py language_id) evaluated against the labeled lang "
+        "column — per (true, predicted) cell counts + row-normalized "
+        "shares; the quality-eval loop a corpus pipeline runs before "
+        "trusting its own language gate"
+    ),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = language_id(docs).select(
+        F.col("lang").alias("true_lang"), "pred_lang"
+    )
+    m = p.groupBy("true_lang", "pred_lang").agg(F.count("*").alias("n"))
+    tot = m.groupBy("true_lang").agg(F.sum("n").cast("bigint").alias("t"))
+    return m.join(tot, "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("row_share"),
+    )

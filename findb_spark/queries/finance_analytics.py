@@ -541,3 +541,157 @@ def asof_bitemporal_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             fxp_sum(F.col("new_value"), "sum_new_value"),
         )
     )
+
+
+_SQRT252 = 252.0 ** 0.5
+
+
+@register(
+    "ts_sharpe",
+    f"""
+WITH {_DAILY_CTE},
+{_RET_CTE},
+m AS (
+  SELECT asset_id, COUNT(*) AS n, SUM(ri) AS s, SUM(ri * ri) AS sq
+  FROM ri GROUP BY asset_id
+)
+SELECT asset_id, n,
+       CAST(s AS DOUBLE) / n / 10000 AS mean_ret,
+       SQRT(CAST(n * sq - s * s AS DOUBLE) / (n * n)) / 10000 AS vol,
+       CAST(s AS DOUBLE) / n
+         / SQRT(CAST(n * sq - s * s AS DOUBLE) / (n * n)) * {_SQRT252!r}
+         AS sharpe_ann
+FROM m WHERE n >= 30 AND n * sq - s * s > 0
+""",
+    category="timeseries",
+    description=(
+        "Annualized Sharpe ratio per asset from exact fixed-point return "
+        "moments (the 1e-4 quantization cancels in the ratio; sqrt(252) is "
+        "a shared float literal)"
+    ),
+)
+def ts_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    wlag = Window.partitionBy("asset_id").orderBy("date")
+    ri = (
+        daily.select(
+            "asset_id",
+            "date",
+            (F.col("value") / F.lag("value").over(wlag) - 1).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+        .select(
+            "asset_id",
+            F.floor(F.col("r") * 10000 + F.lit(0.5)).cast("bigint").alias("ri"),
+        )
+    )
+    m = ri.groupBy("asset_id").agg(
+        F.count("*").alias("n"),
+        F.sum("ri").alias("s"),
+        F.sum(F.col("ri") * F.col("ri")).alias("sq"),
+    ).where("n >= 30 AND n * sq - s * s > 0")
+    return m.select(
+        "asset_id",
+        "n",
+        F.expr("CAST(s AS DOUBLE) / n / 10000").alias("mean_ret"),
+        F.expr("SQRT(CAST(n * sq - s * s AS DOUBLE) / (n * n)) / 10000").alias(
+            "vol"
+        ),
+        F.expr(
+            "CAST(s AS DOUBLE) / n"
+            f" / SQRT(CAST(n * sq - s * s AS DOUBLE) / (n * n)) * {_SQRT252!r}"
+        ).alias("sharpe_ann"),
+    )
+
+
+@register(
+    "ts_var_historic",
+    f"""
+WITH {_DAILY_CTE},
+ret AS (
+  SELECT asset_id,
+         value / LAG(value) OVER (PARTITION BY asset_id ORDER BY date) - 1 AS r
+  FROM daily
+)
+SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(r, 0.05) AS var_5pct,
+       quantile_cont(r, 0.01) AS var_1pct
+FROM ret WHERE r IS NOT NULL
+GROUP BY asset_id HAVING COUNT(*) >= 30
+""",
+    category="timeseries",
+    description=(
+        "Historical value-at-risk per asset: exact interpolated 5%/1% "
+        "return quantiles (the sort-based percentile aggregate both "
+        "engines define identically — see `percentiles`)"
+    ),
+)
+def ts_var_historic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    wlag = Window.partitionBy("asset_id").orderBy("date")
+    ret = daily.select(
+        "asset_id",
+        (F.col("value") / F.lag("value").over(wlag) - 1).alias("r"),
+    ).where(F.col("r").isNotNull())
+    return (
+        ret.groupBy("asset_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr("percentile(r, 0.05)").alias("var_5pct"),
+            F.expr("percentile(r, 0.01)").alias("var_1pct"),
+        )
+        .where("n >= 30")
+    )
+
+
+@register(
+    "asof_join_nearest",
+    f"""
+WITH {PRICES_ORACLE_CTE},
+rdedup AS (
+  SELECT asset_id, ts, MAX(value) AS value FROM prices_v GROUP BY asset_id, ts
+),
+probes AS (SELECT asset_id, ts AS probe_ts, ts + 1800 AS qts FROM rdedup),
+b AS (
+  SELECT p.asset_id, p.probe_ts, p.qts, r.ts AS bt, r.value AS bv
+  FROM probes p ASOF LEFT JOIN rdedup r
+    ON p.asset_id = r.asset_id AND r.ts <= p.qts
+),
+f AS (
+  SELECT p.asset_id, p.probe_ts, p.qts, r.ts AS ft, r.value AS fv
+  FROM probes p ASOF LEFT JOIN rdedup r
+    ON p.asset_id = r.asset_id AND r.ts >= p.qts
+),
+j AS (
+  SELECT b.asset_id, b.probe_ts, b.qts, bt, bv, ft, fv,
+         CASE WHEN bt IS NULL THEN FALSE
+              WHEN ft IS NULL THEN TRUE
+              WHEN b.qts - bt <= ft - b.qts THEN TRUE ELSE FALSE END AS use_back
+  FROM b JOIN f ON b.asset_id = f.asset_id AND b.probe_ts = f.probe_ts
+)
+SELECT asset_id, probe_ts, qts,
+       CASE WHEN use_back THEN bt ELSE ft END AS matched_ts,
+       CASE WHEN use_back THEN bv ELSE fv END AS matched_value,
+       CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+            WHEN use_back THEN 'backward' ELSE 'forward' END AS matched_direction
+FROM j
+""",
+    category="asof",
+    description=(
+        "Nearest-direction as-of join (merge_asof direction='nearest', "
+        "backward on exact ties): backward + forward union+last_value "
+        "scans joined on the probe key — two one-shuffle passes, the pick "
+        "is pure projection; completes the as-of family"
+    ),
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.asof import asof_join_nearest
+
+    prices = prices_from_lineitem(spark, sf_dir)
+    rdedup = prices.groupBy("asset_id", "ts").agg(F.max("value").alias("value"))
+    probes = rdedup.select(
+        "asset_id", F.col("ts").alias("probe_ts"), (F.col("ts") + 1800).alias("qts")
+    )
+    return asof_join_nearest(
+        probes, rdedup, on="asset_id", left_time="qts", right_time="ts"
+    )

@@ -291,3 +291,109 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN {lag} > 360 THEN 'breach' ELSE 'ok' END"
         ).alias("sla_status"),
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+js AS (
+  SELECT doc1, doc2, inter / (sa.sz + sb.sz - inter) AS j
+  FROM inter JOIN sizes sa ON doc1 = sa.doc_id
+             JOIN sizes sb ON doc2 = sb.doc_id
+),
+ts AS (SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6]) AS DOUBLE) AS threshold)
+SELECT t.threshold,
+       CAST(SUM(CASE WHEN js.j >= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pairs
+FROM js CROSS JOIN ts t
+GROUP BY t.threshold
+""",
+    category="dedup",
+    description=(
+        "Jaccard threshold sweep over the LSH candidate set: pair counts "
+        "at 0.3/0.4/0.5/0.6 from ONE inverted-index verification pass — "
+        "the dial for choosing the dedup aggressiveness before committing "
+        "a corpus-wide run (candidates below the banding's design point "
+        "undercount, which is exactly the recall the sweep exposes)"
+    ),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.0)
+    ts = None
+    for t in (0.3, 0.4, 0.5, 0.6):
+        row = F.lit(t).alias("threshold")
+        ts = (
+            pairs.sparkSession.range(1).select(row)
+            if ts is None
+            else ts.unionAll(pairs.sparkSession.range(1).select(row))
+        )
+    return (
+        pairs.crossJoin(F.broadcast(ts))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("jaccard") >= F.col("threshold"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+    )
+
+
+@register(
+    "dq_distribution_drift",
+    """
+WITH h AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+         o_orderstatus AS status
+  FROM orders
+),
+c AS (SELECT half, status, COUNT(*) AS n FROM h GROUP BY 1, 2),
+t AS (SELECT half, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY half),
+s AS (
+  SELECT status,
+         MAX(CASE WHEN c.half = 'a' THEN CAST(n AS DOUBLE) / tot END) AS share_a,
+         MAX(CASE WHEN c.half = 'b' THEN CAST(n AS DOUBLE) / tot END) AS share_b
+  FROM c JOIN t ON c.half = t.half
+  GROUP BY status
+)
+SELECT status,
+       ROUND(share_a, 6) AS share_a,
+       ROUND(share_b, 6) AS share_b,
+       ROUND(ABS(share_a - share_b), 6) AS abs_drift
+FROM s
+""",
+    category="quality",
+    description=(
+        "Categorical distribution drift between two dataset halves "
+        "(train/serve skew detector): per-status share in each half + "
+        "absolute drift — the schema/distribution monitor a feature "
+        "pipeline runs between refreshes"
+    ),
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    h = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, "a").otherwise("b").alias("half"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    c = h.groupBy("half", "status").agg(F.count("*").alias("n"))
+    t = c.groupBy("half").agg(F.sum("n").cast("bigint").alias("tot"))
+    s = (
+        c.join(t, "half")
+        .groupBy("status")
+        .agg(
+            F.max(
+                F.when(F.col("half") == "a", F.col("n").cast("double") / F.col("tot"))
+            ).alias("share_a"),
+            F.max(
+                F.when(F.col("half") == "b", F.col("n").cast("double") / F.col("tot"))
+            ).alias("share_b"),
+        )
+    )
+    return s.select(
+        "status",
+        F.round(F.col("share_a"), 6).alias("share_a"),
+        F.round(F.col("share_b"), 6).alias("share_b"),
+        F.round(F.abs(F.col("share_a") - F.col("share_b")), 6).alias("abs_drift"),
+    )

@@ -18,8 +18,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from findb_spark.functions.hashing import hash48_duck
 from findb_spark.ops.vector import (
     FXP_SCALE,
+    IVF_K,
     cosine_expr,
     cosine_sql,
     cosine_topk,
@@ -388,4 +390,108 @@ def vec_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(nq) AS DOUBLE) / 1000000 / COUNT(*)").alias("mean_norm"),
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
+    )
+
+
+@register(
+    "vec_ivf_balance",
+    f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  ORDER BY {{hd}}, vec_id LIMIT {{k}}
+),
+sc AS (
+  SELECT e.vec_id, c.cent_id, {{cos}} AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+asg AS (
+  SELECT vec_id, cent_id AS cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cent_id) AS rn
+    FROM sc) WHERE rn = 1
+),
+s AS (SELECT cluster, COUNT(*) AS sz FROM asg GROUP BY cluster)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_vecs,
+       CAST(MIN(sz) AS BIGINT) AS min_size,
+       CAST(MAX(sz) AS BIGINT) AS max_size,
+       ROUND(CAST(MAX(sz) AS DOUBLE) * COUNT(*) / CAST(SUM(sz) AS BIGINT), 6)
+         AS imbalance
+FROM s
+""".format(
+        hd=hash48_duck("CAST(vec_id AS VARCHAR)"),
+        k=IVF_K,
+        cos=cosine_sql("e.embedding", "c.cvec"),
+    ),
+    category="vector",
+    description=(
+        "IVF partition balance audit: cluster-size min/max + imbalance "
+        "factor (max/mean) over the coarse quantizer — the skew dial that "
+        "decides whether IVF probes (and SemDeDup buckets) will hotspot "
+        "before scaling the corpus"
+    ),
+)
+def vec_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.vector import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = ivf_assign(emb).groupBy("cluster").agg(F.count("*").alias("sz"))
+    return s.agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_vecs"),
+        F.min("sz").cast("bigint").alias("min_size"),
+        F.max("sz").cast("bigint").alias("max_size"),
+        F.expr(
+            "ROUND(CAST(MAX(sz) AS DOUBLE) * COUNT(*)"
+            " / CAST(SUM(sz) AS BIGINT), 6)"
+        ).alias("imbalance"),
+    )
+
+
+@register(
+    "vec_dim_variance",
+    """
+WITH d AS (
+  SELECT CAST(i.i AS INT) AS dim,
+         CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+           AS q
+  FROM embeddings, unnest(generate_series(1, 64)) AS i(i)
+),
+m AS (SELECT dim, COUNT(*) AS n, SUM(q) AS s, SUM(q * q) AS sq FROM d GROUP BY dim)
+SELECT dim,
+       CAST(n AS BIGINT) AS n_vecs,
+       CAST(s AS DOUBLE) / n / 10000 AS mean_val,
+       CAST(n * sq - s * s AS DOUBLE) / (n * n) / 100000000 AS variance
+FROM m
+""",
+    category="vector",
+    description=(
+        "Per-dimension mean/variance of the embedding space (dead-"
+        "dimension / PCA-precursor QA): one explode + exact fixed-point "
+        "moments per dimension — flags collapsed dims before they poison "
+        "quantizers and distance metrics"
+    ),
+)
+def vec_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.floor(F.col("x").cast("double") * 10000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    m = d.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("sq"),
+    )
+    return m.select(
+        "dim",
+        F.col("n").cast("bigint").alias("n_vecs"),
+        F.expr("CAST(s AS DOUBLE) / n / 10000").alias("mean_val"),
+        F.expr("CAST(n * sq - s * s AS DOUBLE) / (n * n) / 100000000").alias(
+            "variance"
+        ),
     )
