@@ -272,3 +272,50 @@ def test_sessionize_matches_python_reference(spark, events):
         for r in sessionize(df).collect()
     }
     assert got == python_sessionize(events)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(rows=RIGHT_ROWS, probes=PROBES)
+def test_asof_join_nearest_matches_pandas(spark, rows, probes):
+    """Nearest-direction as-of join vs an independent pandas model built
+    from two merge_asof passes with the engine's tie rule spelled out
+    (backward wins exact-distance ties) — independent of pandas' own
+    nearest tie convention."""
+    from findb_spark.asof import asof_join_nearest
+
+    right = spark.createDataFrame(
+        [(k, t, float(v)) for k, t, v in rows],
+        schema="asset_id BIGINT, ts BIGINT, value DOUBLE",
+    )
+    left = spark.createDataFrame(probes, schema="asset_id BIGINT, qts BIGINT")
+    got = {
+        (r.asset_id, r.qts): (r.matched_ts, r.matched_value, r.matched_direction)
+        for r in asof_join_nearest(left, right).collect()
+    }
+
+    rdf = pd.DataFrame(rows, columns=["asset_id", "ts", "value"]).sort_values("ts")
+    ldf = pd.DataFrame(probes, columns=["asset_id", "qts"]).sort_values("qts")
+    back = pd.merge_asof(
+        ldf, rdf, left_on="qts", right_on="ts", by="asset_id", direction="backward"
+    )
+    fwd = pd.merge_asof(
+        ldf, rdf, left_on="qts", right_on="ts", by="asset_id", direction="forward"
+    )
+    want = {}
+    for b, f in zip(back.itertuples(), fwd.itertuples()):
+        key = (int(b.asset_id), int(b.qts))
+        bt = None if pd.isna(b.ts) else int(b.ts)
+        ft = None if pd.isna(f.ts) else int(f.ts)
+        if bt is None and ft is None:
+            want[key] = (None, None, None)
+        elif bt is not None and (ft is None or (b.qts - bt) <= (ft - b.qts)):
+            want[key] = (bt, float(b.value), "backward")
+        else:
+            want[key] = (ft, float(f.value), "forward")
+    assert got == want
