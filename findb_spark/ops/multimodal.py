@@ -262,3 +262,44 @@ def wav_features(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
+#: aHash output schema: 64-bit perceptual hash split into two 32-bit words
+#: (a single bigint would need bit 63, whose shift overflow semantics
+#: differ across engines)
+AHASH_SCHEMA = "doc_id BIGINT, ahash_hi BIGINT, ahash_lo BIGINT"
+
+
+def image_ahash(with_payload: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL decoded P6 PPM payloads:
+    integer grayscale ((r+g+b)//3), nearest-neighbor 8x8 downsample
+    (src index (i*dim)//8 — the same mapping media_codec's resize uses),
+    threshold at the floor-mean, bit i = row-major (r*8+c).  All integer
+    ops, so the hash is reproducible by the closed-form pixel formula
+    oracle without parsing bytes.
+
+    This is the multimodal analog of SimHash: near-identical images land
+    on identical (or near) hashes, so a plain hash groupBy gives
+    perceptual dedup buckets at any corpus size."""
+    import numpy as np
+
+    from findb_spark.functions.media_codec import decode_ppm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_ppm(bytes(payload)).astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                gray = px.sum(axis=2) // 3
+                r_idx = (np.arange(8) * h) // 8
+                c_idx = (np.arange(8) * w) // 8
+                g8 = gray[np.ix_(r_idx, c_idx)]
+                mean = int(g8.sum()) // 64
+                bits = (g8 >= mean).flatten()  # i = r*8 + c
+                lo = sum(1 << i for i in range(32) if bits[i])
+                hi = sum(1 << (i - 32) for i in range(32, 64) if bits[i])
+                rows.append((doc_id, hi, lo))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash_hi", "ahash_lo"])
+
+    return with_payload.mapInPandas(batches, schema=AHASH_SCHEMA)

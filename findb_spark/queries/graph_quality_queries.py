@@ -397,3 +397,105 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("share_b"), 6).alias("share_b"),
         F.round(F.abs(F.col("share_a") - F.col("share_b")), 6).alias("abs_drift"),
     )
+
+
+def _pr_sql() -> str:
+    from findb_spark.functions.hashing import hash48_duck
+    from findb_spark.ops.text import shingles_duck
+
+    from findb_spark.queries.dedup_queries import _BANDS_SQL, _SIGS_CTE
+
+    return f"""
+WITH subdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({shingles_duck('text')})) AS shingle
+  FROM subdocs
+),
+{_SIGS_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+interE AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+  FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exactp AS (
+  SELECT doc1, doc2 FROM interE
+  JOIN sizes sa ON doc1 = sa.doc_id JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id
+),
+interL AS (
+  SELECT doc1, doc2, COUNT(*) AS inter
+  FROM cand JOIN hh a ON doc1 = a.doc_id
+            JOIN hh b ON doc2 = b.doc_id AND a.h = b.h
+  GROUP BY 1, 2
+),
+lshp AS (
+  SELECT doc1, doc2 FROM interL
+  JOIN sizes sa ON doc1 = sa.doc_id JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+),
+m AS (
+  SELECT
+    (SELECT COUNT(*) FROM exactp) AS n_exact,
+    (SELECT COUNT(*) FROM lshp) AS n_lsh,
+    (SELECT COUNT(*) FROM lshp l JOIN exactp e
+       ON l.doc1 = e.doc1 AND l.doc2 = e.doc2) AS tp
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_lsh AS BIGINT) AS n_lsh,
+       CAST(tp AS BIGINT) AS tp,
+       CASE WHEN n_lsh = 0 THEN NULL
+            ELSE ROUND(CAST(tp AS DOUBLE) / n_lsh, 6) END AS precision_lsh,
+       CASE WHEN n_exact = 0 THEN NULL
+            ELSE ROUND(CAST(tp AS DOUBLE) / n_exact, 6) END AS recall_lsh
+FROM m
+"""
+
+
+@register(
+    "dedup_lsh_precision_recall",
+    _pr_sql(),
+    category="dedup",
+    description=(
+        "LSH quality evaluation on a deterministic 1/3 document subset: "
+        "precision/recall of MinHash-LSH verified pairs against the exact "
+        "inverted-index Jaccard ground truth at the same 0.4 threshold — "
+        "the eval loop that justifies banding parameters before a "
+        "corpus-scale run (verified pairs make precision 1.0 by "
+        "construction; recall isolates banding misses)"
+    ),
+)
+def dedup_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 0
+    )
+    exactp = jaccard_pairs(docs, threshold=0.4).select("doc1", "doc2")
+    lshp = minhash_lsh_pairs(docs, threshold=0.4).select("doc1", "doc2")
+    tp = lshp.join(exactp, ["doc1", "doc2"]).agg(F.count("*").alias("tp"))
+    ne = exactp.agg(F.count("*").alias("n_exact"))
+    nl = lshp.agg(F.count("*").alias("n_lsh"))
+    return (
+        ne.crossJoin(nl)
+        .crossJoin(tp)
+        .select(
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_lsh").cast("bigint").alias("n_lsh"),
+            F.col("tp").cast("bigint").alias("tp"),
+            F.expr(
+                "CASE WHEN n_lsh = 0 THEN NULL"
+                " ELSE ROUND(CAST(tp AS DOUBLE) / n_lsh, 6) END"
+            ).alias("precision_lsh"),
+            F.expr(
+                "CASE WHEN n_exact = 0 THEN NULL"
+                " ELSE ROUND(CAST(tp AS DOUBLE) / n_exact, 6) END"
+            ).alias("recall_lsh"),
+        )
+    )

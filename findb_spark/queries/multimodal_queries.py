@@ -135,3 +135,66 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return wav_features(attach_wav_payload(docs))
+
+
+@register(
+    "multimodal_image_ahash",
+    """
+WITH d AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 5 AS BIGINT) AS w,
+         CAST(6 + doc_id % 4 AS BIGINT) AS h
+  FROM documents
+),
+g AS (
+  SELECT d.doc_id, r8.r8, c8.c8,
+         (  ((d.doc_id * 31 + ((r8.r8 * d.h) // 8) * 17
+              + ((c8.c8 * d.w) // 8) * 13 + 0) % 256)
+          + ((d.doc_id * 31 + ((r8.r8 * d.h) // 8) * 17
+              + ((c8.c8 * d.w) // 8) * 13 + 7) % 256)
+          + ((d.doc_id * 31 + ((r8.r8 * d.h) // 8) * 17
+              + ((c8.c8 * d.w) // 8) * 13 + 14) % 256)) // 3 AS gray
+  FROM d, range(0, 8) r8(r8), range(0, 8) c8(c8)
+),
+m AS (SELECT doc_id, SUM(gray) // 64 AS mn FROM g GROUP BY doc_id),
+b AS (
+  SELECT g.doc_id, g.r8 * 8 + g.c8 AS i,
+         CASE WHEN g.gray >= m.mn THEN 1 ELSE 0 END AS bit
+  FROM g JOIN m ON g.doc_id = m.doc_id
+),
+hsh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN i >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << CAST(i - 32 AS INT))
+                       ELSE 0 END) AS BIGINT) AS ahash_hi,
+         CAST(SUM(CASE WHEN i < 32
+                       THEN bit * (CAST(1 AS BIGINT) << CAST(i AS INT))
+                       ELSE 0 END) AS BIGINT) AS ahash_lo
+  FROM b GROUP BY doc_id
+),
+dup AS (SELECT ahash_hi, ahash_lo, COUNT(*) AS n_same FROM hsh GROUP BY 1, 2)
+SELECT h.doc_id, h.ahash_hi, h.ahash_lo, CAST(dup.n_same AS BIGINT) AS n_same_hash
+FROM hsh h JOIN dup ON h.ahash_hi = dup.ahash_hi AND h.ahash_lo = dup.ahash_lo
+""",
+    category="multimodal",
+    description=(
+        "Perceptual average-hash over REAL decoded PPM images (the "
+        "multimodal SimHash): integer grayscale -> nearest-neighbor 8x8 -> "
+        "floor-mean threshold -> 64-bit hash as two 32-bit words, plus "
+        "same-hash bucket sizes — perceptual dedup as a plain hash groupBy; "
+        "oracle recomputes the hash from the closed-form pixel formula, "
+        "certifying the whole encode -> bytes -> decode -> hash path"
+    ),
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.multimodal import attach_ppm_payload, image_ahash
+
+    docs = load_table(spark, sf_dir, "documents")
+    hsh = image_ahash(attach_ppm_payload(docs))
+    dup = hsh.groupBy("ahash_hi", "ahash_lo").agg(F.count("*").alias("n_same"))
+    return hsh.join(dup, ["ahash_hi", "ahash_lo"]).select(
+        "doc_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.col("n_same").cast("bigint").alias("n_same_hash"),
+    )

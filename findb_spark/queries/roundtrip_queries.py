@@ -884,3 +884,58 @@ def roundtrip_csv_quirks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hash48(F.col("tricky")) % 100000).cast("bigint").alias("hash_sum"),
         F.sum("c_custkey").cast("bigint").alias("key_sum"),
     )
+
+
+@register(
+    "roundtrip_stream_versioned",
+    f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {fxp_sum_sql('value')} AS sum_value
+FROM events GROUP BY event_type
+""",
+    category="roundtrip",
+    description=(
+        "Streaming -> versioned-sink hard signal: every availableNow "
+        "micro-batch commits as a new immutable version (foreachBatch -> "
+        "versioning.write_version), then ALL committed versions are read "
+        "back through the manifest and unioned — green means the "
+        "streaming commit protocol loses nothing and the manifest "
+        "enumerates exactly the committed data regardless of how the "
+        "source split batches"
+    ),
+)
+def roundtrip_stream_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from findb_spark.streaming.events_stream import read_events_stream
+    from findb_spark.versioning import list_versions, read_version, write_version
+
+    table_dir = _scratch(sf_dir, "stream_versions")
+    ckpt = _scratch(sf_dir, "stream_versions_ckpt")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        write_version(batch_df, table_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    full = None
+    for v in sorted(list_versions(table_dir)):
+        part = read_version(spark, table_dir, v)
+        full = part if full is None else full.unionAll(part)
+    return full.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        fxp_sum(F.col("value"), "sum_value"),
+    )
