@@ -370,3 +370,54 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_docs"),
         F.round(F.col("n").cast("double") / F.col("t"), 6).alias("row_share"),
     )
+
+
+@register(
+    "sql_lateral_topk",
+    """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, n.n_regionkey,
+         SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT r.r_name, t.c_name,
+       CAST(t.cents AS DOUBLE) / 100 AS revenue
+FROM region r, LATERAL (
+  SELECT c_name, cents FROM rev
+  WHERE rev.n_regionkey = r.r_regionkey
+  ORDER BY cents DESC, c_custkey LIMIT 2
+) t
+""",
+    category="sql",
+    description=(
+        "Correlated LATERAL subquery (SQL:1999 lateral derived table, "
+        "Spark 3.2+/DuckDB native): top-2 customers by revenue PER region "
+        "via a per-row correlated limit — the front-end shape that "
+        "decorrelates into a ranked window join under Catalyst"
+    ),
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "nation", "orders", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_lat_v")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT c.c_custkey, c.c_name, n.n_regionkey,
+                 SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+          FROM customer_lat_v c
+          JOIN nation_lat_v n ON n.n_nationkey = c.c_nationkey
+          JOIN orders_lat_v o ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2, 3
+        )
+        SELECT r.r_name, t.c_name,
+               CAST(t.cents AS DOUBLE) / 100 AS revenue
+        FROM region_lat_v r, LATERAL (
+          SELECT c_name, cents FROM rev
+          WHERE rev.n_regionkey = r.r_regionkey
+          ORDER BY cents DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )

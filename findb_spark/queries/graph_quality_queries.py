@@ -499,3 +499,140 @@ def dedup_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_lsh"),
         )
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+pmat2 AS MATERIALIZED (SELECT doc1, doc2 FROM pairs),
+e2 AS (SELECT doc1 AS a, doc2 AS b FROM pmat2
+       UNION ALL SELECT doc2, doc1 FROM pmat2),
+dg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM e2 GROUP BY a),
+ed AS (
+  SELECT da.deg AS x, db.deg AS y
+  FROM pmat2 p JOIN dg da ON da.a = p.doc1 JOIN dg db ON db.a = p.doc2
+),
+m AS (
+  -- both edge orientations contribute (the standard symmetrized form)
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM (SELECT x, y FROM ed UNION ALL SELECT y, x FROM ed)
+)
+SELECT CAST(n AS BIGINT) AS n_edge_ends,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) END
+         AS assortativity
+FROM m
+""",
+    category="dedup",
+    description=(
+        "Degree assortativity of the near-dup pair graph (Newman 2002): "
+        "Pearson correlation of endpoint degrees over symmetrized edges — "
+        "positive means clique-like duplicate families, negative means "
+        "hub-and-spoke (one template matching many one-offs); exact "
+        "integer moments"
+    ),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        minhash_lsh_pairs(docs, threshold=0.4)
+        .select("doc1", "doc2")
+        .localCheckpoint(eager=True)
+    )
+    e = pairs.select(
+        F.col("doc1").alias("a"), F.col("doc2").alias("b")
+    ).unionAll(pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b")))
+    dg = e.groupBy("a").agg(F.count("*").cast("bigint").alias("deg"))
+    ed = (
+        pairs.join(dg.select(F.col("a").alias("doc1"), F.col("deg").alias("x")), "doc1")
+        .join(dg.select(F.col("a").alias("doc2"), F.col("deg").alias("y")), "doc2")
+        .select("x", "y")
+    )
+    sym = ed.unionAll(ed.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    m = sym.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_edge_ends"),
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx = 0 THEN NULL"
+            " ELSE CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * CAST(n * syy - sy * sy AS DOUBLE)) END"
+        ).alias("assortativity"),
+    )
+
+
+@register(
+    "dp_noisy_histogram",
+    """
+WITH c AS (
+  SELECT o_orderpriority AS bucket, COUNT(*) AS n FROM orders GROUP BY 1
+),
+u AS (
+  -- deterministic uniform in (-0.5, 0.5) from the bucket hash: the
+  -- seeded-noise form of the Laplace mechanism (reproducible audits;
+  -- production would use an RNG and destroy the seed)
+  SELECT bucket, n,
+         (CAST(list_sum([ (strpos('0123456789abcdef', md5(bucket)[i:i]) - 1)
+                          * (16.0 ** (12 - i)) for i in range(1, 13) ])
+               AS BIGINT) % 1000000) / 1000000.0 - 0.5 AS uu
+  FROM c
+),
+z AS (
+  SELECT bucket, n, uu,
+         CAST(FLOOR(
+           -10.0 * (CASE WHEN uu < 0 THEN -1.0 ELSE 1.0 END)
+                 * ln(1.0 - 2.0 * ABS(uu)) * 1000000 + 0.5) AS BIGINT) AS noise_q
+  FROM u
+)
+SELECT bucket,
+       CAST(n AS BIGINT) AS true_count,
+       CAST(n AS DOUBLE) + CAST(noise_q AS DOUBLE) / 1000000 AS noisy_count
+FROM z
+""",
+    category="quality",
+    description=(
+        "Laplace-mechanism noisy histogram (epsilon=0.1, b=1/eps=10) with "
+        "hash-seeded inverse-CDF noise: the differential-privacy release "
+        "shape with reproducible noise for cross-engine audit — per-row "
+        "ln fixed-pointed at 1e6 before the add, so the gate holds"
+    ),
+)
+def dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    from findb_spark.functions.hashing import hash48
+
+    c = o.groupBy(F.col("o_orderpriority").alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+    u = c.select(
+        "bucket",
+        "n",
+        ((hash48(F.col("bucket")) % 1000000) / F.lit(1000000.0) - 0.5).alias("uu"),
+    )
+    z = u.select(
+        "bucket",
+        "n",
+        F.expr(
+            "CAST(FLOOR("
+            "-10.0 * (CASE WHEN uu < 0 THEN -1.0 ELSE 1.0 END)"
+            " * ln(1.0 - 2.0 * ABS(uu)) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("noise_q"),
+    )
+    return z.select(
+        "bucket",
+        F.col("n").cast("bigint").alias("true_count"),
+        F.expr("CAST(n AS DOUBLE) + CAST(noise_q AS DOUBLE) / 1000000").alias(
+            "noisy_count"
+        ),
+    )

@@ -939,3 +939,60 @@ def roundtrip_stream_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         fxp_sum(F.col("value"), "sum_value"),
     )
+
+
+@register(
+    "roundtrip_parquet_codecs",
+    f"""
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT 'zstd' AS codec, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+FROM src
+UNION ALL
+SELECT 'gzip' AS codec, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+FROM src
+UNION ALL
+SELECT 'snappy' AS codec, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+FROM src
+""",
+    category="roundtrip",
+    description=(
+        "Parquet codec matrix hard signal: the same slice written with "
+        "zstd, gzip, and snappy compression and read back — identical "
+        "aggregates across all three certify the whole codec path (the "
+        "choice that dominates storage cost vs scan CPU at 100 TB)"
+    ),
+)
+def roundtrip_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 11 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    out = None
+    for codec in ("zstd", "gzip", "snappy"):
+        path = _scratch(sf_dir, f"codec_{codec}")
+        src.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        agg = back.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.countDistinct("o_orderstatus").cast("bigint").alias("n_status"),
+        ).select(F.lit(codec).alias("codec"), "*")
+        out = agg if out is None else out.unionAll(agg)
+    return out

