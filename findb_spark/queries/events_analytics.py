@@ -331,3 +331,51 @@ def events_churn_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("max_day")
         .orderBy("cohort_week")
     )
+
+
+@register(
+    "orders_open_backlog",
+    """
+WITH spans AS (
+  SELECT o.o_orderkey,
+         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m0,
+         CAST(date_trunc('month', MAX(l.l_shipdate)) AS DATE) AS m1
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+open_m AS (
+  SELECT o_orderkey,
+         CAST(unnest(generate_series(m0, m1, INTERVAL 1 MONTH)) AS DATE) AS m
+  FROM spans WHERE m1 >= m0
+)
+SELECT m AS month, CAST(COUNT(*) AS BIGINT) AS open_orders
+FROM open_m GROUP BY m
+""",
+    category="relational",
+    description=(
+        "Open-order backlog time series via interval decomposition: each "
+        "order contributes one row per month it stays unshipped (placed -> "
+        "last line shipped), turning point-in-time backlog counting into a "
+        "bounded explode + plain groupBy — the same scale trick as "
+        "events_dau_wau, applied to operational inventory"
+    ),
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("m0"),
+            F.date_trunc("month", "last_ship").cast("date").alias("m1"),
+        )
+        .where("m1 >= m0")
+    )
+    open_m = spans.select(
+        F.explode(F.expr("sequence(m0, m1, INTERVAL 1 MONTH)")).alias("m0x")
+    ).select(F.col("m0x").cast("date").alias("m"))
+    return open_m.groupBy(F.col("m").alias("month")).agg(
+        F.count("*").cast("bigint").alias("open_orders")
+    )

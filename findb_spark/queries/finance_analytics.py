@@ -695,3 +695,105 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_nearest(
         probes, rdedup, on="asset_id", left_time="qts", right_time="ts"
     )
+
+
+@register(
+    "ts_regime_switch",
+    f"""
+WITH {_DAILY_CTE},
+{_CENTS_CTE},
+vol AS (
+  SELECT asset_id, date,
+         COUNT(*) OVER w AS n,
+         SUM(c) OVER w AS s, SUM(c * c) OVER w AS sq
+  FROM cents
+  WINDOW w AS (PARTITION BY asset_id ORDER BY date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+sd AS (
+  SELECT asset_id, date,
+         CAST(FLOOR(SQRT(CAST(n * sq - s * s AS DOUBLE) / (n * n)) + 0.5)
+              AS BIGINT) AS vol_c
+  FROM vol WHERE n = 20
+),
+med AS (
+  SELECT asset_id, CAST(FLOOR(quantile_cont(vol_c, 0.5) + 0.5) AS BIGINT) AS med_c
+  FROM sd GROUP BY asset_id
+),
+flag AS (
+  SELECT sd.asset_id, sd.date,
+         CASE WHEN sd.vol_c > med.med_c THEN 1 ELSE 0 END AS hi
+  FROM sd JOIN med ON sd.asset_id = med.asset_id
+),
+runs AS (
+  SELECT asset_id, date, hi,
+         ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date)
+           - ROW_NUMBER() OVER (PARTITION BY asset_id, hi ORDER BY date) AS grp
+  FROM flag
+),
+seg AS (
+  SELECT asset_id, hi, grp, COUNT(*) AS run_len FROM runs GROUP BY 1, 2, 3
+)
+SELECT asset_id,
+       CAST(COUNT(*) AS BIGINT) AS n_regimes,
+       CAST(MAX(CASE WHEN hi = 1 THEN run_len ELSE 0 END) AS BIGINT)
+         AS longest_high_run,
+       CAST(SUM(CASE WHEN hi = 1 THEN run_len ELSE 0 END) AS BIGINT)
+         AS n_high_days,
+       CAST(SUM(run_len) AS BIGINT) AS n_days
+FROM seg GROUP BY asset_id
+""",
+    category="timeseries",
+    description=(
+        "Volatility regime segmentation: 20-day rolling stddev (exact "
+        "integer moments, floor-quantized to cents) thresholded at each "
+        "asset's median, segmented with the gaps-and-islands double "
+        "row_number — regime counts, longest high-vol run, high-vol day "
+        "share inputs"
+    ),
+)
+def ts_regime_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("asset_id").orderBy("date").rowsBetween(-19, 0)
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    vol = daily.select(
+        "asset_id",
+        "date",
+        F.count("*").over(w).alias("n"),
+        F.sum(c).over(w).alias("s"),
+        F.sum(c * c).over(w).alias("sq"),
+    ).where("n = 20")
+    sd = vol.select(
+        "asset_id",
+        "date",
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(n * sq - s * s AS DOUBLE) / (n * n)) + 0.5)"
+            " AS BIGINT)"
+        ).alias("vol_c"),
+    )
+    med = sd.groupBy("asset_id").agg(
+        F.expr("CAST(FLOOR(percentile(vol_c, 0.5) + 0.5) AS BIGINT)").alias("med_c")
+    )
+    flag = sd.join(med, "asset_id").select(
+        "asset_id",
+        "date",
+        F.when(F.col("vol_c") > F.col("med_c"), 1).otherwise(0).alias("hi"),
+    )
+    wa = Window.partitionBy("asset_id").orderBy("date")
+    wah = Window.partitionBy("asset_id", "hi").orderBy("date")
+    runs = flag.select(
+        "asset_id",
+        "hi",
+        (F.row_number().over(wa) - F.row_number().over(wah)).alias("grp"),
+    )
+    seg = runs.groupBy("asset_id", "hi", "grp").agg(F.count("*").alias("run_len"))
+    return seg.groupBy("asset_id").agg(
+        F.count("*").cast("bigint").alias("n_regimes"),
+        F.max(F.when(F.col("hi") == 1, F.col("run_len")).otherwise(0))
+        .cast("bigint")
+        .alias("longest_high_run"),
+        F.sum(F.when(F.col("hi") == 1, F.col("run_len")).otherwise(0))
+        .cast("bigint")
+        .alias("n_high_days"),
+        F.sum("run_len").cast("bigint").alias("n_days"),
+    )

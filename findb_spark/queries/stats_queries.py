@@ -514,3 +514,124 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_candidates").alias("n_candidates"),
         )
     )
+
+
+#: cumulative Poisson(1) probabilities (k=0..3) — transcendental constants
+#: computed once in Python, embedded as identical literals in both plans
+_POIS = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+)
+_B_REPLICAS = 32
+
+_W_CASE = (
+    f"CASE WHEN u < CAST({_POIS[0]} AS DOUBLE) THEN 0"
+    f" WHEN u < CAST({_POIS[1]} AS DOUBLE) THEN 1"
+    f" WHEN u < CAST({_POIS[2]} AS DOUBLE) THEN 2"
+    f" WHEN u < CAST({_POIS[3]} AS DOUBLE) THEN 3"
+    " ELSE 4 END"
+)
+
+
+@register(
+    "stats_poisson_bootstrap",
+    f"""
+WITH v AS (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS val
+  FROM orders
+),
+r AS (
+  SELECT o_orderkey, val, b.b AS b,
+         ({hash48_duck("CAST(o_orderkey AS VARCHAR) || '_' || CAST(b.b AS VARCHAR)")}
+          % 1000000) / 1000000.0 AS u
+  FROM v, range(0, {_B_REPLICAS}) b(b)
+),
+w AS (SELECT b, val, {_W_CASE} AS wt FROM r),
+rm AS (
+  SELECT b,
+         -- replica means quantized at 1e-2: mq ~ 1e7, so mq*mq and the
+         -- moment sums stay far inside int64 on BOTH engines (at 1e6 the
+         -- square overflows Spark's bigint under ANSI)
+         CAST(FLOOR(CAST(SUM(wt * val) AS DOUBLE) / SUM(wt) * 100 + 0.5)
+              AS BIGINT) AS mq
+  FROM w GROUP BY b HAVING SUM(wt) > 0
+),
+pt AS (
+  SELECT CAST(SUM(val) AS DOUBLE) / COUNT(*) AS point_mean FROM v
+),
+agg AS (
+  SELECT COUNT(*) AS nb, SUM(mq) AS s, SUM(mq * mq) AS sq FROM rm
+)
+SELECT CAST(nb AS BIGINT) AS n_replicas,
+       point_mean,
+       SQRT(CAST(nb * sq - s * s AS DOUBLE) / (nb * nb)) / 100 AS boot_se,
+       point_mean
+         - 2 * (SQRT(CAST(nb * sq - s * s AS DOUBLE) / (nb * nb)) / 100)
+         AS ci_lo,
+       point_mean
+         + 2 * (SQRT(CAST(nb * sq - s * s AS DOUBLE) / (nb * nb)) / 100)
+         AS ci_hi
+FROM agg CROSS JOIN pt
+""",
+    category="relational",
+    description=(
+        f"Poisson bootstrap (Chamandy/Google 2012) standard error + 95% CI "
+        f"for the mean order value: {_B_REPLICAS} replicas materialize as "
+        "deterministic hash-drawn Poisson(1) weights per (row, replica) — "
+        "resampling-with-replacement as ONE map-side-combinable groupBy, "
+        "the only bootstrap that works when the data can't fit one machine"
+    ),
+)
+def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint").alias("val"),
+    )
+    bs = spark.range(_B_REPLICAS).select(F.col("id").cast("int").alias("b"))
+    r = v.crossJoin(F.broadcast(bs)).select(
+        "val",
+        "b",
+        (
+            (
+                hash48(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("_"),
+                        F.col("b").cast("string"),
+                    )
+                )
+                % 1000000
+            )
+            / F.lit(1000000.0)
+        ).alias("u"),
+    )
+    w = r.select("b", "val", F.expr(_W_CASE).alias("wt"))
+    rm = (
+        w.groupBy("b")
+        .agg(
+            F.expr(
+                "CAST(FLOOR(CAST(SUM(wt * val) AS DOUBLE) / SUM(wt)"
+                " * 100 + 0.5) AS BIGINT)"
+            ).alias("mq"),
+            F.sum("wt").alias("_sw"),
+        )
+        .where("_sw > 0")
+        .drop("_sw")
+    )
+    pt = v.agg(F.expr("CAST(SUM(val) AS DOUBLE) / COUNT(*)").alias("point_mean"))
+    agg = rm.agg(
+        F.count("*").alias("nb"),
+        F.sum("mq").alias("s"),
+        F.sum(F.col("mq") * F.col("mq")).alias("sq"),
+    )
+    se = "SQRT(CAST(nb * sq - s * s AS DOUBLE) / (nb * nb)) / 100"
+    return agg.crossJoin(F.broadcast(pt)).select(
+        F.col("nb").cast("bigint").alias("n_replicas"),
+        "point_mean",
+        F.expr(se).alias("boot_se"),
+        F.expr(f"point_mean - 2 * ({se})").alias("ci_lo"),
+        F.expr(f"point_mean + 2 * ({se})").alias("ci_hi"),
+    )
