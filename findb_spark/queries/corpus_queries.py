@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from findb_spark.ops.text import shingles_duck
 from findb_spark.registry import register
 from findb_spark.session import load_table
 
@@ -420,4 +421,121 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY cents DESC, c_custkey LIMIT 2
         ) t
         """
+    )
+
+
+@register(
+    "text_vocab_growth",
+    f"""
+WITH n AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS max_id FROM documents),
+cps AS (SELECT CAST(unnest([10, 25, 50, 100]) AS BIGINT) AS pct),
+tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+growth AS (
+  SELECT cps.pct,
+         CAST(COUNT(DISTINCT CASE WHEN tk.doc_id * 100 <= n.max_id * cps.pct
+                                  THEN tk.tok END) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN tk.doc_id * 100 <= n.max_id * cps.pct
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens
+  FROM tk CROSS JOIN n CROSS JOIN cps
+  GROUP BY cps.pct
+)
+SELECT pct, n_tokens, vocab,
+       ROUND(CAST(vocab AS DOUBLE) / n_tokens, 6) AS vocab_token_ratio
+FROM growth ORDER BY pct
+""",
+    category="text",
+    description=(
+        "Heaps'-law vocabulary growth curve: distinct-token count at "
+        "10/25/50/100% corpus prefixes (by doc_id) in ONE scan via "
+        "conditional distinct aggregation — the sublinear-vocab check that "
+        "sizes tokenizers and spots corpus-boundary duplication"
+    ),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id").cast("bigint").alias("max_id"))
+    cps = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p) for p in (10, 25, 50, 100)])
+        ).alias("pct0")
+    ).select(F.col("pct0").cast("bigint").alias("pct")
+    )
+    tk = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    growth = (
+        tk.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(cps))
+        .groupBy("pct")
+        .agg(
+            F.countDistinct(
+                F.when(
+                    F.col("doc_id") * 100 <= F.col("max_id") * F.col("pct"),
+                    F.col("tok"),
+                )
+            )
+            .cast("bigint")
+            .alias("vocab"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") * 100 <= F.col("max_id") * F.col("pct"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    return growth.select(
+        "pct",
+        "n_tokens",
+        "vocab",
+        F.round(F.col("vocab").cast("double") / F.col("n_tokens"), 6).alias(
+            "vocab_token_ratio"
+        ),
+    ).orderBy("pct")
+
+
+@register(
+    "dedup_shingle_df_profile",
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({shingles_duck('text')})) AS shingle
+  FROM documents
+),
+df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+b AS (SELECT CAST(length(bin(df)) AS INT) AS df_log2_bucket, df FROM df)
+SELECT df_log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(df) AS BIGINT) AS total_postings,
+       CAST(MAX(df) AS BIGINT) AS max_df
+FROM b GROUP BY df_log2_bucket ORDER BY df_log2_bucket
+""",
+    category="dedup",
+    description=(
+        "Inverted-index skew profile: shingle document-frequency histogram "
+        "in log2 buckets (bit-length bucketing — integer-exact) + posting "
+        "mass per bucket — the diagnostic that says whether the plain "
+        "inverted-index join will blow up on common shingles and the "
+        "PPJoin prefix filter should take over"
+    ),
+)
+def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("shingle")
+    )
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    b = df.select(
+        F.expr("CAST(length(bin(df)) AS INT)").alias("df_log2_bucket"), "df"
+    )
+    return (
+        b.groupBy("df_log2_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum("df").cast("bigint").alias("total_postings"),
+            F.max("df").cast("bigint").alias("max_df"),
+        )
+        .orderBy("df_log2_bucket")
     )

@@ -379,3 +379,177 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return open_m.groupBy(F.col("m").alias("month")).agg(
         F.count("*").cast("bigint").alias("open_orders")
     )
+
+
+@register(
+    "events_rate_weekend_test",
+    """
+WITH d AS (
+  SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend'
+              ELSE 'weekday' END AS seg,
+         CAST(ts AS DATE) AS day
+  FROM events
+),
+c AS (
+  SELECT seg,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+  FROM d GROUP BY seg
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN seg = 'weekday' THEN n_events END) AS e1,
+    MAX(CASE WHEN seg = 'weekday' THEN n_days END) AS d1,
+    MAX(CASE WHEN seg = 'weekend' THEN n_events END) AS e2,
+    MAX(CASE WHEN seg = 'weekend' THEN n_days END) AS d2
+  FROM c
+)
+SELECT e1 AS weekday_events, d1 AS weekday_days,
+       e2 AS weekend_events, d2 AS weekend_days,
+       CAST(e1 AS DOUBLE) / d1 AS weekday_rate,
+       CAST(e2 AS DOUBLE) / d2 AS weekend_rate,
+       (CAST(e1 AS DOUBLE) / d1) / (CAST(e2 AS DOUBLE) / d2) AS rate_ratio,
+       -- two-sample Poisson rate z (square-root transform, Huffman 1984):
+       -- sqrt is IEEE-exact, counts are ints, so z is deterministic
+       2 * (SQRT(CAST(e1 AS DOUBLE) + 0.375) - SQRT((CAST(e2 AS DOUBLE) + 0.375)
+            * (CAST(d1 AS DOUBLE) / d2)))
+         / SQRT(1 + CAST(d1 AS DOUBLE) / d2) AS z_stat
+FROM w
+""",
+    category="events",
+    description=(
+        "Weekday-vs-weekend Poisson rate comparison: per-day event rates, "
+        "rate ratio, and the variance-stabilized two-sample z statistic "
+        "(Huffman 1984 square-root transform — sqrt only, so deterministic "
+        "cross-engine)"
+    ),
+)
+def events_rate_weekend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.when(F.dayofweek("ts").isin(1, 7), "weekend")
+        .otherwise("weekday")
+        .alias("seg"),
+        F.col("ts").cast("date").alias("day"),
+    )
+    c = d.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("day").cast("bigint").alias("n_days"),
+    )
+    w = c.agg(
+        F.max(F.when(F.col("seg") == "weekday", F.col("n_events"))).alias("e1"),
+        F.max(F.when(F.col("seg") == "weekday", F.col("n_days"))).alias("d1"),
+        F.max(F.when(F.col("seg") == "weekend", F.col("n_events"))).alias("e2"),
+        F.max(F.when(F.col("seg") == "weekend", F.col("n_days"))).alias("d2"),
+    )
+    return w.select(
+        F.col("e1").alias("weekday_events"),
+        F.col("d1").alias("weekday_days"),
+        F.col("e2").alias("weekend_events"),
+        F.col("d2").alias("weekend_days"),
+        F.expr("CAST(e1 AS DOUBLE) / d1").alias("weekday_rate"),
+        F.expr("CAST(e2 AS DOUBLE) / d2").alias("weekend_rate"),
+        F.expr(
+            "(CAST(e1 AS DOUBLE) / d1) / (CAST(e2 AS DOUBLE) / d2)"
+        ).alias("rate_ratio"),
+        F.expr(
+            "2 * (SQRT(CAST(e1 AS DOUBLE) + 0.375)"
+            " - SQRT((CAST(e2 AS DOUBLE) + 0.375)"
+            " * (CAST(d1 AS DOUBLE) / d2)))"
+            " / SQRT(1 + CAST(d1 AS DOUBLE) / d2)"
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "supplier_lead_time",
+    """
+WITH lt AS (
+  SELECT l.l_suppkey,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS lead_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(lead_days) AS DOUBLE) / COUNT(*) AS mean_lead_days,
+       quantile_cont(lead_days, 0.5) AS p50_lead_days,
+       quantile_cont(lead_days, 0.9) AS p90_lead_days
+FROM lt GROUP BY l_suppkey
+""",
+    category="relational",
+    description=(
+        "Supplier lead-time SLA profile: order-to-ship delay in exact whole "
+        "days with mean/p50/p90 per supplier — the fulfillment analog of "
+        "dq_freshness_lag"
+    ),
+)
+def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lead_days"),
+    )
+    return lt.groupBy("l_suppkey").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.expr("CAST(SUM(lead_days) AS DOUBLE) / COUNT(*)").alias(
+            "mean_lead_days"
+        ),
+        F.expr("percentile(lead_days, 0.5)").alias("p50_lead_days"),
+        F.expr("percentile(lead_days, 0.9)").alias("p90_lead_days"),
+    )
+
+
+@register(
+    "customer_order_intervals",
+    """
+WITH iv AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   CAST(LAG(o_orderdate) OVER w AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+g AS (SELECT gap_days FROM iv WHERE gap_days IS NOT NULL),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM g)
+SELECT CAST(gap_days // 30 AS BIGINT) AS gap_months,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / tot, 6) AS share
+FROM g CROSS JOIN n
+GROUP BY gap_months, tot
+ORDER BY gap_months
+""",
+    category="relational",
+    description=(
+        "Inter-purchase interval distribution (repeat-rate / churn-model "
+        "input): day gaps between consecutive orders per customer, bucketed "
+        "by 30-day month — exact integer day arithmetic"
+    ),
+)
+def customer_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    iv = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag("o_orderdate").over(w).cast("date"),
+        ).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    n = iv.agg(F.count("*").cast("bigint").alias("tot"))
+    return (
+        iv.crossJoin(F.broadcast(n))
+        .groupBy(F.expr("CAST(gap_days div 30 AS BIGINT)").alias("gap_months"), "tot")
+        .agg(F.count("*").cast("bigint").alias("n_gaps"))
+        .select(
+            "gap_months",
+            "n_gaps",
+            F.round(F.col("n_gaps").cast("double") / F.col("tot"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("gap_months")
+    )

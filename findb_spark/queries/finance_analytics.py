@@ -797,3 +797,81 @@ def ts_regime_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_high_days"),
         F.sum("run_len").cast("bigint").alias("n_days"),
     )
+
+
+@register(
+    "ts_drawdown_duration",
+    f"""
+WITH {_DAILY_CTE},
+{_CENTS_CTE},
+pk AS (
+  SELECT asset_id, date, c,
+         MAX(c) OVER (PARTITION BY asset_id ORDER BY date
+                      ROWS UNBOUNDED PRECEDING) AS peak
+  FROM cents
+),
+flag AS (
+  SELECT asset_id, date,
+         CASE WHEN c < peak THEN 1 ELSE 0 END AS under
+  FROM pk
+),
+runs AS (
+  SELECT asset_id, under,
+         ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date)
+           - ROW_NUMBER() OVER (PARTITION BY asset_id, under ORDER BY date) AS grp
+  FROM flag
+),
+seg AS (
+  SELECT asset_id, under, grp, COUNT(*) AS run_len FROM runs GROUP BY 1, 2, 3
+)
+SELECT asset_id,
+       CAST(MAX(CASE WHEN under = 1 THEN run_len ELSE 0 END) AS BIGINT)
+         AS max_underwater_days,
+       CAST(SUM(CASE WHEN under = 1 THEN run_len ELSE 0 END) AS BIGINT)
+         AS n_underwater_days,
+       CAST(SUM(run_len) AS BIGINT) AS n_days
+FROM seg GROUP BY asset_id
+""",
+    category="timeseries",
+    description=(
+        "Drawdown DURATION profile: longest and total underwater spells "
+        "per asset (below the running peak) — the time dimension "
+        "ts_drawdown's depth metric misses; running max + gaps-and-islands, "
+        "one shuffle"
+    ),
+)
+def ts_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    wrun = (
+        Window.partitionBy("asset_id")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    pk = daily.select(
+        "asset_id", "date", c.alias("c"), F.max(c).over(wrun).alias("peak")
+    )
+    flag = pk.select(
+        "asset_id",
+        "date",
+        F.when(F.col("c") < F.col("peak"), 1).otherwise(0).alias("under"),
+    )
+    wa = Window.partitionBy("asset_id").orderBy("date")
+    wau = Window.partitionBy("asset_id", "under").orderBy("date")
+    runs = flag.select(
+        "asset_id",
+        "under",
+        (F.row_number().over(wa) - F.row_number().over(wau)).alias("grp"),
+    )
+    seg = runs.groupBy("asset_id", "under", "grp").agg(
+        F.count("*").alias("run_len")
+    )
+    return seg.groupBy("asset_id").agg(
+        F.max(F.when(F.col("under") == 1, F.col("run_len")).otherwise(0))
+        .cast("bigint")
+        .alias("max_underwater_days"),
+        F.sum(F.when(F.col("under") == 1, F.col("run_len")).otherwise(0))
+        .cast("bigint")
+        .alias("n_underwater_days"),
+        F.sum("run_len").cast("bigint").alias("n_days"),
+    )

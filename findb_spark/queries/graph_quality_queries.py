@@ -636,3 +636,60 @@ def dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "noisy_count"
         ),
     )
+
+
+@register(
+    "pipeline_quality_sweep",
+    """
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+ths AS (SELECT CAST(unnest([10, 20, 40, 80]) AS BIGINT) AS min_tokens)
+SELECT min_tokens,
+       CAST(SUM(CASE WHEN n_tokens >= min_tokens THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_docs,
+       CAST(SUM(CASE WHEN n_tokens >= min_tokens THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS kept_tokens,
+       CAST(COUNT(*) AS BIGINT) AS total_docs
+FROM toks CROSS JOIN ths
+GROUP BY min_tokens
+ORDER BY min_tokens
+""",
+    category="quality",
+    description=(
+        "Quality-gate sweep: surviving doc/token budgets at four "
+        "min-length thresholds from ONE corpus scan (conditional sums over "
+        "a broadcast threshold list) — the what-if that sizes the "
+        "pretraining corpus before committing a curation run"
+    ),
+)
+def pipeline_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    ths = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in (10, 20, 40, 80)])
+        ).alias("mt0")
+    ).select(F.col("mt0").cast("bigint").alias("min_tokens")
+    )
+    return (
+        toks.crossJoin(F.broadcast(ths))
+        .groupBy("min_tokens")
+        .agg(
+            F.sum(F.when(F.col("n_tokens") >= F.col("min_tokens"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept_docs"),
+            F.sum(
+                F.when(
+                    F.col("n_tokens") >= F.col("min_tokens"), F.col("n_tokens")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.count("*").cast("bigint").alias("total_docs"),
+        )
+        .orderBy("min_tokens")
+    )

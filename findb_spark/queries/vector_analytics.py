@@ -499,3 +499,64 @@ def vec_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variance"
         ),
     )
+
+
+@register(
+    "vec_sim_histogram",
+    f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+p AS (
+  SELECT {cosine_sql('a.embedding', 'b.embedding')} AS cos_sim
+  FROM corpus a JOIN corpus b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+b AS (
+  SELECT CAST(FLOOR(cos_sim * 10) AS INT) AS sim_decile FROM p
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM b)
+SELECT sim_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / tot, 6) AS share
+FROM b CROSS JOIN n
+GROUP BY sim_decile, tot
+ORDER BY sim_decile
+""",
+    category="vector",
+    description=(
+        "Cosine-similarity histogram over LSH candidate pairs (decile "
+        "buckets): the separation profile that picks the near-dup "
+        "threshold — a bimodal histogram means a clean cut exists, a flat "
+        "one means embedding quality is the problem, not the threshold"
+    ),
+)
+def vec_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = lsh_buckets(emb)
+    a = corpus.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("aemb"), "bucket"
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("bemb"), "bucket"
+    )
+    p = (
+        a.join(b, "bucket")
+        .where(F.col("v1") < F.col("v2"))
+        .select(cosine_expr("aemb", "bemb").alias("cos_sim"))
+    )
+    d = p.select(F.expr("CAST(FLOOR(cos_sim * 10) AS INT)").alias("sim_decile"))
+    n = d.agg(F.count("*").cast("bigint").alias("tot"))
+    return (
+        d.crossJoin(F.broadcast(n))
+        .groupBy("sim_decile", "tot")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select(
+            "sim_decile",
+            "n_pairs",
+            F.round(F.col("n_pairs").cast("double") / F.col("tot"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("sim_decile")
+    )
