@@ -303,3 +303,35 @@ def image_ahash(with_payload: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "ahash_hi", "ahash_lo"])
 
     return with_payload.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+#: frame-level audio features: one row per 64-sample frame
+AUDIO_FRAMES_SCHEMA = "doc_id BIGINT, frame_idx INT, frame_energy BIGINT"
+
+AUDIO_FRAME_LEN = 64
+
+
+def wav_frame_energies(with_payload: DataFrame) -> DataFrame:
+    """REAL windowed audio feature extraction: decode the RIFF/WAV PCM16
+    payload and emit one row per 64-sample frame with its exact integer
+    energy (sum of squared int16 samples) — the row-expanding frame shape
+    a real spectrogram/VAD pipeline has, with no float drift."""
+    from findb_spark.functions.media_codec import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, s = decode_wav(bytes(payload))
+                s64 = s.astype("int64")
+                n_frames = len(s64) // AUDIO_FRAME_LEN
+                for fi in range(n_frames):
+                    seg = s64[fi * AUDIO_FRAME_LEN : (fi + 1) * AUDIO_FRAME_LEN]
+                    rows.append((doc_id, fi, int((seg * seg).sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_energy"]
+            )
+
+    return with_payload.mapInPandas(batches, schema=AUDIO_FRAMES_SCHEMA)

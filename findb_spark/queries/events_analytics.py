@@ -553,3 +553,57 @@ def customer_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_months")
     )
+
+
+@register(
+    "events_burstiness",
+    """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(n) AS BIGINT) AS s,
+         CAST(SUM(n * n) AS BIGINT) AS sq
+  FROM h GROUP BY event_type
+)
+SELECT event_type, n_hours,
+       CAST(s AS DOUBLE) / n_hours AS mean_per_hour,
+       CAST(n_hours * sq - s * s AS DOUBLE) / (n_hours * n_hours)
+         AS var_per_hour,
+       (CAST(n_hours * sq - s * s AS DOUBLE) / (n_hours * n_hours))
+         / (CAST(s AS DOUBLE) / n_hours) AS fano_factor
+FROM m WHERE s > 0
+""",
+    category="events",
+    description=(
+        "Burstiness (Fano factor) per event type over hourly counts: "
+        "variance-to-mean ratio ~1 means Poisson arrivals, >>1 means "
+        "bursts — the dispersion diagnostic behind rate-anomaly "
+        "thresholds; exact integer moments on active hours"
+    ),
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    m = h.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sq"),
+    ).where("s > 0")
+    return m.select(
+        "event_type",
+        "n_hours",
+        F.expr("CAST(s AS DOUBLE) / n_hours").alias("mean_per_hour"),
+        F.expr(
+            "CAST(n_hours * sq - s * s AS DOUBLE) / (n_hours * n_hours)"
+        ).alias("var_per_hour"),
+        F.expr(
+            "(CAST(n_hours * sq - s * s AS DOUBLE) / (n_hours * n_hours))"
+            " / (CAST(s AS DOUBLE) / n_hours)"
+        ).alias("fano_factor"),
+    )

@@ -875,3 +875,51 @@ def ts_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_underwater_days"),
         F.sum("run_len").cast("bigint").alias("n_days"),
     )
+
+
+@register(
+    "ts_missing_days",
+    f"""
+WITH {_DAILY_CTE},
+d AS (
+  SELECT asset_id, strptime(CAST(date AS VARCHAR), '%Y%m%d') AS dt FROM daily
+),
+spans AS (
+  SELECT asset_id, MIN(dt) AS d0, MAX(dt) AS d1,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM d GROUP BY asset_id
+)
+SELECT asset_id, n_obs,
+       CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS span_days,
+       CAST(date_diff('day', d0, d1) + 1 AS BIGINT) - n_obs AS n_missing,
+       ROUND(CAST(n_obs AS DOUBLE)
+             / (date_diff('day', d0, d1) + 1), 6) AS coverage
+FROM spans WHERE n_obs >= 2
+""",
+    category="timeseries",
+    description=(
+        "Calendar-gap detector per asset: observed days vs the min-to-max "
+        "span — the data-completeness DQ check a time-series store runs "
+        "before trusting gap-sensitive analytics (complement of "
+        "ts_resample_ffill, which FIXES the gaps this query measures)"
+    ),
+)
+def ts_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    d = daily.select(
+        "asset_id", F.to_date(F.col("date").cast("string"), "yyyyMMdd").alias("dt")
+    )
+    spans = d.groupBy("asset_id").agg(
+        F.min("dt").alias("d0"),
+        F.max("dt").alias("d1"),
+        F.count("*").cast("bigint").alias("n_obs"),
+    ).where("n_obs >= 2")
+    return spans.select(
+        "asset_id",
+        "n_obs",
+        F.expr("CAST(datediff(d1, d0) + 1 AS BIGINT)").alias("span_days"),
+        F.expr("CAST(datediff(d1, d0) + 1 AS BIGINT) - n_obs").alias("n_missing"),
+        F.expr(
+            "ROUND(CAST(n_obs AS DOUBLE) / (datediff(d1, d0) + 1), 6)"
+        ).alias("coverage"),
+    )

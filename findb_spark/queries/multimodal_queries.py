@@ -198,3 +198,47 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ahash_lo",
         F.col("n_same").cast("bigint").alias("n_same_hash"),
     )
+
+
+@register(
+    "multimodal_audio_frames",
+    """
+WITH s AS (
+  SELECT doc_id, i.i AS i,
+         (doc_id * 7349 + i.i * 4799) % 65536 - 32768 AS v
+  FROM documents, range(0, 256) i(i)
+),
+f AS (
+  SELECT doc_id, CAST(i // 64 AS INT) AS frame_idx,
+         CAST(SUM(v * v) AS BIGINT) AS frame_energy
+  FROM s GROUP BY 1, 2
+),
+pk AS (
+  SELECT doc_id, MAX(frame_energy) AS peak FROM f GROUP BY doc_id
+)
+SELECT f.doc_id, f.frame_idx, f.frame_energy,
+       CASE WHEN f.frame_energy = pk.peak THEN 1 ELSE 0 END AS is_peak_frame
+FROM f JOIN pk ON f.doc_id = pk.doc_id
+""",
+    category="multimodal",
+    description=(
+        "Windowed audio features over REAL decoded WAV bytes: one row per "
+        "64-sample frame with exact integer energy + peak-frame flag (the "
+        "VAD/spectrogram frame shape); formula-based oracle certifies the "
+        "full decode -> frame -> feature path"
+    ),
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.multimodal import attach_wav_payload, wav_frame_energies
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = wav_frame_energies(attach_wav_payload(docs))
+    pk = f.groupBy("doc_id").agg(F.max("frame_energy").alias("peak"))
+    return f.join(pk, "doc_id").select(
+        "doc_id",
+        "frame_idx",
+        "frame_energy",
+        F.when(F.col("frame_energy") == F.col("peak"), 1)
+        .otherwise(0)
+        .alias("is_peak_frame"),
+    )

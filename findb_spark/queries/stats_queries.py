@@ -635,3 +635,82 @@ def stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"point_mean - 2 * ({se})").alias("ci_lo"),
         F.expr(f"point_mean + 2 * ({se})").alias("ci_hi"),
     )
+
+
+@register(
+    "stats_ks_test",
+    """
+WITH d AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+pv AS (
+  SELECT v,
+         SUM(g) AS c1,
+         SUM(1 - g) AS c2
+  FROM d GROUP BY v
+),
+tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM pv
+),
+run AS (
+  SELECT SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r1,
+         SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r2
+  FROM pv
+),
+dmax AS (
+  SELECT MAX(ABS(CAST(r1 AS DOUBLE) / n1 - CAST(r2 AS DOUBLE) / n2)) AS d_stat
+  FROM run CROSS JOIN tot
+)
+SELECT n1, n2, d_stat,
+       d_stat * SQRT(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) AS ks_scaled
+FROM dmax CROSS JOIN tot
+""",
+    category="relational",
+    description=(
+        "Two-sample Kolmogorov-Smirnov statistic, EXACT and distributed: "
+        "ECDFs as running integer counts over value-grouped rows (ties "
+        "collapse before the scan, so D is evaluated after each distinct "
+        "value — the textbook definition), D = max |F1-F2| a deterministic "
+        "max of rationals; the scaled statistic adds one IEEE sqrt"
+    ),
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("g"),
+    )
+    pv = d.groupBy("v").agg(
+        F.sum("g").alias("c1"), F.sum(F.lit(1) - F.col("g")).alias("c2")
+    )
+    tot = pv.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    # running ECDF counts: ordered prefix sums over the ~distinct-value
+    # relation.  Scale note: a global ordered window; on a cluster this is
+    # a range-partitioned sort (Spark windows without PARTITION BY go
+    # single-partition — for 100 TB use the bucket+offset trick of
+    # stats_gini_revenue; the value-grouped relation here is |distinct
+    # prices|, orders of magnitude smaller than the fact table)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    run = pv.select(
+        F.sum("c1").over(w).alias("r1"), F.sum("c2").over(w).alias("r2")
+    )
+    dmax = run.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                F.expr("CAST(r1 AS DOUBLE) / n1 - CAST(r2 AS DOUBLE) / n2")
+            )
+        ).alias("d_stat")
+    )
+    return dmax.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        "d_stat",
+        F.expr("d_stat * SQRT(CAST(n1 AS DOUBLE) * n2 / (n1 + n2))").alias(
+            "ks_scaled"
+        ),
+    )

@@ -560,3 +560,68 @@ def vec_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sim_decile")
     )
+
+
+@register(
+    "vec_cluster_purity",
+    f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  ORDER BY {hash48_duck("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT {IVF_K}
+),
+sc AS (
+  SELECT e.vec_id, e.label, c.cent_id, {cosine_sql('e.embedding', 'c.cvec')} AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+asg AS (
+  SELECT vec_id, label, cent_id AS cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cent_id) AS rn
+    FROM sc) WHERE rn = 1
+),
+cl AS (SELECT cluster, label, COUNT(*) AS n FROM asg GROUP BY 1, 2),
+mj AS (
+  SELECT cluster, CAST(SUM(n) AS BIGINT) AS sz, CAST(MAX(n) AS BIGINT) AS maj
+  FROM cl GROUP BY cluster
+),
+tot AS (
+  SELECT CAST(SUM(sz) AS BIGINT) AS n_vecs, CAST(SUM(maj) AS BIGINT) AS n_maj,
+         CAST(COUNT(*) AS BIGINT) AS n_clusters
+  FROM mj
+)
+SELECT n_clusters, n_vecs,
+       ROUND(CAST(n_maj AS DOUBLE) / n_vecs, 6) AS purity
+FROM tot
+""",
+    category="vector",
+    description=(
+        "Clustering purity of the IVF coarse quantizer against the labeled "
+        "ground truth: per-cluster majority-label mass over total — the "
+        "external-validity check that complements vec_cluster_silhouette's "
+        "internal geometry score; exact rational of counts"
+    ),
+)
+def vec_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.vector import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = ivf_assign(emb).select("vec_id", "cluster").join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cl = asg.groupBy("cluster", "label").agg(F.count("*").alias("n"))
+    mj = cl.groupBy("cluster").agg(
+        F.sum("n").cast("bigint").alias("sz"),
+        F.max("n").cast("bigint").alias("maj"),
+    )
+    tot = mj.agg(
+        F.sum("sz").cast("bigint").alias("n_vecs"),
+        F.sum("maj").cast("bigint").alias("n_maj"),
+        F.count("*").cast("bigint").alias("n_clusters"),
+    )
+    return tot.select(
+        "n_clusters",
+        "n_vecs",
+        F.round(F.col("n_maj").cast("double") / F.col("n_vecs"), 6).alias(
+            "purity"
+        ),
+    )
