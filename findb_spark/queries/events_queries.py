@@ -1166,3 +1166,129 @@ def events_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_attribution_ushape",
+    """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events
+),
+g AS (
+  SELECT *,
+         SUM(is_p) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                         ROWS UNBOUNDED PRECEDING) AS grp
+  FROM o
+),
+conv AS (
+  SELECT user_id, grp, ts AS p_ts, value AS p_value
+  FROM g WHERE is_p = 1
+),
+touches AS (
+  SELECT g.user_id, g.grp, g.event_type, g.ts, g.event_id,
+         c.p_ts, c.p_value
+  FROM g JOIN conv c ON g.user_id = c.user_id AND g.grp = c.grp
+  WHERE g.is_p = 0
+    AND g.event_type IN ('click', 'view')
+    AND g.ts < c.p_ts
+    AND g.ts + INTERVAL 168 HOUR > c.p_ts
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id, grp ORDER BY ts, event_id) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY user_id, grp ORDER BY ts DESC, event_id DESC) AS rn_last,
+         COUNT(*) OVER (PARTITION BY user_id, grp) AS n_touch
+  FROM ranked_src
+),
+shares AS (
+  SELECT event_type,
+         CASE WHEN n_touch = 1 THEN p_value
+              WHEN rn_first = 1 OR rn_last = 1 THEN
+                   CASE WHEN n_touch = 2 THEN p_value * CAST(0.5 AS DOUBLE)
+                        ELSE p_value * CAST(0.4 AS DOUBLE) END
+              ELSE p_value * CAST(0.2 AS DOUBLE) / (n_touch - 2) END AS share
+  FROM ranked
+)
+SELECT event_type AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CAST(FLOOR(share * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000 AS ushape_rev
+FROM shares GROUP BY event_type
+""".replace("ranked_src", "touches"),
+    category="events",
+    description=(
+        "Position-based (U-shape 40/20/40) multi-touch attribution "
+        "completing the first/last/linear family of events_attribution: "
+        "40 percent of each conversion's revenue to the first and last "
+        "touch, the middle 20 split evenly; degenerate paths (1 or 2 "
+        "touches) collapse to 100 or 50/50.  Same reverse-cumulative-sum "
+        "conversion assignment — one shuffle on user_id, no time-range "
+        "self-join; shares are per-row rational then fxp-summed at 1e4"
+    ),
+)
+def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shape weights are rational per row (the only divide is the middle
+    split), applied BEFORE fixed-point quantization so the cross-engine
+    sum is order-independent — the idiom events_attribution's linear
+    model established (see that query for the windowed group-assignment
+    plan shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+    wrev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = o.withColumn("grp", F.sum("is_p").over(wrev))
+    conv = g.where("is_p = 1").select(
+        "user_id", "grp", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    touches = (
+        g.where("is_p = 0")
+        .where(F.col("event_type").isin("click", "view"))
+        .join(conv, ["user_id", "grp"])
+        .where(
+            (F.col("ts") < F.col("p_ts"))
+            & (F.col("ts") + F.expr("INTERVAL 168 HOURS") > F.col("p_ts"))
+        )
+    )
+    wf = Window.partitionBy("user_id", "grp").orderBy("ts", "event_id")
+    wl = Window.partitionBy("user_id", "grp").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id", "grp")
+    ranked = touches.select(
+        "event_type",
+        "p_value",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+        F.count("*").over(wc).alias("n_touch"),
+    )
+    share = F.expr(
+        "CASE WHEN n_touch = 1 THEN p_value"
+        " WHEN rn_first = 1 OR rn_last = 1 THEN"
+        " CASE WHEN n_touch = 2 THEN p_value * CAST(0.5 AS DOUBLE)"
+        " ELSE p_value * CAST(0.4 AS DOUBLE) END"
+        " ELSE p_value * CAST(0.2 AS DOUBLE) / (n_touch - 2) END"
+    )
+    return (
+        ranked.select("event_type", share.alias("share"))
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            (
+                F.sum(F.floor(F.col("share") * 10000 + F.lit(0.5)).cast("bigint"))
+                .cast("double")
+                / 10000
+            ).alias("ushape_rev"),
+        )
+    )

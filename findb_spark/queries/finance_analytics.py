@@ -923,3 +923,90 @@ def ts_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(CAST(n_obs AS DOUBLE) / (datediff(d1, d0) + 1), 6)"
         ).alias("coverage"),
     )
+
+
+@register(
+    "ts_cusum_changepoint",
+    f"""
+WITH {_DAILY_CTE},
+{_RET_CTE},
+cs AS (
+  SELECT asset_id, date,
+         CAST(ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY date)
+              AS BIGINT) AS t,
+         CAST(SUM(ri) OVER (PARTITION BY asset_id ORDER BY date
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+         CAST(COUNT(*) OVER (PARTITION BY asset_id) AS BIGINT) AS n,
+         CAST(SUM(ri) OVER (PARTITION BY asset_id) AS BIGINT) AS s
+  FROM ri
+),
+dev AS (
+  SELECT asset_id, date, n,
+         ABS(n * c - t * s) AS d
+  FROM cs
+),
+top AS (
+  SELECT asset_id, date, n, d,
+         ROW_NUMBER() OVER (PARTITION BY asset_id
+                            ORDER BY d DESC, date) AS rn
+  FROM dev
+)
+SELECT asset_id, CAST(date AS BIGINT) AS cp_date,
+       CAST(d AS DOUBLE) / n / 10000 AS cusum_dev
+FROM top WHERE rn = 1
+""",
+    category="timeseries",
+    description=(
+        "CUSUM changepoint screen per asset: the date maximizing the "
+        "|deviation| of the cumulative return path from its straight-line "
+        "fit (n*cumsum_t - t*total, exact int64 throughout — the "
+        "mean-centered cumulative sum scaled by n to stay integer)"
+    ),
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection as window algebra: the classic CUSUM statistic
+    max_t |sum_{i<=t}(r_i - rbar)| multiplies through by n so every term
+    is an exact int64 (n*C_t - t*S); one shuffle on asset_id serves all
+    four windows plus the final argmax.  Bit-deterministic cross-engine:
+    only the final normalization divides."""
+    daily = _daily(spark, sf_dir)
+    wlag = Window.partitionBy("asset_id").orderBy("date")
+    ri = (
+        daily.select(
+            "asset_id",
+            "date",
+            (F.col("value") / F.lag("value").over(wlag) - 1).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+        .select(
+            "asset_id",
+            "date",
+            F.floor(F.col("r") * 10000 + F.lit(0.5)).cast("bigint").alias("ri"),
+        )
+    )
+    wrun = wlag.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("asset_id")
+    cs = ri.select(
+        "asset_id",
+        "date",
+        F.row_number().over(wlag).cast("bigint").alias("t"),
+        F.sum("ri").over(wrun).cast("bigint").alias("c"),
+        F.count("*").over(wall).cast("bigint").alias("n"),
+        F.sum("ri").over(wall).cast("bigint").alias("s"),
+    )
+    dev = cs.select(
+        "asset_id",
+        "date",
+        "n",
+        F.abs(F.col("n") * F.col("c") - F.col("t") * F.col("s")).alias("d"),
+    )
+    wtop = Window.partitionBy("asset_id").orderBy(F.col("d").desc(), "date")
+    return (
+        dev.withColumn("rn", F.row_number().over(wtop))
+        .where("rn = 1")
+        .select(
+            "asset_id",
+            F.col("date").cast("bigint").alias("cp_date"),
+            F.expr("CAST(d AS DOUBLE) / n / 10000").alias("cusum_dev"),
+        )
+    )

@@ -996,3 +996,97 @@ def roundtrip_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(codec).alias("codec"), "*")
         out = agg if out is None else out.unionAll(agg)
     return out
+
+
+@register(
+    "roundtrip_ivm_delta",
+    """
+WITH src AS (
+  SELECT o_orderkey AS k,
+         CAST(o_custkey % 10 AS BIGINT) AS band,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS month,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+finalstate AS (
+  SELECT k, band, month,
+         CASE WHEN k % 100 = 2 THEN (cents * 11) // 10 ELSE cents END AS cents
+  FROM src WHERE k % 100 != 1
+  UNION ALL
+  SELECT k + 10000000, band, month, cents + 5000 FROM src WHERE k % 100 = 3
+)
+SELECT band, month,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM finalstate GROUP BY band, month
+""",
+    category="roundtrip",
+    description=(
+        "Delta-arithmetic incremental view maintenance hard signal: a "
+        "(band, month) order aggregate is materialized, then a CDC batch "
+        "(deletes for key%100=1, a 10-percent price bump for key%100=2, "
+        "synthetic inserts for key%100=3) is applied as SIGNED "
+        "contribution rows merged into the stored aggregate — no source "
+        "re-scan — and the repaired table must equal the oracle's "
+        "from-scratch aggregate over the final state"
+    ),
+)
+def roundtrip_ivm_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta-repair half of the materialized-view pattern (the
+    partition-recompute half is roundtrip_incremental_bars): for
+    SUM/COUNT-decomposable aggregates the CDC batch alone repairs the
+    view in O(|delta| + touched groups) — at 100 TB the source table is
+    never re-read, and dynamic partition overwrite swaps only the months
+    the batch touches.  All measures live in exact integer cents (the
+    update is an integer 11x/10 bump), so delta merge and full rebuild
+    agree bit-for-bit."""
+    from findb_spark.ops.ivm import apply_agg_delta
+
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_custkey") % 10).cast("bigint").alias("band"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    path = _scratch(sf_dir, "ivm_delta_agg")
+    src.groupBy("band", "month").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    ).write.mode("overwrite").partitionBy("month").parquet(path)
+
+    deletes = src.where("k % 100 = 1").select(
+        "band",
+        "month",
+        F.lit(-1).cast("bigint").alias("n"),
+        (-F.col("cents")).alias("sum_cents"),
+    )
+    updates = src.where("k % 100 = 2").select(
+        "band",
+        "month",
+        F.lit(0).cast("bigint").alias("n"),
+        (F.expr("cents * 11 div 10") - F.col("cents")).alias("sum_cents"),
+    )
+    inserts = src.where("k % 100 = 3").select(
+        "band",
+        "month",
+        F.lit(1).cast("bigint").alias("n"),
+        (F.col("cents") + 5000).alias("sum_cents"),
+    )
+    delta = deletes.unionByName(updates).unionByName(inserts)
+    apply_agg_delta(
+        spark,
+        path,
+        delta,
+        keys=["band", "month"],
+        measures=["sum_cents"],
+        part_col="month",
+    )
+    agg = spark.read.parquet(path)
+    return agg.select(
+        "band", F.col("month").cast("int").alias("month"), "n", "sum_cents"
+    )

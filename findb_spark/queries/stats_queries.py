@@ -714,3 +714,319 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_scaled"
         ),
     )
+
+
+@register(
+    "stats_mannwhitney",
+    """
+WITH d AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 2 END AS grp,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS v
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+),
+vc AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+  FROM d GROUP BY v
+),
+rk AS (
+  SELECT v, t, t1,
+         CAST(2 * COALESCE(SUM(t) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + t + 1 AS BIGINT) AS rank2
+  FROM vc
+),
+agg AS (
+  SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+         CAST(SUM(t - t1) AS BIGINT) AS n2,
+         CAST(SUM(t1 * rank2) AS BIGINT) AS r1x2,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+  FROM rk
+)
+SELECT n1, n2,
+       CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+       (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 - CAST(n1 * n2 AS DOUBLE) / 2)
+         / SQRT(CAST(n1 * n2 AS DOUBLE) / 12
+                * (CAST(n1 + n2 + 1 AS DOUBLE)
+                   - CAST(tie_sum AS DOUBLE)
+                     / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))) AS z
+FROM agg
+""",
+    category="relational",
+    description=(
+        "Mann-Whitney U rank-sum test (returned vs accepted lineitem "
+        "quantities) with tie-averaged ranks and the tie-corrected normal "
+        "approximation: ranks are computed on the VALUE-GROUPED relation "
+        "(avg rank of a tie group = 2*prefix + t + 1 in half-units), so "
+        "the exact integer rank sum needs no global row sort"
+    ),
+)
+def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed rank test without ranking rows: group by value (the
+    quantity domain is bounded), take one ordered prefix-sum window over
+    that tiny value-level relation, and assemble the U statistic from
+    exact int64 sums — the row-level global sort a naive RANK() needs
+    never happens.  At 100 TB the wide work is one map-side-combinable
+    groupBy; the window touches |distinct values| rows.  All moments are
+    exact integers; the final divides + IEEE sqrt are bit-deterministic
+    cross-engine.  (int64 pre-flight: rank2 <= 2N+1, t1*rank2 summed is
+    < 2N^2 ~ 7e11 at sf0.1; tie_sum < N^3/|domain|^2 — fine at driver
+    scales, switch the two products to DECIMAL(38,0) beyond ~1e9 rows.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.where(F.col("l_returnflag").isin("R", "A")).select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(2).alias("grp"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    vc = d.groupBy("v").agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint").alias("t1"),
+    )
+    wpre = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    rk = vc.select(
+        "t",
+        "t1",
+        (
+            2 * F.coalesce(F.sum("t").over(wpre), F.lit(0)) + F.col("t") + 1
+        ).cast("bigint").alias("rank2"),
+    )
+    agg = rk.agg(
+        F.sum("t1").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("bigint").alias("n2"),
+        F.sum(F.col("t1") * F.col("rank2")).cast("bigint").alias("r1x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_sum"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.expr("CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2").alias("u1"),
+        F.expr(
+            "(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2"
+            " - CAST(n1 * n2 AS DOUBLE) / 2)"
+            " / SQRT(CAST(n1 * n2 AS DOUBLE) / 12"
+            " * (CAST(n1 + n2 + 1 AS DOUBLE)"
+            " - CAST(tie_sum AS DOUBLE)"
+            " / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))"
+        ).alias("z"),
+    )
+
+
+@register(
+    "stats_histogram_quantiles",
+    """
+WITH b AS (
+  SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bk,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY bk
+),
+cum AS (
+  SELECT bk, c,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY bk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cb
+  FROM b
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM b),
+qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q),
+tgt AS (
+  SELECT q, n, CAST(FLOOR(q * n) AS BIGINT) + 1 AS target
+  FROM qs CROSS JOIN tot
+)
+SELECT t.q, t.n, t.target,
+       (cum.bk + CAST(t.target - cum.cb AS DOUBLE) / cum.c) * 1000 AS est_q
+FROM tgt t JOIN cum ON cum.cb < t.target AND cum.cb + cum.c >= t.target
+""",
+    category="relational",
+    description=(
+        "Mergeable equi-width histogram quantile sketch over order totals "
+        "($1000 buckets): per-bucket counts combine map-side, one tiny "
+        "prefix-sum window over |buckets| rows, then rank interpolation "
+        "inside the covering bucket for q in {.25,.5,.75,.9,.99} — the "
+        "fixed-memory deterministic alternative to a global sort, and the "
+        "estimates themselves are oracle-certified"
+    ),
+)
+def stats_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles the 100 TB way: the only pass over the fact
+    table is a map-side-combinable groupBy into a bounded bucket grid
+    (equi-width histograms merge by cell addition — the same sketch
+    serves streaming accumulation and partial aggregation); the
+    prefix-sum window and the rank-interpolation join run on |buckets|
+    rows.  Deterministic by construction (no sampling, no GK/KLL
+    compaction nondeterminism), so the ESTIMATES are hash-comparable
+    cross-engine — unlike approx_percentile, whose merge order leaks into
+    the result."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.groupBy(
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("bk")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    wpre = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    cum = b.select(
+        "bk",
+        "c",
+        F.coalesce(F.sum("c").over(wpre), F.lit(0)).cast("bigint").alias("cb"),
+    )
+    tot = b.agg(F.sum("c").cast("bigint").alias("n"))
+    qs = spark.createDataFrame(
+        [(q,) for q in (0.25, 0.5, 0.75, 0.9, 0.99)], "q double"
+    )
+    tgt = qs.crossJoin(F.broadcast(tot)).select(
+        "q", "n", (F.floor(F.col("q") * F.col("n")).cast("bigint") + 1).alias("target")
+    )
+    return F.broadcast(tgt).join(
+        cum,
+        (F.col("cb") < F.col("target")) & (F.col("cb") + F.col("c") >= F.col("target")),
+    ).select(
+        "q",
+        "n",
+        "target",
+        (
+            (F.col("bk") + F.expr("CAST(target - cb AS DOUBLE) / c")) * 1000
+        ).alias("est_q"),
+    )
+
+
+@register(
+    "lineitem_transit_peak",
+    """
+WITH iv AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE) + CAST(1 + l_suppkey % 20 AS INTEGER) AS e
+  FROM lineitem
+),
+ev AS (
+  SELECT flag, s AS d, 1 AS delta FROM iv
+  UNION ALL
+  SELECT flag, e AS d, -1 AS delta FROM iv
+),
+agg AS (
+  SELECT flag, d, CAST(SUM(delta) AS BIGINT) AS net FROM ev GROUP BY flag, d
+),
+sweep AS (
+  SELECT flag, d,
+         CAST(SUM(net) OVER (PARTITION BY flag ORDER BY d
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+  FROM agg
+),
+r AS (SELECT *, MAX(conc) OVER (PARTITION BY flag) AS mx FROM sweep)
+SELECT flag, CAST(mx AS BIGINT) AS peak_concurrency,
+       CAST(MIN(d) AS VARCHAR) AS peak_day
+FROM r WHERE conc = mx GROUP BY flag, mx
+""",
+    category="relational",
+    description=(
+        "Sweep-line peak concurrency: each lineitem is in transit over "
+        "[shipdate, shipdate + 1 + suppkey%20 days); +1/-1 boundary "
+        "events, per-day net deltas, a running sum per return flag, and "
+        "the max + first day it is reached — interval overlap counting "
+        "in O(2 rows) per interval instead of O(days) explode"
+    ),
+)
+def lineitem_transit_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sweep-line alternative to interval decomposition
+    (orders_open_backlog explodes one row per covered day — right when
+    you need EVERY day's value; this shape answers extremal/threshold
+    questions in two rows per interval regardless of duration).  The
+    boundary union pre-aggregates to per-(group, day) net deltas before
+    the window, so the running sum touches |groups x distinct days| rows
+    — at 100 TB the cumulative window is range-partitioned per group on
+    a relation the size of the calendar, not the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            (1 + F.col("l_suppkey") % 20).cast("int"),
+        ).alias("e"),
+    )
+    ev = iv.select("flag", F.col("s").alias("d"), F.lit(1).alias("delta")).unionAll(
+        iv.select("flag", F.col("e").alias("d"), F.lit(-1).alias("delta"))
+    )
+    agg = ev.groupBy("flag", "d").agg(F.sum("delta").cast("bigint").alias("net"))
+    wrun = (
+        Window.partitionBy("flag")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sweep = agg.select(
+        "flag", "d", F.sum("net").over(wrun).cast("bigint").alias("conc")
+    )
+    r = sweep.withColumn("mx", F.max("conc").over(Window.partitionBy("flag")))
+    return (
+        r.where(F.col("conc") == F.col("mx"))
+        .groupBy("flag", "mx")
+        .agg(F.min("d").cast("string").alias("peak_day"))
+        .select(
+            "flag",
+            F.col("mx").cast("bigint").alias("peak_concurrency"),
+            "peak_day",
+        )
+    )
+
+
+@register(
+    "skew_salted_join",
+    """
+WITH big AS (
+  SELECT CASE WHEN l_partkey % 4 != 0 THEN 0
+              ELSE CAST(l_partkey % 50 AS BIGINT) END AS sk,
+         l_returnflag AS flag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+),
+dim AS (
+  SELECT CAST(unnest(range(50)) AS BIGINT) AS sk
+),
+dimw AS (SELECT sk, (sk * 7 + 3) % 11 + 1 AS weight FROM dim)
+SELECT flag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents * weight) AS BIGINT) AS sum_weighted
+FROM big JOIN dimw USING (sk)
+GROUP BY flag
+""",
+    category="relational",
+    description=(
+        "Salted skew join hard signal: ~75 percent of lineitem rows are "
+        "forced onto one hot key, the 50-row dim is replicated 8-fold, "
+        "and the big side scatters across replicas by a row-unique hash "
+        "— the salted shuffle join must be row-identical to the oracle's "
+        "plain join (salting is an equi-join refinement, not an "
+        "approximation)"
+    ),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB skew story made concrete: a single hot key would pin one
+    reducer at ~75 percent of the table; 8-way salting bounds any task at
+    ~1/8 of the hot key (scale the salt count with the observed skew
+    ratio — stats_key_skew is the profiling query that measures it).
+    AQE's sort-merge skew split is the zero-code alternative; salting
+    remains the portable fix for shuffle-hash joins, grouping keys, and
+    static plans.  This query puts plans/skew.py's operator (previously
+    pytest-only) under the driver's oracle gate — salting must be
+    row-identical to the plain join."""
+    from findb_spark.plans.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.select(
+        F.when(F.col("l_partkey") % 4 != 0, F.lit(0).cast("bigint"))
+        .otherwise((F.col("l_partkey") % 50).cast("bigint"))
+        .alias("sk"),
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("sk"),
+        ((F.col("id") * 7 + 3) % 11 + 1).alias("weight"),
+    )
+    j = salted_join(big, dim, "sk", salt=8)
+    return j.groupBy("flag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("cents") * F.col("weight")).cast("bigint").alias("sum_weighted"),
+    )

@@ -38,3 +38,55 @@ def test_incremental_update_matches_full_rebuild(spark, sf_dir, tmp_path):
     after = {r.month for r in got.select("month").distinct().collect()}
     assert before <= after
     prices.unpersist()
+
+
+def test_ivm_delta_semantics(spark, tmp_path):
+    """apply_agg_delta: inserts add, updates shift measures at count 0,
+    deletes retract, groups reaching n=0 vanish, untouched partitions
+    stay."""
+    from findb_spark.ops.ivm import apply_agg_delta
+
+    path = str(tmp_path / "agg")
+    base = spark.createDataFrame(
+        [(1, 10, 2, 100), (2, 10, 1, 50), (3, 20, 3, 300)],
+        "g int, p int, n bigint, s bigint",
+    )
+    base.write.mode("overwrite").partitionBy("p").parquet(path)
+
+    delta = spark.createDataFrame(
+        [
+            (1, 10, 1, 40),   # insert into existing group
+            (2, 10, -1, -50), # delete the whole group -> drops
+            (4, 10, 1, 7),    # insert a brand-new group
+            (1, 10, 0, 5),    # update: measure shift, no count change
+        ],
+        "g int, p int, n bigint, s bigint",
+    )
+    n_parts = apply_agg_delta(
+        spark, path, delta, keys=["g", "p"], measures=["s"], part_col="p"
+    )
+    assert n_parts == 1  # only partition p=10 touched
+
+    got = {
+        (r.g, r.p): (r.n, r.s)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, 10): (3, 145),
+        (4, 10): (1, 7),
+        (3, 20): (3, 300),  # untouched partition intact
+    }
+
+
+def test_ivm_empty_delta_noop(spark, tmp_path):
+    from findb_spark.ops.ivm import apply_agg_delta
+
+    path = str(tmp_path / "agg")
+    spark.createDataFrame(
+        [(1, 10, 2, 100)], "g int, p int, n bigint, s bigint"
+    ).write.mode("overwrite").partitionBy("p").parquet(path)
+    empty = spark.createDataFrame([], "g int, p int, n bigint, s bigint")
+    assert apply_agg_delta(
+        spark, path, empty, keys=["g", "p"], measures=["s"], part_col="p"
+    ) == 0
+    assert spark.read.parquet(path).count() == 1
