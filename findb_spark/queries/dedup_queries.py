@@ -1047,3 +1047,116 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from findb_spark.ops.dedup import cdc_chunk_stats
 
     return cdc_chunk_stats(load_table(spark, sf_dir, "documents"), gear_mod=16)
+
+
+@register(
+    "graph_clustering_coeff",
+    f"""
+WITH {_SH_CTE},
+{_SIGS_CTE},
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id
+),
+{_SIZES_CTE},
+inter AS (
+  SELECT doc1, doc2, COUNT(*) AS inter
+  FROM cand JOIN hh a ON doc1 = a.doc_id
+            JOIN hh b ON doc2 = b.doc_id AND a.h = b.h
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT doc1 AS a, doc2 AS b
+  FROM inter JOIN sizes sa ON doc1 = sa.doc_id JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+node_t AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+),
+cc AS (
+  SELECT deg.node, deg.d,
+         CASE WHEN deg.d >= 2
+              THEN CAST(2 * COALESCE(node_t.t, 0) AS DOUBLE)
+                   / (deg.d * (deg.d - 1))
+              ELSE CAST(0 AS DOUBLE) END AS coeff
+  FROM deg LEFT JOIN node_t ON deg.node = node_t.node
+)
+SELECT CAST(LEAST(FLOOR(coeff * 10), 9) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(CAST(FLOOR(coeff * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000 / COUNT(*) AS avg_coeff
+FROM cc GROUP BY bucket
+""",
+    category="dedup",
+    description=(
+        "Local clustering coefficient over the verified near-dup pair "
+        "graph, summarized as a 10-bucket histogram with per-bucket mean: "
+        "2*triangles(v)/(deg(v)*(deg(v)-1)) separates clique-like "
+        "template families (coeff ~1) from chain/star neighborhoods "
+        "(coeff ~0) that connected components cannot distinguish"
+    ),
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the degree-oriented triangle enumeration
+    (ops.graph.triangles_oriented — per-key fan-out bounded by oriented
+    out-degree) with the degree relation; the triangle SET is
+    orientation-independent, so node participation counts match the
+    oracle's id-ordered enumeration exactly.  Coefficients are a single
+    double divide over exact integer counts; histogram + fxp bucket
+    means keep the output bounded at any graph size."""
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.graph import triangles_oriented
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = minhash_lsh_pairs(docs, threshold=0.4).select(
+        F.col("doc1").alias("a"), F.col("doc2").alias("b")
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    tri = triangles_oriented(e)
+    node_t = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("t"))
+    )
+    cc = deg.join(node_t, "node", "left").select(
+        F.expr(
+            "CASE WHEN d >= 2"
+            " THEN CAST(2 * COALESCE(t, 0) AS DOUBLE) / (d * (d - 1))"
+            " ELSE CAST(0 AS DOUBLE) END"
+        ).alias("coeff")
+    )
+    return cc.groupBy(
+        F.least(F.floor(F.col("coeff") * 10), F.lit(9)).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        (
+            F.sum(F.floor(F.col("coeff") * 1000000 + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / 1000000
+            / F.count("*")
+        ).alias("avg_coeff"),
+    )

@@ -1010,3 +1010,128 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(d AS DOUBLE) / n / 10000").alias("cusum_dev"),
         )
     )
+
+
+@register(
+    "ts_momentum_backtest",
+    f"""
+WITH {_DAILY_CTE},
+mc AS (
+  SELECT asset_id, month, value FROM (
+    SELECT asset_id, CAST(date // 100 AS INT) AS month, date, value,
+           ROW_NUMBER() OVER (PARTITION BY asset_id, date // 100
+                              ORDER BY date DESC) AS rn
+    FROM daily) WHERE rn = 1
+),
+mr AS (
+  SELECT asset_id, month,
+         value / LAG(value) OVER (PARTITION BY asset_id ORDER BY month) - 1 AS r
+  FROM mc
+),
+mq AS (
+  SELECT asset_id, month,
+         CAST(FLOOR(r * 10000 + 0.5) AS BIGINT) AS mq,
+         LAG(CAST(FLOOR(r * 10000 + 0.5) AS BIGINT))
+           OVER (PARTITION BY asset_id ORDER BY month) AS sig
+  FROM mr WHERE r IS NOT NULL
+),
+sel AS (
+  SELECT month, mq FROM (
+    SELECT month, mq,
+           ROW_NUMBER() OVER (PARTITION BY month
+                              ORDER BY sig DESC, asset_id) AS rn
+    FROM mq WHERE sig IS NOT NULL
+  ) WHERE rn <= 10
+),
+port AS (
+  SELECT month, CAST(COUNT(*) AS BIGINT) AS n_sel,
+         CAST(SUM(mq) AS BIGINT) AS sum_mq
+  FROM sel GROUP BY month
+),
+pr AS (
+  SELECT month, n_sel,
+         CAST(sum_mq AS DOUBLE) / n_sel / 10000 AS port_ret,
+         CAST(FLOOR(CAST(sum_mq AS DOUBLE) / n_sel / 10000 * 1000000 + 0.5)
+              AS BIGINT) AS pri
+  FROM port
+)
+SELECT month, n_sel, port_ret,
+       CAST(CAST(SUM(pri) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS DOUBLE) / 1000000 AS cum_ret
+FROM pr
+""",
+    category="timeseries",
+    description=(
+        "Cross-sectional momentum backtest: each month, rank assets by "
+        "PREVIOUS month's return and hold the top 10 equal-weight; "
+        "output per-month portfolio return and the cumulative (additive) "
+        "return path.  Signal lag, ranking, selection, and compounding "
+        "are all window algebra over the monthly-close relation"
+    ),
+)
+def ts_momentum_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A full portfolio-simulation loop with zero driver iteration: the
+    signal (lagged monthly return), the ranking (per-month window), the
+    position set (rn <= 10), and the P&L path (running sum) compose into
+    one Catalyst plan with a single shuffle on asset_id plus one on
+    month.  Returns quantized at 1e-4, portfolio returns re-quantized at
+    1e-6 before the running sum, so the cumulative path is an exact
+    integer prefix sum cross-engine.  The final global window runs over
+    |months| rows."""
+    daily = _daily(spark, sf_dir)
+    wmc = Window.partitionBy("asset_id", F.expr("date div 100")).orderBy(
+        F.col("date").desc()
+    )
+    mc = (
+        daily.select(
+            "asset_id",
+            F.expr("CAST(date div 100 AS INT)").alias("month"),
+            "date",
+            "value",
+            F.row_number().over(wmc).alias("rn"),
+        )
+        .where("rn = 1")
+        .select("asset_id", "month", "value")
+    )
+    wm = Window.partitionBy("asset_id").orderBy("month")
+    mr = mc.select(
+        "asset_id",
+        "month",
+        (F.col("value") / F.lag("value").over(wm) - 1).alias("r"),
+    ).where(F.col("r").isNotNull())
+    mq = mr.select(
+        "asset_id",
+        "month",
+        F.floor(F.col("r") * 10000 + F.lit(0.5)).cast("bigint").alias("mq"),
+    ).withColumn(
+        "sig",
+        F.lag("mq").over(wm),
+    )
+    wsel = Window.partitionBy("month").orderBy(F.col("sig").desc(), "asset_id")
+    sel = (
+        mq.where(F.col("sig").isNotNull())
+        .withColumn("rn", F.row_number().over(wsel))
+        .where("rn <= 10")
+    )
+    port = sel.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("n_sel"),
+        F.sum("mq").cast("bigint").alias("sum_mq"),
+    )
+    pr = port.select(
+        "month",
+        "n_sel",
+        F.expr("CAST(sum_mq AS DOUBLE) / n_sel / 10000").alias("port_ret"),
+        F.expr(
+            "CAST(FLOOR(CAST(sum_mq AS DOUBLE) / n_sel / 10000 * 1000000 + 0.5)"
+            " AS BIGINT)"
+        ).alias("pri"),
+    )
+    wcum = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return pr.select(
+        "month",
+        "n_sel",
+        "port_ret",
+        (F.sum("pri").over(wcum).cast("bigint").cast("double") / 1000000).alias(
+            "cum_ret"
+        ),
+    )

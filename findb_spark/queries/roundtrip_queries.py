@@ -1090,3 +1090,103 @@ def roundtrip_ivm_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "band", F.col("month").cast("int").alias("month"), "n", "sum_cents"
     )
+
+
+def _stage_watermark_batches(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    """Stage the events table as a 3-file deterministic replay for the
+    watermark certification: file 0 = on-time rows (everything outside
+    the late chunk, INCLUDING the global max timestamp, so the committed
+    watermark jumps to max - delay), file 1 = an empty file (one no-data
+    microbatch — Spark's late-record filter uses the watermark committed
+    TWO batches back, the eviction watermark one batch back; the empty
+    batch aligns both at max - delay before the late data arrives),
+    file 2 = the late chunk [max-14d, max-1d).  File order is pinned by
+    explicit mtimes (FileStreamSource processes oldest-first).  Returns
+    (stream_dir, max_ts)."""
+    import glob
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]  # bounded: 1-row aggregate
+    mid = (F.col("ts") >= F.lit(mx) - F.expr("INTERVAL 14 DAYS")) & (
+        F.col("ts") < F.lit(mx) - F.expr("INTERVAL 1 DAYS")
+    )
+    stream_dir = _scratch(sf_dir, "wm_stream")
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir)
+    batches = [
+        ev.where(~mid),
+        spark.createDataFrame([], ev.schema),
+        ev.where(mid),
+    ]
+    for i, b in enumerate(batches):
+        stage = _scratch(sf_dir, f"wm_stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = os.path.join(stream_dir, f"batch{i}.parquet")
+        shutil.copy(glob.glob(stage + "/part-*.parquet")[0], dst)
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
+    return stream_dir, mx
+
+
+@register(
+    "roundtrip_stream_watermark",
+    """
+WITH mx AS (SELECT MAX(ts) AS m FROM events),
+p AS (SELECT m - INTERVAL 14 DAY AS s, m - INTERVAL 1 DAY AS t,
+             m - INTERVAL 10097 MINUTE AS wm FROM mx),
+e AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS b, event_type, ts
+      FROM events),
+ontime AS (
+  SELECT e.b, e.event_type FROM e CROSS JOIN p
+  WHERE NOT (e.ts >= p.s AND e.ts < p.t)
+),
+fin AS (
+  SELECT o.b, o.event_type FROM ontime o CROSS JOIN p
+  WHERE o.b + INTERVAL 1 HOUR <= p.wm
+)
+SELECT epoch_us(b) AS bucket_start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM fin GROUP BY 1, 2
+""",
+    category="roundtrip",
+    description=(
+        "Watermark LATE-DATA-DROP hard signal: events replayed as three "
+        "deterministic microbatches — on-time rows, an empty "
+        "watermark-alignment batch, then a 13-day-late chunk — through "
+        "an append-mode hourly aggregation with a ~7-day watermark; the "
+        "emitted (finalized) windows must contain EXACTLY the on-time "
+        "rows of windows closed by the watermark: late rows dropped, "
+        "open windows withheld, nothing double-counted"
+    ),
+)
+def roundtrip_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the three behaviors watermarks exist for, cross-engine:
+    (1) rows arriving after their window's state was finalized are
+    DROPPED (Spark's late-record filter lags the eviction watermark by
+    one batch — the staged empty batch makes the timing deterministic;
+    pinned empirically, see tests/test_streaming.py), (2) append mode
+    emits a window exactly once, when the watermark passes its end, and
+    (3) windows still open at stream end are withheld.  The oracle
+    reproduces the full semantic from the batch table: on-time rows
+    only, windows with end <= max(ts) - 10097 minutes only."""
+    stream_dir, _mx = _stage_watermark_batches(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(stream_dir, "batch0.parquet")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    agg = (
+        src.withWatermark("ts", "10097 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_start_us"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+    name = _replay_to_memory(agg, mode="append")
+    return spark.table(name)
