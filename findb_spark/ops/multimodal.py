@@ -335,3 +335,51 @@ def wav_frame_energies(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.mapInPandas(batches, schema=AUDIO_FRAMES_SCHEMA)
+
+
+#: long-format thumbnail cells: one row per (doc, out-row, out-col)
+THUMB_SCHEMA = "doc_id BIGINT, r INT, c INT, red INT, green INT, blue INT"
+
+
+def image_resize_thumbs(
+    with_payload: DataFrame, out_w: int = 4, out_h: int = 4
+) -> DataFrame:
+    """REAL image resize over decoded P6 PPM payloads: nearest-neighbor
+    downsample to (out_h, out_w) (floor index mapping, media_codec
+    .resize_nearest — the same mapping image_ahash uses for its 8x8
+    grid), emitted LONG (one row per output cell) so the thumbnail is a
+    relational object downstream operators can join/aggregate.
+
+    The integer-only pipeline keeps every output cell reproducible from
+    the closed-form pixel formula — the oracle for the registered query
+    recomputes the thumbnails without touching bytes.  At corpus scale
+    this is the standard decode->resize Arrow stage: one narrow
+    mapInPandas pass, out_h*out_w rows per image regardless of source
+    resolution."""
+    import numpy as np
+
+    from findb_spark.functions.media_codec import decode_ppm, resize_nearest
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_ppm(bytes(payload))
+                th = resize_nearest(px, out_w, out_h).astype(np.int64)
+                for r in range(out_h):
+                    for c in range(out_w):
+                        rows.append(
+                            (
+                                doc_id,
+                                r,
+                                c,
+                                int(th[r, c, 0]),
+                                int(th[r, c, 1]),
+                                int(th[r, c, 2]),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "r", "c", "red", "green", "blue"]
+            )
+
+    return with_payload.mapInPandas(batches, schema=THUMB_SCHEMA)

@@ -607,3 +607,46 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(s AS DOUBLE) / n_hours)"
         ).alias("fano_factor"),
     )
+
+
+@register(
+    "events_l28_histogram",
+    """
+WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS m FROM events),
+a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events CROSS JOIN mx
+  WHERE CAST(ts AS DATE) > m - 28
+),
+u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS active_days
+  FROM a GROUP BY user_id
+)
+SELECT active_days, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM u GROUP BY active_days
+""",
+    category="events",
+    description=(
+        "L28 engagement histogram: distribution of per-user active-day "
+        "counts over the trailing 28-day window (the standard "
+        "power-user curve / L-ness metric): distinct (user, day) "
+        "activity, per-user counts, bounded 28-bucket histogram"
+    ),
+)
+def events_l28_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on user_id after the distinct (which itself combines
+    map-side); the output is <= 28 rows at any event volume.  The date
+    window binds as a pushdown-friendly filter against the broadcast
+    1-row max-date aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("m"))
+    a = (
+        ev.crossJoin(F.broadcast(mx))
+        .where(F.to_date("ts") > F.date_sub(F.col("m"), 28))
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    u = a.groupBy("user_id").agg(F.count("*").cast("bigint").alias("active_days"))
+    return u.groupBy("active_days").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )

@@ -1135,3 +1135,116 @@ def ts_momentum_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_ret"
         ),
     )
+
+
+@register(
+    "ts_pairs_spread",
+    f"""
+WITH {_DAILY_CTE},
+j AS (
+  SELECT a.date,
+         CAST(FLOOR(a.value * 100 + 0.5) AS BIGINT) AS p1,
+         CAST(FLOOR(b.value * 100 + 0.5) AS BIGINT) AS p2
+  FROM daily a JOIN daily b ON a.date = b.date
+  WHERE a.asset_id = 1 AND b.asset_id = 2
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(p1) AS BIGINT) AS s1, CAST(SUM(p2) AS BIGINT) AS s2,
+         CAST(SUM(p1 * p2) AS BIGINT) AS s12,
+         CAST(SUM(p2 * p2) AS BIGINT) AS s22
+  FROM j
+),
+sp AS (
+  SELECT j.date,
+         CAST(g.n * g.s12 - g.s1 * g.s2 AS DOUBLE)
+           / CAST(g.n * g.s22 - g.s2 * g.s2 AS DOUBLE) AS beta,
+         j.p1, j.p2
+  FROM j CROSS JOIN g
+  WHERE g.n * g.s22 - g.s2 * g.s2 > 0
+),
+sq AS (
+  SELECT date, beta,
+         CAST(FLOOR(p1 - beta * p2 + 0.5) AS BIGINT) AS s
+  FROM sp
+),
+r AS (
+  SELECT date, beta, s,
+         CAST(ROW_NUMBER() OVER (ORDER BY date) AS BIGINT) AS rn,
+         CAST(SUM(s) OVER (ORDER BY date ROWS 29 PRECEDING) AS BIGINT) AS m,
+         CAST(SUM(s * s) OVER (ORDER BY date ROWS 29 PRECEDING) AS BIGINT) AS ss
+  FROM sq
+)
+SELECT CAST(date AS BIGINT) AS date, beta,
+       CAST(s AS DOUBLE) / 100 AS spread,
+       CAST(30 * s - m AS DOUBLE)
+         / SQRT(CAST(30 * ss - m * m AS DOUBLE) * 30 / 29) AS spread_z
+FROM r WHERE rn >= 30 AND 30 * ss - m * m > 0
+""",
+    category="timeseries",
+    description=(
+        "Pairs-trading spread monitor for assets 1 and 2: full-sample "
+        "OLS hedge ratio from exact integer moments, cents-quantized "
+        "spread p1 - beta*p2, and its trailing-30-day z-score — the "
+        "mean-reversion entry/exit signal, all moments exact int64 "
+        "window sums"
+    ),
+)
+def ts_pairs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-asset join is a date equi-join of two filtered scans of the
+    same daily relation (each side one asset's rows); the hedge ratio is
+    a 1-row broadcast aggregate; the z-score windows run ordered by date
+    over one series.  Every moment is an exact integer, the only doubles
+    are the final beta divide and z normalization (single IEEE op
+    sequences, bit-deterministic cross-engine)."""
+    daily = _daily(spark, sf_dir)
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    a = daily.where("asset_id = 1").select("date", cents("value").alias("p1"))
+    b = daily.where("asset_id = 2").select("date", cents("value").alias("p2"))
+    j = a.join(b, "date")
+    g = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("p1").cast("bigint").alias("s1"),
+        F.sum("p2").cast("bigint").alias("s2"),
+        F.sum(F.col("p1") * F.col("p2")).cast("bigint").alias("s12"),
+        F.sum(F.col("p2") * F.col("p2")).cast("bigint").alias("s22"),
+    )
+    sp = (
+        j.crossJoin(F.broadcast(g))
+        .where("n * s22 - s2 * s2 > 0")
+        .select(
+            "date",
+            F.expr(
+                "CAST(n * s12 - s1 * s2 AS DOUBLE)"
+                " / CAST(n * s22 - s2 * s2 AS DOUBLE)"
+            ).alias("beta"),
+            "p1",
+            "p2",
+        )
+    )
+    sq = sp.select(
+        "date",
+        "beta",
+        F.floor(F.col("p1") - F.col("beta") * F.col("p2") + F.lit(0.5))
+        .cast("bigint")
+        .alias("s"),
+    )
+    word = Window.orderBy("date")
+    wroll = word.rowsBetween(-29, 0)
+    r = sq.select(
+        "date",
+        "beta",
+        "s",
+        F.row_number().over(word).cast("bigint").alias("rn"),
+        F.sum("s").over(wroll).cast("bigint").alias("m"),
+        F.sum(F.col("s") * F.col("s")).over(wroll).cast("bigint").alias("ss"),
+    )
+    return r.where("rn >= 30 AND 30 * ss - m * m > 0").select(
+        F.col("date").cast("bigint").alias("date"),
+        "beta",
+        F.expr("CAST(s AS DOUBLE) / 100").alias("spread"),
+        F.expr(
+            "CAST(30 * s - m AS DOUBLE)"
+            " / SQRT(CAST(30 * ss - m * m AS DOUBLE) * 30 / 29)"
+        ).alias("spread_z"),
+    )

@@ -242,3 +242,38 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_peak_frame"),
     )
+
+
+@register(
+    "multimodal_image_resize",
+    """
+WITH d AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 5 AS BIGINT) AS w,
+         CAST(6 + doc_id % 4 AS BIGINT) AS h
+  FROM documents
+)
+SELECT d.doc_id, CAST(r.r AS INT) AS r, CAST(c.c AS INT) AS c,
+       CAST((d.doc_id * 31 + ((r.r * d.h) // 4) * 17
+             + ((c.c * d.w) // 4) * 13 + 0) % 256 AS INT) AS red,
+       CAST((d.doc_id * 31 + ((r.r * d.h) // 4) * 17
+             + ((c.c * d.w) // 4) * 13 + 7) % 256 AS INT) AS green,
+       CAST((d.doc_id * 31 + ((r.r * d.h) // 4) * 17
+             + ((c.c * d.w) // 4) * 13 + 14) % 256 AS INT) AS blue
+FROM d, range(0, 4) r(r), range(0, 4) c(c)
+""",
+    category="multimodal",
+    description=(
+        "REAL image resize: P6 PPM payloads decoded and nearest-neighbor "
+        "downsampled to 4x4 RGB thumbnails emitted long-format (one row "
+        "per cell) — the decode->resize Arrow stage of a multimodal "
+        "training pipeline; the oracle recomputes every cell from the "
+        "closed-form pixel formula, certifying the encode -> bytes -> "
+        "decode -> resize path end to end"
+    ),
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.multimodal import attach_ppm_payload, image_resize_thumbs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_resize_thumbs(attach_ppm_payload(docs))
