@@ -105,7 +105,130 @@ def workload(spark, sf_dir: str) -> dict[str, float]:
                 daily_series(prices, ASOF, max_asset=None)
             ).count()
         ),
+        # sweep-line peak concurrency: 2 boundary rows per interval, the
+        # cumulative window runs over |groups x distinct days| — must stay
+        # ~flat as rows replicate onto the same calendar
+        "sweep_transit_peak": timed(lambda: _sweep_peak_shape(li).count()),
+        # salted skew join: ~75% of rows forced onto one hot key, 8-way
+        # salt; wall must track data (the hot key spread over salt tasks)
+        "salted_skew_join": timed(lambda: _salted_skew_shape(spark, li).count()),
+        # value-grouped rank test: one map-side-combinable groupBy + a
+        # |distinct values| window — scan-bound by construction
+        "mannwhitney_rank": timed(lambda: _mannwhitney_shape(li).collect()),
+        # delta-arithmetic IVM: repair cost is O(|delta| + touched groups),
+        # measured as delta build + merge + partition overwrite
+        "ivm_delta_repair": timed(lambda: _ivm_shape(spark, li)),
     }
+
+
+def _sweep_peak_shape(li):
+    from pyspark.sql import Window
+
+    iv = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"), (1 + F.col("l_suppkey") % 20).cast("int")
+        ).alias("e"),
+    )
+    ev = iv.select("flag", F.col("s").alias("d"), F.lit(1).alias("delta")).unionAll(
+        iv.select("flag", F.col("e").alias("d"), F.lit(-1).alias("delta"))
+    )
+    agg = ev.groupBy("flag", "d").agg(F.sum("delta").alias("net"))
+    wrun = Window.partitionBy("flag").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = agg.select("flag", "d", F.sum("net").over(wrun).alias("conc"))
+    r = sweep.withColumn("mx", F.max("conc").over(Window.partitionBy("flag")))
+    return r.where("conc = mx").groupBy("flag", "mx").agg(F.min("d"))
+
+
+def _salted_skew_shape(spark, li):
+    from findb_spark.plans.skew import salted_join
+
+    big = li.select(
+        F.when(F.col("l_partkey") % 4 != 0, F.lit(0).cast("bigint"))
+        .otherwise((F.col("l_partkey") % 50).cast("bigint"))
+        .alias("sk"),
+        F.col("l_returnflag").alias("flag"),
+        "l_extendedprice",
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("sk"), ((F.col("id") * 7 + 3) % 11 + 1).alias("weight")
+    )
+    return (
+        salted_join(big, dim, "sk", salt=8)
+        .groupBy("flag")
+        .agg(F.count("*"), F.sum(F.col("l_extendedprice") * F.col("weight")))
+    )
+
+
+def _mannwhitney_shape(li):
+    from pyspark.sql import Window
+
+    d = li.where(F.col("l_returnflag").isin("R", "A")).select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(2).alias("grp"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    vc = d.groupBy("v").agg(
+        F.count("*").alias("t"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("t1"),
+    )
+    wpre = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    rk = vc.select(
+        "t",
+        "t1",
+        (2 * F.coalesce(F.sum("t").over(wpre), F.lit(0)) + F.col("t") + 1).alias(
+            "rank2"
+        ),
+    )
+    return rk.agg(
+        F.sum("t1"), F.sum(F.col("t1") * F.col("rank2")), F.sum("t")
+    )
+
+
+def _ivm_shape(spark, li):
+    """Build a (band, month) aggregate from lineitem, then repair it from a
+    signed CDC delta (deletes/updates/inserts keyed off l_orderkey)."""
+    from findb_spark.ops.ivm import apply_agg_delta
+
+    src = li.select(
+        F.col("l_orderkey").alias("k"),
+        (F.col("l_partkey") % 10).cast("bigint").alias("band"),
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("int").alias(
+            "month"
+        ),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    path = f"{WORK}/ivm_agg.parquet"
+    src.groupBy("band", "month").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    ).write.mode("overwrite").partitionBy("month").parquet(path)
+    delta = (
+        src.where("k % 100 = 1")
+        .select(
+            "band",
+            "month",
+            F.lit(-1).cast("bigint").alias("n"),
+            (-F.col("cents")).alias("sum_cents"),
+        )
+        .unionByName(
+            src.where("k % 100 = 3").select(
+                "band",
+                "month",
+                F.lit(1).cast("bigint").alias("n"),
+                (F.col("cents") + 5000).alias("sum_cents"),
+            )
+        )
+    )
+    apply_agg_delta(
+        spark, path, delta, keys=["band", "month"], measures=["sum_cents"],
+        part_col="month",
+    )
+    spark.read.parquet(path).count()
 
 
 def _rolling_beta_shape(daily):
