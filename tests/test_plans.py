@@ -345,3 +345,60 @@ def test_new_sketch_and_audit_plans_stay_linear(spark):
         assert scans <= n_scans, f"{name}: {scans} scans (pinned {n_scans})"
         bnlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", p, flags=re.M))
         assert bnlj <= (1 if name == "vec_cluster_silhouette" else 0), name
+
+
+def test_salted_join_keeps_salt_in_join_keys(spark):
+    """skew_salted_join's contract: the salt column participates in the
+    equi-join keys (so a hot key's rows spread across salt buckets when
+    the join shuffles).  At fixture scale Catalyst rightly BROADCASTS
+    the 400-row exploded dim — the optimal plan, salting inert but
+    harmless; on a dim too big to broadcast the same code becomes the
+    salted shuffle join.  What must never regress: the salt in the keys
+    and no cartesian."""
+    p = _plan(spark, "skew_salted_join")
+    assert "_salt" in p
+    assert "Join" in p
+    assert "CartesianProduct" not in p
+
+
+def test_sweep_line_preaggregates_before_window(spark):
+    """lineitem_transit_peak: the running sum must consume the per-(flag,
+    day) NET deltas (a bounded relation), not raw boundary rows — one
+    partial-aggregatable groupBy between the union and the window."""
+    p = _plan(spark, "lineitem_transit_peak")
+    assert "HashAggregate" in p
+    assert "Window" in p
+    # no join anywhere: sweep is union + agg + window
+    assert "Join" not in p
+
+
+def test_mannwhitney_no_global_row_sort(spark):
+    """stats_mannwhitney ranks on the value-grouped relation: the plan
+    must not globally sort fact rows (no Exchange rangepartitioning of
+    the lineitem scan before an aggregate)."""
+    p = _plan(spark, "stats_mannwhitney")
+    # fact rows reach a partial-aggregatable groupBy; the prefix-sum
+    # window runs on the value-level relation (a SinglePartition
+    # exchange of ~|distinct quantities| rows) — a global row sort would
+    # show up as a rangepartitioning exchange of the scan
+    assert "Exchange rangepartitioning" not in p
+    assert "HashAggregate" in p
+
+
+def test_histogram_quantiles_broadcasts_targets(spark):
+    """stats_histogram_quantiles: the rank-interpolation join is a
+    broadcast of the 5-row target relation against the bucket grid —
+    never a shuffle of anything fact-sized."""
+    p = _plan(spark, "stats_histogram_quantiles")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_momentum_backtest_single_asset_shuffle(spark):
+    """ts_momentum_backtest: asset-partitioned windows reuse one shuffle;
+    selection/portfolio stages run on the months-sized relation."""
+    p = _plan(spark, "ts_momentum_backtest")
+    assert "Window" in p
+    # monthly close -> signal lag share the asset_id partitioning: at
+    # most one exchange on asset_id-containing keys plus the small
+    # month-level exchanges
+    assert p.count("Exchange hashpartitioning(asset_id") <= 2
