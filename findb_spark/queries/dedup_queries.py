@@ -1160,3 +1160,116 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("avg_coeff"),
     )
+
+
+@register(
+    "graph_source_modularity",
+    f"""
+WITH {_SH_CTE},
+{_SIGS_CTE},
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id
+),
+{_SIZES_CTE},
+inter AS (
+  SELECT doc1, doc2, COUNT(*) AS inter
+  FROM cand JOIN hh a ON doc1 = a.doc_id
+            JOIN hh b ON doc2 = b.doc_id AND a.h = b.h
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT doc1 AS a, doc2 AS b
+  FROM inter JOIN sizes sa ON doc1 = sa.doc_id JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+),
+es AS (
+  SELECT da.source AS sa, db.source AS sb
+  FROM e JOIN documents da ON e.a = da.doc_id
+         JOIN documents db ON e.b = db.doc_id
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM es),
+intra AS (
+  SELECT sa AS source, CAST(COUNT(*) AS BIGINT) AS intra_edges
+  FROM es WHERE sa = sb GROUP BY sa
+),
+degs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS degree_sum FROM (
+    SELECT sa AS source FROM es UNION ALL SELECT sb FROM es
+  ) GROUP BY source
+),
+per AS (
+  SELECT d.source, COALESCE(i.intra_edges, 0) AS intra_edges, d.degree_sum
+  FROM degs d LEFT JOIN intra i ON d.source = i.source
+),
+q AS (
+  SELECT CAST(SUM(4 * m.m * per.intra_edges
+               - per.degree_sum * per.degree_sum) AS BIGINT) AS qnum,
+         MAX(m.m) AS m
+  FROM per CROSS JOIN m
+)
+SELECT per.source, per.intra_edges, per.degree_sum,
+       CAST(q.qnum AS DOUBLE) / (4 * q.m * q.m) AS q_modularity
+FROM per CROSS JOIN q
+""",
+    category="dedup",
+    description=(
+        "Newman modularity of the near-dup pair graph against the doc "
+        "SOURCE partition: per-source intra-edge counts and degree sums "
+        "plus the global Q = sum(e_s/m - (D_s/2m)^2) — answers 'do "
+        "near-duplicates concentrate within sources?' in one exact "
+        "integer statistic (Q ~ 0: duplication is cross-source "
+        "contamination; Q near 1: per-source template families)"
+    ),
+)
+def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity without communities-by-search: the partition is a doc
+    ATTRIBUTE, so Q needs only the verified pair relation joined twice
+    to the source map, one union for degrees, and exact int64 sums —
+    Q's numerator sum(4*m*e_s - D_s^2) stays integer, the single final
+    divide is the only float op.  Complements dedup_cross_source (which
+    lists the offending pairs) with the canonical summary statistic."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    e = (
+        minhash_lsh_pairs(docs, threshold=0.4)
+        .select("doc1", "doc2")
+        .join(src.withColumnRenamed("doc_id", "doc1").withColumnRenamed("source", "sa"), "doc1")
+        .join(src.withColumnRenamed("doc_id", "doc2").withColumnRenamed("source", "sb"), "doc2")
+    )
+    m = e.agg(F.count("*").cast("bigint").alias("m"))
+    intra = (
+        e.where("sa = sb")
+        .groupBy(F.col("sa").alias("source"))
+        .agg(F.count("*").cast("bigint").alias("intra_edges"))
+    )
+    degs = (
+        e.select(F.col("sa").alias("source"))
+        .unionAll(e.select(F.col("sb").alias("source")))
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("degree_sum"))
+    )
+    per = degs.join(intra, "source", "left").select(
+        "source",
+        F.coalesce(F.col("intra_edges"), F.lit(0)).cast("bigint").alias("intra_edges"),
+        "degree_sum",
+    )
+    q = per.crossJoin(F.broadcast(m)).agg(
+        F.sum(
+            4 * F.col("m") * F.col("intra_edges")
+            - F.col("degree_sum") * F.col("degree_sum")
+        )
+        .cast("bigint")
+        .alias("qnum"),
+        F.max("m").alias("m"),
+    )
+    return per.crossJoin(F.broadcast(q)).select(
+        "source",
+        "intra_edges",
+        "degree_sum",
+        F.expr("CAST(qnum AS DOUBLE) / (4 * m * m)").alias("q_modularity"),
+    )
