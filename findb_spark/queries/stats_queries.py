@@ -1030,3 +1030,95 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("cents") * F.col("weight")).cast("bigint").alias("sum_weighted"),
     )
+
+
+@register(
+    "part_supplier_hhi",
+    """
+WITH q AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+t AS (
+  SELECT l_partkey,
+         CAST(SUM(qty) AS BIGINT) AS q_tot,
+         CAST(SUM(qty * qty) AS BIGINT) AS q_sq,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM q GROUP BY l_partkey
+),
+h AS (
+  SELECT l_partkey, n_suppliers, q_tot,
+         CAST(q_sq AS DOUBLE) / (q_tot * q_tot) * 10000 AS hhi
+  FROM t WHERE q_tot > 0
+)
+SELECT l_partkey, n_suppliers, q_tot, hhi
+FROM h ORDER BY hhi DESC, l_partkey LIMIT 20
+""",
+    category="relational",
+    description=(
+        "Supplier-concentration Herfindahl index per part (procurement "
+        "risk screen): HHI = 10000 * sum(share^2) from exact integer "
+        "quantity moments (sum of squares over total squared — no "
+        "per-share divides), top-20 most concentrated parts with "
+        "deterministic ties"
+    ),
+)
+def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two map-side-combinable aggregates (supplier-level then "
+    "part-level) and a bounded top-k — the concentration metric never "
+    "materializes per-share ratios, so everything before the final "
+    "divide is exact int64."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("qty")
+    )
+    t = q.groupBy("l_partkey").agg(
+        F.sum("qty").cast("bigint").alias("q_tot"),
+        F.sum(F.col("qty") * F.col("qty")).cast("bigint").alias("q_sq"),
+        F.count("*").cast("bigint").alias("n_suppliers"),
+    )
+    h = t.where("q_tot > 0").select(
+        "l_partkey",
+        "n_suppliers",
+        "q_tot",
+        F.expr("CAST(q_sq AS DOUBLE) / (q_tot * q_tot) * 10000").alias("hhi"),
+    )
+    return h.orderBy(F.desc("hhi"), "l_partkey").limit(20)
+
+
+@register(
+    "dq_duplicate_orders",
+    """
+WITH k AS (
+  SELECT o_custkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+  FROM orders GROUP BY o_custkey, cents
+)
+SELECT o_custkey, cents, n, first_key
+FROM k WHERE n >= 2
+""",
+    category="quality",
+    description=(
+        "Duplicate-invoice detection (the classic billing DQ rule): "
+        "orders sharing (customer, exact cent amount) grouped and "
+        "flagged — a plain hash groupBy that scales to any order volume, "
+        "emitting each suspect group with its size and earliest order key"
+    ),
+)
+def dq_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = o.groupBy(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        ),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("o_orderkey").cast("bigint").alias("first_key"),
+    )
+    return k.where("n >= 2")

@@ -924,3 +924,81 @@ def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "round int, merge_left string, merge_right string, pair_weight bigint"
     )
+
+
+@register(
+    "text_readability_ari",
+    """
+WITH per AS (
+  SELECT doc_id,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(string_split(text, ' '), w -> w != ''))
+              AS BIGINT) AS n_words,
+         CAST(GREATEST(len(list_filter(string_split(text, '. '), s -> s != '')),
+                       1) AS BIGINT) AS n_sents
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, n_chars, n_words, n_sents,
+         CAST(4.71 AS DOUBLE) * (CAST(n_chars AS DOUBLE) / n_words)
+           + CAST(0.5 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sents)
+           - CAST(21.43 AS DOUBLE) AS ari
+  FROM per WHERE n_words > 0
+)
+SELECT CAST(LEAST(GREATEST(FLOOR(ari), -4), 30) AS BIGINT) AS ari_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS sum_words,
+       CAST(SUM(CAST(FLOOR(ari * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000 / COUNT(*) AS avg_ari
+FROM sc GROUP BY ari_band
+""",
+    category="text",
+    description=(
+        "Automated Readability Index per doc, banded: ARI = "
+        "4.71*(chars/words) + 0.5*(words/sentences) - 21.43 from exact "
+        "char/word/sentence counts (whitespace words, '. ' sentence "
+        "splits) — the classic rational-arithmetic quality score "
+        "(grade-level screen) used in corpus filtering, with per-band "
+        "doc counts and fxp mean"
+    ),
+)
+def text_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring stays entirely in codegen: counts are integer,
+    the score is three shared float literals and two divides per row
+    (bit-deterministic), the output is a bounded band histogram.  One
+    scan, one map-side-combinable aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias("n_chars"),
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast(
+            "bigint"
+        ).alias("n_words"),
+        F.greatest(
+            F.size(F.filter(F.split("text", "\\. "), lambda s: s != "")), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("n_sents"),
+    )
+    sc = per.where("n_words > 0").select(
+        "n_words",
+        F.expr(
+            "CAST(4.71 AS DOUBLE) * (CAST(n_chars AS DOUBLE) / n_words)"
+            " + CAST(0.5 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sents)"
+            " - CAST(21.43 AS DOUBLE)"
+        ).alias("ari"),
+    )
+    return sc.groupBy(
+        F.least(F.greatest(F.floor("ari"), F.lit(-4)), F.lit(30))
+        .cast("bigint")
+        .alias("ari_band")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("sum_words"),
+        (
+            F.sum(F.floor(F.col("ari") * 10000 + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / 10000
+            / F.count("*")
+        ).alias("avg_ari"),
+    )
