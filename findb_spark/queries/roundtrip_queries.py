@@ -1190,3 +1190,55 @@ def roundtrip_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _replay_to_memory(agg, mode="append")
     return spark.table(name)
+
+
+@register(
+    "roundtrip_vacuum_retention",
+    """
+SELECT CAST(2 AS BIGINT) AS n_versions_alive,
+       CAST(1 AS BIGINT) AS n_expired,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+""",
+    category="roundtrip",
+    description=(
+        "Version-retention (vacuum) hard signal: three committed table "
+        "versions, vacuum keep_last=2 — the manifest must stop resolving "
+        "the expired version BEFORE its bytes disappear, retained "
+        "versions stay readable, and the surviving latest version must "
+        "aggregate identically to the oracle over the full source"
+    ),
+)
+def roundtrip_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage-lifecycle half of the versioning layer (write/time
+    travel are certified by roundtrip_time_travel): vacuum's atomic
+    manifest-first contract, exercised end to end and reduced to an
+    oracle-checkable aggregate."""
+    import shutil
+
+    from findb_spark.versioning import (
+        list_versions,
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    table = _scratch(sf_dir, "vacuum_table")
+    shutil.rmtree(table, ignore_errors=True)
+    write_version(o.where(F.col("o_orderkey") % 3 == 0), table)
+    write_version(o.where(F.col("o_orderkey") % 3 <= 1), table)
+    write_version(o, table)
+    expired = vacuum(table, keep_last=2)
+    alive = list_versions(table)
+    latest = read_version(spark, table)
+    return latest.agg(
+        F.lit(len(alive)).cast("bigint").alias("n_versions_alive"),
+        F.lit(len(expired)).cast("bigint").alias("n_expired"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )

@@ -69,3 +69,35 @@ def read_version(
     if v not in versions:
         raise KeyError(f"version {v} not in {sorted(versions)}")
     return spark.read.parquet(versions[v])
+
+
+def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Expire all but the newest ``keep_last`` versions: the manifest is
+    atomically rewritten FIRST (so readers stop resolving the expired
+    versions before any bytes disappear), then the orphaned ``v{N}``
+    directories are removed.  Returns the expired version numbers.
+
+    The order matters for the same reason streaming snapshot reads gate
+    on _SUCCESS: a reader holding the old manifest may still be scanning
+    an expired directory, so production deployments put a grace period
+    between the manifest rewrite and the directory removal (the
+    lakehouse-format vacuum contract); at library scope the two steps
+    run back-to-back and tests pin the visible semantics — retained
+    versions stay readable, expired versions raise KeyError."""
+    import shutil
+
+    versions = list_versions(table_dir)
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    keep = sorted(versions)[-keep_last:]
+    expired = [v for v in sorted(versions) if v not in keep]
+    if not expired:
+        return []
+    kept = {v: versions[v] for v in keep}
+    tmp = _manifest_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"versions": {str(k): p for k, p in kept.items()}}, f)
+    os.replace(tmp, _manifest_path(table_dir))
+    for v in expired:
+        shutil.rmtree(versions[v], ignore_errors=True)
+    return expired

@@ -96,3 +96,36 @@ def test_kcore_fixed_rounds_reach_fixpoint(spark, sf_dir):
     assert e.count() == extra.count()
     got = {(r.a, r.b) for r in e.collect()}
     assert got == {(r.a, r.b) for r in extra.collect()}
+
+
+def test_vacuum_expires_old_versions(spark, tmp_path):
+    from findb_spark.versioning import (
+        list_versions,
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    table = str(tmp_path / "t")
+    for i in range(1, 5):
+        write_version(
+            spark.createDataFrame([(i, i * 10)], "k int, v int"), table
+        )
+    assert sorted(list_versions(table)) == [1, 2, 3, 4]
+
+    expired = vacuum(table, keep_last=2)
+    assert expired == [1, 2]
+    assert sorted(list_versions(table)) == [3, 4]
+    # retained versions stay readable (latest + explicit)
+    assert read_version(spark, table).collect()[0].k == 4
+    assert read_version(spark, table, version=3).collect()[0].k == 3
+    # expired version resolution fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        read_version(spark, table, version=1)
+    # vacuum is idempotent
+    assert vacuum(table, keep_last=2) == []
+    # new writes continue the version sequence (no number reuse)
+    v = write_version(spark.createDataFrame([(5, 50)], "k int, v int"), table)
+    assert v == 5
