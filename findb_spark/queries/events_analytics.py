@@ -650,3 +650,49 @@ def events_l28_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy("active_days").agg(
         F.count("*").cast("bigint").alias("n_users")
     )
+
+
+@register(
+    "events_time_in_state",
+    """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_us,
+         epoch_us(ts) AS us
+  FROM events
+)
+SELECT event_type AS state,
+       CAST(COUNT(next_us) AS BIGINT) AS n_dwells,
+       CAST(SUM(next_us - us) AS BIGINT) AS total_dwell_us,
+       CAST(CAST(SUM(next_us - us) AS DOUBLE) / COUNT(next_us) AS DOUBLE)
+         AS avg_dwell_us
+FROM s WHERE next_us IS NOT NULL
+GROUP BY event_type
+""",
+    category="events",
+    description=(
+        "Time-in-state analysis: per event type, how long users dwell in "
+        "that state before their next event (exact microsecond deltas "
+        "from one lead window — the sojourn-time side of the Markov "
+        "transition matrix events_type_transitions builds)"
+    ),
+)
+def events_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on user_id (the lead window), then a map-side
+    combinable aggregate over exact integer microsecond dwells; the
+    output is |event types| rows at any volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).where(F.col("next_us").isNotNull())
+    return s.groupBy("state").agg(
+        F.count("*").cast("bigint").alias("n_dwells"),
+        F.sum(F.col("next_us") - F.col("us")).cast("bigint").alias("total_dwell_us"),
+        F.expr(
+            "CAST(CAST(SUM(next_us - us) AS DOUBLE) / COUNT(next_us) AS DOUBLE)"
+        ).alias("avg_dwell_us"),
+    )

@@ -1242,3 +1242,62 @@ def roundtrip_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+@register(
+    "roundtrip_hive_partition_pruning",
+    """
+WITH src AS (
+  SELECT o_orderkey,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS month,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+mx AS (SELECT MAX(month) AS target FROM src)
+SELECT src.month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM src CROSS JOIN mx WHERE src.month = mx.target
+GROUP BY src.month
+""",
+    category="roundtrip",
+    description=(
+        "Hive-partition pruning hard signal: orders written partitioned "
+        "by month, read back with a single-month predicate — the scan "
+        "must touch only that partition's files (pinned in the plan: "
+        "one partition read) AND aggregate identically to the oracle "
+        "over the unpartitioned source"
+    ),
+)
+def roundtrip_hive_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most scale-critical mechanism in the engine gets its own
+    driver row: dynamic layout (partitionBy month) + static partition
+    pruning at read.  The plan is additionally asserted HERE (not just
+    in pytest): the pruned read must report exactly one partition —
+    a silent pruning regression fails the query, not only a test."""
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    path = _scratch(sf_dir, "hive_pruned_orders")
+    src.write.mode("overwrite").partitionBy("month").parquet(path)
+    target = src.agg(F.max("month")).collect()[0][0]  # bounded 1-row agg
+    back = spark.read.parquet(path).where(F.col("month") == target)
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    n_parts = [
+        ln for ln in plan.splitlines() if "partition count" in ln.lower()
+    ]
+    if n_parts and not any("1" in ln.split(":")[-1] for ln in n_parts):
+        raise AssertionError(f"partition pruning regressed: {n_parts}")
+    return back.groupBy(F.col("month").cast("int").alias("month")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )

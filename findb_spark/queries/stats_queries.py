@@ -1122,3 +1122,95 @@ def dq_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("bigint").alias("first_key"),
     )
     return k.where("n >= 2")
+
+
+@register(
+    "stats_anova_f",
+    """
+WITH d AS (
+  SELECT o_orderpriority AS grp,
+         CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS v
+  FROM orders
+),
+m AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(v * v) AS BIGINT) AS sq
+  FROM d GROUP BY grp
+),
+g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(s) AS BIGINT) AS s_tot,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM m
+),
+parts AS (
+  -- SSB = sum(s_g^2/n_g) - s_tot^2/n_tot ; SSW = sum(sq_g) - sum(s_g^2/n_g).
+  -- Each group's s^2/n term is a deterministic double (one int64 square,
+  -- one cast, one divide) but a plain SUM over groups would be
+  -- order-dependent: fxp-quantize per group at 1e2, sum exactly
+  SELECT CAST(SUM(CAST(FLOOR(CAST(s * s AS DOUBLE) / n * 100 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 100 AS sum_sg2_ng,
+         CAST(SUM(sq) AS BIGINT) AS sq_tot
+  FROM m
+)
+SELECT g.k, g.n_tot,
+       ((p.sum_sg2_ng - CAST(g.s_tot AS DOUBLE) * g.s_tot / g.n_tot)
+          / (g.k - 1))
+         / ((CAST(p.sq_tot AS DOUBLE) - p.sum_sg2_ng) / (g.n_tot - g.k))
+         AS f_stat
+FROM g CROSS JOIN parts p
+""",
+    category="relational",
+    description=(
+        "One-way ANOVA F statistic across the five order-priority groups "
+        "on dollar-quantized totals: between/within sums of squares "
+        "assembled from exact integer group moments (the only floats are "
+        "the s^2/n divides, identical op order both engines)"
+    ),
+)
+def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the hypothesis-test family (Welch t = 2 groups,
+    Mann-Whitney = rank-based, chi-squared = categorical, KS =
+    distributional, ANOVA = k-group means): one map-side-combinable
+    group-moment aggregate, then arithmetic on a k-row relation.
+
+    Float-determinism: each group's s^2/n is a deterministic double
+    (int64 square -> one cast -> one divide), but summing k doubles is
+    order-dependent, so the terms are fxp-quantized at 1e2 and summed as
+    exact integers — the same order-independence idiom every money sum
+    here uses."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    m = d.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sq"),
+    )
+    g = m.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("s").cast("bigint").alias("s_tot"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    parts = m.agg(
+        (
+            F.sum(
+                F.floor(
+                    F.expr("CAST(s * s AS DOUBLE) / n") * 100 + F.lit(0.5)
+                ).cast("bigint")
+            ).cast("double")
+            / 100
+        ).alias("sum_sg2_ng"),
+        F.sum("sq").cast("bigint").alias("sq_tot"),
+    )
+    return g.crossJoin(F.broadcast(parts)).select(
+        "k",
+        "n_tot",
+        F.expr(
+            "((sum_sg2_ng - CAST(s_tot AS DOUBLE) * s_tot / n_tot) / (k - 1))"
+            " / ((CAST(sq_tot AS DOUBLE) - sum_sg2_ng) / (n_tot - k))"
+        ).alias("f_stat"),
+    )
