@@ -26,6 +26,7 @@ def interval_join(
     end_col: str,
     bin_days: int = 92,
     broadcast_intervals: bool | None = None,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Join point rows (``point_col``: DateType) to interval rows
     (``[start_col, end_col)`` DateType, end exclusive) via day-binned
@@ -59,8 +60,12 @@ def interval_join(
         ib = F.broadcast(ib)
     elif broadcast_intervals is False:
         ib = ib.hint("shuffle_hash")
+    # optional equi-keys (``by``) join WITH the bin, so e.g. a per-asset
+    # validity-interval probe shuffles on (asset, bin) and never fans out
+    # across unrelated keys sharing a calendar bin
+    keys = (by or []) + ["_bin"]
     return (
-        pb.join(ib, "_bin")
+        pb.join(ib, keys)
         .where(
             (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
         )

@@ -316,3 +316,106 @@ def q_scd2_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to_ts"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+
+@register(
+    "pit_feature_join",
+    f"""
+WITH {PRICES_ORACLE_CTE},
+daily AS (
+  SELECT asset_id, date, value FROM (
+    SELECT asset_id, date, value,
+           ROW_NUMBER() OVER (PARTITION BY asset_id, date
+                              ORDER BY ts DESC, value DESC) AS rn
+    FROM prices_v WHERE ts <= {ASOF_2000} AND asset_id <= 50)
+  WHERE rn = 1
+),
+iv AS (
+  SELECT asset_id, value,
+         CAST(strptime(CAST(date AS VARCHAR), '%Y%m%d') AS DATE) AS d0,
+         LEAD(date) OVER (PARTITION BY asset_id ORDER BY date) AS nd
+  FROM daily
+),
+iv2 AS (
+  SELECT asset_id, value, d0,
+         CASE WHEN nd IS NULL THEN d0 + 1
+              ELSE CAST(strptime(CAST(nd AS VARCHAR), '%Y%m%d') AS DATE)
+         END AS d1
+  FROM iv
+),
+probe AS (
+  SELECT l_partkey AS asset_id,
+         CAST(l_shipdate AS DATE) AS d,
+         l_returnflag AS flag,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
+  FROM lineitem WHERE l_partkey <= 50
+)
+SELECT p.flag,
+       CAST(COUNT(*) AS BIGINT) AS n_joined,
+       CAST(SUM(CAST(FLOOR(iv2.value * p.qty * 100 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100 AS sum_feature_qty
+FROM probe p JOIN iv2
+  ON p.asset_id = iv2.asset_id AND p.d >= iv2.d0 AND p.d < iv2.d1
+GROUP BY p.flag
+""",
+    category="asof",
+    description=(
+        "Point-in-time feature-store join (the ML-training enrichment "
+        "that prevents temporal leakage): every lineitem row gets the "
+        "feature value whose validity interval [observed_date, "
+        "next_observed_date) contains its ship date — per-asset SCD2 "
+        "intervals probed via a KEYED day-binned interval equi-join "
+        "(ops/interval.py by=[asset_id]), never a raw range join"
+    ),
+)
+def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interval twin of the as-of family: asof_join answers 'latest
+    value <= t' with union+last_value per probe; this materializes
+    validity INTERVALS once (the feature-store snapshot layout) and
+    probes them with an (asset, day-bin) equi-join + exact containment
+    filter — the right shape when one snapshot serves many training
+    runs.  Both sides shuffle once on (asset, bin); a hot calendar bin
+    cannot fan out across assets because the key is in the join."""
+    from pyspark.sql import Window
+
+    from findb_spark.ops.finance import daily_series
+    from findb_spark.ops.interval import interval_join
+    from findb_spark.session import load_table
+
+    daily = daily_series(
+        prices_from_lineitem(spark, sf_dir), ASOF_2000, max_asset=50
+    )
+    wd = Window.partitionBy("asset_id").orderBy("date")
+    iv = daily.select(
+        "asset_id",
+        "value",
+        F.to_date(F.col("date").cast("string"), "yyyyMMdd").alias("d0"),
+        F.lead("date").over(wd).alias("nd"),
+    ).select(
+        "asset_id",
+        "value",
+        "d0",
+        F.when(F.col("nd").isNull(), F.date_add(F.col("d0"), 1))
+        .otherwise(F.to_date(F.col("nd").cast("string"), "yyyyMMdd"))
+        .alias("d1"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    probe = li.where(F.col("l_partkey") <= 50).select(
+        F.col("l_partkey").alias("asset_id"),
+        F.col("l_shipdate").cast("date").alias("d"),
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("qty"),
+    )
+    j = interval_join(probe, iv, "d", "d0", "d1", by=["asset_id"])
+    return j.groupBy("flag").agg(
+        F.count("*").cast("bigint").alias("n_joined"),
+        (
+            F.sum(
+                F.floor(F.col("value") * F.col("qty") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).cast("double")
+            / 100
+        ).alias("sum_feature_qty"),
+    )

@@ -1273,3 +1273,84 @@ def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree_sum",
         F.expr("CAST(qnum AS DOUBLE) / (4 * m * m)").alias("q_modularity"),
     )
+
+
+@register(
+    "dedup_split_leakage",
+    f"""
+WITH {_SH_CTE},
+{_SIGS_CTE},
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id
+),
+{_SIZES_CTE},
+inter AS (
+  SELECT doc1, doc2, COUNT(*) AS inter
+  FROM cand JOIN hh a ON doc1 = a.doc_id
+            JOIN hh b ON doc2 = b.doc_id AND a.h = b.h
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT doc1, doc2
+  FROM inter JOIN sizes sa ON doc1 = sa.doc_id JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.4
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {hash48_duck('text')} % 10 < 8 THEN 'train' ELSE 'eval' END
+           AS split
+  FROM documents
+)
+SELECT CASE WHEN s1.split = s2.split THEN s1.split
+            ELSE 'leak' END AS pair_class,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM e JOIN sp s1 ON e.doc1 = s1.doc_id
+       JOIN sp s2 ON e.doc2 = s2.doc_id
+GROUP BY pair_class
+""",
+    category="dedup",
+    description=(
+        "Train/eval split-leakage audit: the deterministic hash split "
+        "(text_hash_split's gate) crossed with LSH-verified near-dup "
+        "pairs — pairs straddling the split boundary ('leak') are "
+        "eval-set contamination that inflates benchmark scores; the "
+        "counts quantify it before training ever starts"
+    ),
+)
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QA gate every pretraining pipeline needs between dedup and
+    split: near-dup detection (banded LSH, exact Jaccard verify) and
+    split assignment (pushdown-friendly hash gate) compose into one
+    3-row answer — train-train / eval-eval / LEAK pair counts.  The fix
+    for leaks is split-by-cluster (dedup_clusters' component id as the
+    split key), which this audit then verifies as leak-free."""
+    from pyspark.sql import functions as F
+
+    from findb_spark.functions.hashing import hash48
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = minhash_lsh_pairs(docs, threshold=0.4).select("doc1", "doc2")
+    sp = docs.select(
+        "doc_id",
+        F.when(hash48(F.col("text")) % 10 < 8, "train")
+        .otherwise("eval")
+        .alias("split"),
+    )
+    j = (
+        e.join(
+            sp.select(F.col("doc_id").alias("doc1"), F.col("split").alias("s1")),
+            "doc1",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc2"), F.col("split").alias("s2")),
+            "doc2",
+        )
+    )
+    return j.groupBy(
+        F.when(F.col("s1") == F.col("s2"), F.col("s1"))
+        .otherwise("leak")
+        .alias("pair_class")
+    ).agg(F.count("*").cast("bigint").alias("n_pairs"))
