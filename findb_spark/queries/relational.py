@@ -1497,3 +1497,60 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "p1", "p2")
         .limit(20)
     )
+
+
+@register(
+    "orders_seasonal_naive_mae",
+    """
+WITH m AS (
+  SELECT o_orderpriority AS prio,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS month,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY prio, month
+),
+f AS (
+  SELECT prio, month, n,
+         LAG(n, 12) OVER (PARTITION BY prio ORDER BY month) AS forecast
+  FROM m
+)
+SELECT prio,
+       CAST(COUNT(*) AS BIGINT) AS n_scored_months,
+       CAST(SUM(ABS(n - forecast)) AS BIGINT) AS sum_abs_err,
+       CAST(CAST(SUM(ABS(n - forecast)) AS DOUBLE) / COUNT(*) AS DOUBLE)
+         AS mae
+FROM f WHERE forecast IS NOT NULL
+GROUP BY prio
+""",
+    category="relational",
+    description=(
+        "Seasonal-naive forecast backtest: predict each month's order "
+        "count per priority as the same month last year (LAG 12 over the "
+        "monthly grid), score with exact-integer mean absolute error — "
+        "the baseline every demand-forecasting pipeline must beat, "
+        "evaluated entirely in window algebra"
+    ),
+)
+def orders_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast evaluation as relational algebra: the monthly aggregate is
+    a map-side-combinable groupBy (bounded grid), the forecast a LAG-12
+    window over |priorities| tiny partitions, the error exact int64."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("prio").orderBy("month")
+    f = m.withColumn("forecast", F.lag("n", 12).over(w)).where(
+        F.col("forecast").isNotNull()
+    )
+    return f.groupBy("prio").agg(
+        F.count("*").cast("bigint").alias("n_scored_months"),
+        F.sum(F.abs(F.col("n") - F.col("forecast")))
+        .cast("bigint")
+        .alias("sum_abs_err"),
+        F.expr(
+            "CAST(CAST(SUM(ABS(n - forecast)) AS DOUBLE) / COUNT(*) AS DOUBLE)"
+        ).alias("mae"),
+    )

@@ -1301,3 +1301,69 @@ def roundtrip_hive_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
     )
+
+
+@register(
+    "roundtrip_stream_stateful",
+    """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY prev, event_type
+""",
+    category="roundtrip",
+    description=(
+        "Custom-stateful-operator hard signal: the applyInPandasWithState "
+        "per-user transition stream replayed as two time-ordered "
+        "microbatches — O(1) state (last event type) must recover every "
+        "cross-batch edge, and the summed per-batch delta counts must "
+        "equal the batch lag-window Markov matrix exactly"
+    ),
+)
+def roundtrip_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Puts the engine's applyInPandasWithState extension point under the
+    driver's oracle gate (previously pytest-only): the time-split staging
+    preserves global event order across batches, so the stateful
+    incremental computation must reproduce the batch answer bit-for-bit
+    — the stream==batch contract for stateful operators."""
+    import glob
+    import shutil
+
+    from findb_spark.streaming.events_stream import user_transition_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    mid = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).select(
+        (F.col("lo") + (F.col("hi") - F.col("lo")) / 2).alias("m")
+    ).collect()[0]["m"]
+    stream_dir = _scratch(sf_dir, "stateful_stream")
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.makedirs(stream_dir)
+    for i, b in ((0, ev.where(F.col("ts") < F.lit(mid))),
+                 (1, ev.where(F.col("ts") >= F.lit(mid)))):
+        stage = _scratch(sf_dir, f"stateful_stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = os.path.join(stream_dir, f"batch{i}.parquet")
+        shutil.copy(glob.glob(stage + "/part-*.parquet")[0], dst)
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
+    schema = spark.read.parquet(os.path.join(stream_dir, "batch0.parquet")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    name = _replay_to_memory(user_transition_stream(src), mode="update")
+    return (
+        spark.table(name)
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
