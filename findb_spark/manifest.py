@@ -177,3 +177,117 @@ def files_selected(
     builder as pruned_read, so the count can never disagree with what it
     actually opens)."""
     return manifest.where(_overlap_cond(ranges)).count()
+
+
+# --- per-file Bloom filters: point-lookup skipping on UNSORTED columns ----
+#
+# Min/max stats prune range predicates on clustered dimensions; they are
+# useless for an equality probe on a column whose values scatter across
+# every file (each file's [min, max] spans the domain). Lakehouse formats
+# answer this with per-file Bloom filters (Parquet's own column blooms,
+# Delta's bloom index); this is that mechanism at manifest granularity:
+# k hash-derived bit positions per value, one bitset per file, a probe
+# reads only files whose bitset claims the value. False positives cost an
+# extra file open (the exact residual filter keeps correctness); false
+# negatives are impossible.
+
+BLOOM_BITS = 1 << 20  # 1M bits = 16k int64 words per file (~128 KB)
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(value, bits: int = BLOOM_BITS, k: int = BLOOM_HASHES):
+    """The k bit positions for a value — hashlib-based, so build (executor
+    Python) and probe (driver Python) always agree; only internal
+    consistency matters, nothing here must match a SQL engine."""
+    import hashlib
+
+    return [
+        int.from_bytes(
+            hashlib.md5(f"{value}:{i}".encode()).digest()[:8], "little"
+        )
+        % bits
+        for i in range(k)
+    ]
+
+
+def build_bloom_manifest(
+    spark: SparkSession, path: str, col: str, bits: int = BLOOM_BITS
+) -> DataFrame:
+    """Per-file Bloom bitsets over ``col``: one distributed pass that reads
+    ONLY that column's pages per file (the price of a value index — still
+    no full-row materialization). Returns (file, num_rows, words:
+    array<bigint> of bits/64 words)."""
+
+    def harvest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        nwords = bits // 64
+        for b in batches:
+            rows = []
+            for f in b["file"]:
+                t = pq.read_table(f, columns=[col])
+                words = [0] * nwords
+                vals = t.column(col).to_pylist()
+                for v in set(vals):
+                    for p in _bloom_positions(v, bits):
+                        words[p // 64] |= 1 << (p % 64)
+                # int64 domain: keep the sign bit arithmetic exact by
+                # wrapping to signed 64-bit
+                words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+                rows.append([f, len(vals), words])
+            yield pd.DataFrame(rows, columns=["file", "num_rows", "words"])
+
+    files = [_local(f) for f in spark.read.parquet(path).inputFiles()]
+    paths = spark.createDataFrame([(f,) for f in files], "file string")
+    n_tasks = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    return paths.repartition(n_tasks).mapInPandas(
+        harvest, "file string, num_rows bigint, words array<bigint>"
+    )
+
+
+def _bloom_hit_cond(value, bits: int = BLOOM_BITS):
+    """Manifest predicate: every one of the value's k bit positions set."""
+    cond = F.lit(True)
+    for p in _bloom_positions(value, bits):
+        word, bit = p // 64, p % 64
+        cond = cond & (
+            F.expr(f"(element_at(words, {word + 1}) >> {bit}) & 1") == 1
+        )
+    return cond
+
+
+def bloom_files_selected(manifest: DataFrame, value, bits: int = BLOOM_BITS) -> int:
+    """How many files a bloom probe for ``value`` would open."""
+    return manifest.where(_bloom_hit_cond(value, bits)).count()
+
+
+def bloom_pruned_read(
+    spark: SparkSession,
+    manifest: DataFrame,
+    col: str,
+    value,
+    bits: int = BLOOM_BITS,
+    base_path: str | None = None,
+) -> DataFrame:
+    """Point-lookup read through the Bloom manifest: open only files whose
+    bitset claims ``value``, then re-apply the exact equality (false
+    positives are filtered, never returned)."""
+
+    def _read(*fs: str) -> DataFrame:
+        r = spark.read
+        if base_path is not None:
+            r = r.option("basePath", base_path)
+        return r.parquet(*fs)
+
+    files = [
+        r.file
+        for r in manifest.where(_bloom_hit_cond(value, bits)).select("file").collect()
+    ]
+    if not files:
+        any_file = manifest.select("file").limit(1).collect()
+        if not any_file:
+            raise ValueError("empty manifest")
+        out = _read(any_file[0].file).limit(0)
+    else:
+        out = _read(*files)
+    return out.where(F.col(col) == F.lit(value))

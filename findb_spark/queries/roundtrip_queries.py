@@ -1367,3 +1367,65 @@ def roundtrip_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", "next_type")
         .agg(F.sum("n").cast("bigint").alias("n"))
     )
+
+
+@register(
+    "roundtrip_bloom_manifest",
+    """
+WITH mx AS (SELECT MAX(l_orderkey) AS target FROM lineitem)
+SELECT l_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM lineitem CROSS JOIN mx WHERE l_orderkey = mx.target
+GROUP BY l_orderkey
+""",
+    category="roundtrip",
+    description=(
+        "Bloom-manifest point-lookup hard signal: lineitem laid out in 8 "
+        "date-clustered files (orderkeys scatter across all of them, so "
+        "min/max stats cannot prune), a per-file Bloom bitset built over "
+        "l_orderkey, and a point lookup that must open FEWER than half "
+        "the files (asserted in-query) while aggregating identically to "
+        "the oracle's full-table predicate"
+    ),
+)
+def roundtrip_bloom_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the manifest's index story (O5): min/max stats are the
+    range index (roundtrip_manifest_pruned_read), Bloom bitsets are the
+    point-lookup index for columns the layout does NOT cluster — the
+    two mechanisms every lakehouse format pairs.  False positives only
+    cost an extra file open; the exact residual filter keeps the result
+    independent of bloom sizing."""
+    import shutil
+
+    from findb_spark.manifest import (
+        bloom_files_selected,
+        bloom_pruned_read,
+        build_bloom_manifest,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = _scratch(sf_dir, "bloom_lineitem")
+    shutil.rmtree(path, ignore_errors=True)
+    li.select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    ).repartitionByRange(8, "l_shipdate").write.mode("overwrite").parquet(path)
+
+    manifest = build_bloom_manifest(spark, path, "l_orderkey").localCheckpoint(
+        eager=True
+    )
+    target = li.agg(F.max("l_orderkey")).collect()[0][0]  # bounded 1-row agg
+    n_total = manifest.count()
+    n_sel = bloom_files_selected(manifest, target)
+    if n_sel > n_total / 2:
+        raise AssertionError(
+            f"bloom pruning regressed: {n_sel}/{n_total} files selected"
+        )
+    back = bloom_pruned_read(spark, manifest, "l_orderkey", target)
+    return back.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )

@@ -76,3 +76,34 @@ def test_scan_metrics_private_api_pinned(spark):
         )
     assert n == 7
     assert isinstance(cls, str) and kids >= 0
+
+
+def test_bloom_manifest_prunes_and_never_false_negatives(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from findb_spark.manifest import (
+        bloom_files_selected,
+        bloom_pruned_read,
+        build_bloom_manifest,
+    )
+    from findb_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    path = str(tmp_path / "bloomtab")
+    li.repartitionByRange(8, "l_shipdate").write.mode("overwrite").parquet(path)
+    m = build_bloom_manifest(spark, path, "l_orderkey").localCheckpoint(eager=True)
+    total = m.count()
+    assert total >= 8
+
+    # present key: must be found, and with far fewer file opens
+    key = li.agg(F.max("l_orderkey")).collect()[0][0]
+    want = li.where(F.col("l_orderkey") == key).count()
+    got = bloom_pruned_read(spark, m, "l_orderkey", key).count()
+    assert got == want and want > 0
+    assert bloom_files_selected(m, key) <= total / 2
+
+    # absent key: zero rows regardless of bloom false positives
+    absent = key + 10_000_019
+    assert bloom_pruned_read(spark, m, "l_orderkey", absent).count() == 0
