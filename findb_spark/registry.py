@@ -55,20 +55,26 @@ _SPECS: dict[str, QuerySpec] = {}
 #: registration.
 #:
 #: ROUND-6 ROTATION PLAN (build _CHECK_FIRST from this when round 5's
-#: correctness lands): 52 queries registered past the round-5 window await
-#: first driver rows — the 31 listed in SURVEY's round-5 status plus the 21
+#: correctness lands): 60 queries registered past the round-5 window await
+#: first driver rows — the 31 listed in SURVEY's round-5 status plus the 29
 #: round-5-continuation additions (stats_mannwhitney,
-#: stats_histogram_quantiles, lineitem_transit_peak, ts_cusum_changepoint,
-#: events_attribution_ushape, roundtrip_ivm_delta, skew_salted_join,
+#: stats_histogram_quantiles, lineitem_transit_peak, skew_salted_join,
+#: ts_cusum_changepoint, events_attribution_ushape, roundtrip_ivm_delta,
 #: graph_clustering_coeff, ts_momentum_backtest, roundtrip_stream_watermark,
 #: multimodal_image_resize, events_l28_histogram, ts_pairs_spread,
 #: graph_source_modularity, text_bpe_train_rounds, text_readability_ari,
-#: part_supplier_hhi, dq_duplicate_orders + any later ones).  That exceeds
-#: one 50-slot window: round 6 should take the 31 + the most load-bearing
-#: 19 of the continuation set (prioritize the certifications that gate new
-#: ENGINE mechanisms: roundtrip_ivm_delta, roundtrip_stream_watermark,
-#: skew_salted_join, text_bpe_train_rounds, multimodal_image_resize), and
-#: roll the remainder + headline re-confirmations to round 7.
+#: part_supplier_hhi, dq_duplicate_orders, stats_anova_f,
+#: events_time_in_state, roundtrip_hive_partition_pruning,
+#: roundtrip_vacuum_retention, pit_feature_join, dedup_split_leakage,
+#: roundtrip_stream_stateful, orders_seasonal_naive_mae,
+#: roundtrip_bloom_manifest — all pre-validated at sf0.001 AND sf0.01 this
+#: session, with the whole registry additionally re-verified at sf0.01).
+#: That exceeds one 50-slot window: round 6 should take the 31 + the 19
+#: continuation entries that gate new ENGINE mechanisms (the 8 roundtrips
+#: incl. ivm/watermark/stateful/bloom/vacuum/pruning, skew_salted_join,
+#: text_bpe_train_rounds, pit_feature_join, multimodal_image_resize,
+#: dedup_split_leakage first), and roll the remainder + headline
+#: re-confirmations to round 7.
 #:
 #: ROUND-5 ROTATION: CORRECTNESS_r04 landed 50/50 green, so every query
 #: registered before round 5 carries a driver hard-signal row EXCEPT the 5
