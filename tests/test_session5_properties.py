@@ -139,3 +139,54 @@ def test_ivm_delta_matches_recompute(spark, tmp_path_factory, base, extra, drops
         sums[(k, k % 2)] += v
     want = {kk: (final[kk], sums[kk]) for kk in final}
     assert got == want
+
+
+KEYED_POINTS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 400)), min_size=1, max_size=40
+)
+KEYED_IVS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 400), st.integers(1, 60)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@pytest.mark.slow
+@SLOW
+@given(pts=KEYED_POINTS, ivs=KEYED_IVS)
+def test_keyed_interval_join_matches_model(spark, pts, ivs):
+    """interval_join(by=[key]) must equal the brute-force containment +
+    key-equality join regardless of bin boundaries (points/intervals
+    straddling bin edges are the regression risk)."""
+    import datetime
+
+    from findb_spark.ops.interval import interval_join
+
+    base = datetime.date(1995, 1, 1)
+    pdf = spark.createDataFrame(
+        [(k, base + datetime.timedelta(days=d)) for k, d in pts],
+        "k int, d date",
+    )
+    idf = spark.createDataFrame(
+        [
+            (
+                k,
+                base + datetime.timedelta(days=s),
+                base + datetime.timedelta(days=s + ln),
+                k * 1000 + s,
+            )
+            for k, s, ln in ivs
+        ],
+        "k int, d0 date, d1 date, payload int",
+    )
+    got = sorted(
+        (r.k, r.d, r.payload)
+        for r in interval_join(pdf, idf, "d", "d0", "d1", by=["k"]).collect()
+    )
+    want = sorted(
+        (k, base + datetime.timedelta(days=d), ik * 1000 + s)
+        for k, d in pts
+        for ik, s, ln in ivs
+        if ik == k and s <= d < s + ln
+    )
+    assert got == want
