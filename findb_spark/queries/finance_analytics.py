@@ -1248,3 +1248,75 @@ def ts_pairs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / SQRT(CAST(30 * ss - m * m AS DOUBLE) * 30 / 29)"
         ).alias("spread_z"),
     )
+
+
+@register(
+    "ts_cvar_expected_shortfall",
+    f"""
+WITH {_DAILY_CTE},
+{_RET_CTE},
+rk AS (
+  SELECT asset_id, ri,
+         CAST(ROW_NUMBER() OVER (PARTITION BY asset_id
+                                 ORDER BY ri, date) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY asset_id) AS BIGINT) AS n
+  FROM ri
+)
+SELECT asset_id, n,
+       CAST((n + 19) // 20 AS BIGINT) AS k_tail,
+       CAST(SUM(CASE WHEN rn <= (n + 19) // 20 THEN ri ELSE 0 END) AS DOUBLE)
+         / ((n + 19) // 20) / 10000 AS cvar_5pct
+FROM rk
+GROUP BY asset_id, n HAVING n >= 30
+""",
+    category="timeseries",
+    description=(
+        "Conditional VaR / expected shortfall at 5 percent per asset: the "
+        "mean of the worst ceil(n/20) daily returns (discrete tail "
+        "definition — integer ceil (n+19)//20, deterministic rank ties "
+        "by date) — completes ts_var_historic with the coherent risk "
+        "measure Basel committees actually require; exact int64 tail "
+        "sums, one divide at the end"
+    ),
+)
+def ts_cvar_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CVaR needs the tail SET, not just the cutoff — a per-asset rank
+    window (one shuffle, deterministic (ri, date) ties) plus a
+    conditional exact-integer sum.  The integer ceil (n+19) div 20
+    avoids the 0.05*n double-boundary trap (0.05 is not binary-exact;
+    ceil(0.05*2500) evaluates to 126, not 125)."""
+    daily = _daily(spark, sf_dir)
+    wlag = Window.partitionBy("asset_id").orderBy("date")
+    ri = (
+        daily.select(
+            "asset_id",
+            "date",
+            (F.col("value") / F.lag("value").over(wlag) - 1).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+        .select(
+            "asset_id",
+            "date",
+            F.floor(F.col("r") * 10000 + F.lit(0.5)).cast("bigint").alias("ri"),
+        )
+    )
+    wrk = Window.partitionBy("asset_id").orderBy("ri", "date")
+    wn = Window.partitionBy("asset_id")
+    rk = ri.select(
+        "asset_id",
+        "ri",
+        F.row_number().over(wrk).cast("bigint").alias("rn"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    return (
+        rk.groupBy("asset_id", "n")
+        .agg(
+            F.expr("CAST((n + 19) div 20 AS BIGINT)").alias("k_tail"),
+            F.expr(
+                "CAST(SUM(CASE WHEN rn <= (n + 19) div 20 THEN ri ELSE 0 END)"
+                " AS DOUBLE) / ((n + 19) div 20) / 10000"
+            ).alias("cvar_5pct"),
+        )
+        .where("n >= 30")
+        .select("asset_id", "n", "k_tail", "cvar_5pct")
+    )

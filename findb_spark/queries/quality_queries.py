@@ -302,3 +302,143 @@ def pii_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_below_k10"
         ),
     )
+
+
+@register(
+    "pii_tcloseness",
+    """
+WITH qi AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(FLOOR(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0)
+              AS BIGINT) AS band
+  FROM customer
+),
+cells AS (
+  SELECT nat, seg, band, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM qi GROUP BY nat, seg, band
+),
+classes AS (SELECT nat, seg, CAST(SUM(cnt) AS BIGINT) AS nc
+            FROM cells GROUP BY nat, seg),
+bands AS (SELECT DISTINCT band FROM cells),
+gl AS (SELECT band, CAST(SUM(cnt) AS BIGINT) AS gq FROM cells GROUP BY band),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS ng,
+               CAST(COUNT(DISTINCT band) AS BIGINT) AS m
+        FROM cells),
+grid AS (
+  SELECT c.nat, c.seg, c.nc, b.band, COALESCE(x.cnt, 0) AS cnt
+  FROM classes c CROSS JOIN bands b
+  LEFT JOIN cells x ON x.nat = c.nat AND x.seg = c.seg AND x.band = b.band
+),
+cums AS (
+  SELECT g.nat, g.seg, g.nc, g.band,
+         CAST(SUM(g.cnt) OVER (PARTITION BY g.nat, g.seg ORDER BY g.band
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccum,
+         CAST(SUM(gl.gq) OVER (PARTITION BY g.nat, g.seg ORDER BY g.band
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gcum
+  FROM grid g JOIN gl ON g.band = gl.band
+),
+terms AS (
+  SELECT c.nat, c.seg, c.nc,
+         CAST(FLOOR(ABS(CAST(c.ccum AS DOUBLE) / c.nc
+                        - CAST(c.gcum AS DOUBLE) / t.ng)
+                    * 1000000000 + 0.5) AS BIGINT) AS tq
+  FROM cums c CROSS JOIN tot t
+  WHERE c.band < (SELECT MAX(band) FROM bands)
+),
+tc AS (
+  SELECT terms.nat, terms.seg, terms.nc,
+         CAST(SUM(tq) AS DOUBLE) / 1000000000 / (t.m - 1) AS t_closeness
+  FROM terms CROSS JOIN tot t
+  GROUP BY terms.nat, terms.seg, terms.nc, t.m
+)
+SELECT nat, seg, nc, t_closeness FROM tc
+ORDER BY t_closeness DESC, nat, seg LIMIT 10
+""",
+    category="quality",
+    description=(
+        "t-closeness audit (Li ICDE'07), completing the k-anonymity / "
+        "l-diversity privacy triad: per (nation, segment) equivalence "
+        "class, the ordered-attribute Earth Mover's Distance between the "
+        "class's balance-band distribution and the global one — "
+        "EMD = mean |cumulative difference| over the band axis, every "
+        "term an exact rational fxp'd before the sum; top-10 most "
+        "skewed classes (the ones leaking attribute information)"
+    ),
+)
+def pii_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grid is |classes| x |bands| (bounded by the attribute domains,
+    never by row count), the cumulative windows run per class over the
+    ordered band axis, and the fact table is touched exactly once by the
+    cell aggregate — the same single-scan discipline as pii_kanonymity."""
+    customer = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    band = F.floor(cents / F.lit(100000.0)).cast("bigint")
+    qi = customer.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        band.alias("band"),
+    )
+    cells = qi.groupBy("nat", "seg", "band").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    classes = cells.groupBy("nat", "seg").agg(
+        F.sum("cnt").cast("bigint").alias("nc")
+    )
+    bands = cells.select("band").distinct()
+    gl = cells.groupBy("band").agg(F.sum("cnt").cast("bigint").alias("gq"))
+    tot = cells.agg(
+        F.sum("cnt").cast("bigint").alias("ng"),
+        F.countDistinct("band").cast("bigint").alias("m"),
+    )
+    bmax = bands.agg(F.max("band").alias("bmax"))
+    grid = (
+        classes.crossJoin(F.broadcast(bands))
+        .join(cells, ["nat", "seg", "band"], "left")
+        .select(
+            "nat", "seg", "nc", "band", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("nat", "seg")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = grid.join(F.broadcast(gl), "band").select(
+        "nat",
+        "seg",
+        "nc",
+        "band",
+        F.sum("cnt").over(wcum).cast("bigint").alias("ccum"),
+        F.sum("gq").over(wcum).cast("bigint").alias("gcum"),
+    )
+    terms = (
+        cums.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(bmax))
+        .where(F.col("band") < F.col("bmax"))
+        .select(
+            "nat",
+            "seg",
+            "nc",
+            "m",
+            F.floor(
+                F.abs(
+                    F.expr("CAST(ccum AS DOUBLE) / nc - CAST(gcum AS DOUBLE) / ng")
+                )
+                * 1000000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("tq"),
+        )
+    )
+    tc = terms.groupBy("nat", "seg", "nc", "m").agg(
+        (F.sum("tq").cast("double") / 1000000000 / (F.col("m").cast("double") - 1))
+        .alias("t_closeness")
+    )
+    return (
+        tc.orderBy(F.desc("t_closeness"), "nat", "seg")
+        .limit(10)
+        .select("nat", "seg", "nc", "t_closeness")
+    )
