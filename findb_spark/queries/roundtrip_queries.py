@@ -1429,3 +1429,63 @@ def roundtrip_bloom_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+@register(
+    "roundtrip_manifest_incremental",
+    f"""
+WITH {PRICES_ORACLE_CTE},
+p AS (SELECT * FROM prices_v WHERE asset_id % 10 = 6)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(date) AS BIGINT) AS min_date,
+       CAST(MAX(date) AS BIGINT) AS max_date,
+       {fxp_sum_sql('value')} AS sum_value
+FROM p WHERE date BETWEEN 19960101 AND 19971231
+""",
+    category="roundtrip",
+    description=(
+        "Incremental-manifest hard signal: a prices table is bulk-loaded, "
+        "its stats manifest built, then a second batch appended and the "
+        "manifest refreshed via update_manifest — which must harvest "
+        "footers ONLY for the new files (asserted in-query) yet produce "
+        "a pruned date-range read identical to the oracle over the full "
+        "union; the O(new files) maintenance contract that keeps a "
+        "manifest viable under continuous ingest"
+    ),
+)
+def roundtrip_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies manifest MAINTENANCE, not just manifest reads
+    (roundtrip_manifest_pruned_read covers the build+seek path): the
+    refreshed manifest must cover old + new files exactly once, and the
+    pruned read through it must lose nothing."""
+    import shutil
+
+    from findb_spark.manifest import build_manifest, pruned_read, update_manifest
+
+    src = prices_from_lineitem(spark, sf_dir).where(F.col("asset_id") % 10 == 6)
+    first = src.where(F.col("date") < 19970101)
+    second = src.where(F.col("date") >= 19970101)
+    path = _scratch(sf_dir, "manifest_incr")
+    shutil.rmtree(path, ignore_errors=True)
+    first.repartitionByRange(4, "date").write.parquet(path)
+    m0 = build_manifest(spark, path, ["asset_id", "date"]).localCheckpoint(
+        eager=True
+    )
+    n0 = m0.count()
+    second.repartitionByRange(4, "date").write.mode("append").parquet(path)
+    m1 = update_manifest(spark, path, m0, ["asset_id", "date"]).localCheckpoint(
+        eager=True
+    )
+    n1 = m1.count()
+    n_files = len(spark.read.parquet(path).inputFiles())
+    if n1 != n_files or n1 <= n0:
+        raise AssertionError(
+            f"incremental manifest regressed: {n0} -> {n1} vs {n_files} files"
+        )
+    out = pruned_read(spark, m1, {"date": (19960101, 19971231)})
+    return out.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("date").cast("bigint").alias("min_date"),
+        F.max("date").cast("bigint").alias("max_date"),
+        fxp_sum(F.col("value"), "sum_value"),
+    )
