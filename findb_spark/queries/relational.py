@@ -1554,3 +1554,88 @@ def orders_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(SUM(ABS(n - forecast)) AS DOUBLE) / COUNT(*) AS DOUBLE)"
         ).alias("mae"),
     )
+
+
+@register(
+    "customer_segment_migration",
+    """
+WITH bounds AS (
+  SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+),
+split AS (
+  SELECT lo + (hi - lo) / 2 AS mid FROM bounds
+),
+p1 AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM orders CROSS JOIN split WHERE o_orderdate < mid
+  GROUP BY o_custkey
+),
+p2 AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM orders CROSS JOIN split WHERE o_orderdate >= mid
+  GROUP BY o_custkey
+),
+b1 AS (
+  SELECT ck, NTILE(4) OVER (ORDER BY spend_cents DESC, ck) AS band FROM p1
+),
+b2 AS (
+  SELECT ck, NTILE(4) OVER (ORDER BY spend_cents DESC, ck) AS band FROM p2
+)
+SELECT COALESCE(CAST(b1.band AS VARCHAR), 'absent') AS from_band,
+       COALESCE(CAST(b2.band AS VARCHAR), 'absent') AS to_band,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM b1 FULL OUTER JOIN b2 ON b1.ck = b2.ck
+GROUP BY from_band, to_band
+""",
+    category="relational",
+    description=(
+        "Customer segment-migration matrix: monetary quartile band in "
+        "the first half of the timeline vs the second (ntile with total "
+        "deterministic orderings over exact cent spends), full-outer "
+        "joined so churned ('absent' after) and acquired ('absent' "
+        "before) customers appear as first-class flows — the lifecycle "
+        "view RFM snapshots cannot show"
+    ),
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two map-side-combined period aggregates, two dimension-sized ntile
+    windows, one full-outer join on the customer key, and a 5x5 output
+    matrix regardless of volume.  The period split derives from the
+    data's own midpoint (a broadcast 1-row aggregate) so the query is
+    scale-factor-agnostic."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+    split = b.select(
+        (F.col("lo") + (F.col("hi") - F.col("lo")) / 2).alias("mid")
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    w = Window.orderBy(F.desc("spend_cents"), "ck")
+
+    def period(cond):
+        return (
+            o.crossJoin(F.broadcast(split))
+            .where(cond)
+            .groupBy(F.col("o_custkey").alias("ck"))
+            .agg(F.sum(cents).cast("bigint").alias("spend_cents"))
+            .select("ck", F.ntile(4).over(w).alias("band"))
+        )
+
+    b1 = period(F.col("o_orderdate") < F.col("mid"))
+    b2 = period(F.col("o_orderdate") >= F.col("mid")).select(
+        F.col("ck").alias("ck2"), F.col("band").alias("band2")
+    )
+    j = b1.join(b2, b1["ck"] == b2["ck2"], "full_outer")
+    return j.groupBy(
+        F.coalesce(F.col("band").cast("string"), F.lit("absent")).alias(
+            "from_band"
+        ),
+        F.coalesce(F.col("band2").cast("string"), F.lit("absent")).alias(
+            "to_band"
+        ),
+    ).agg(F.count("*").cast("bigint").alias("n_customers"))
