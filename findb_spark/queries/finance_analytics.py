@@ -1320,3 +1320,126 @@ def ts_cvar_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("n >= 30")
         .select("asset_id", "n", "k_tail", "cvar_5pct")
     )
+
+
+@register(
+    "ts_portfolio_turnover",
+    f"""
+WITH {_DAILY_CTE},
+mc AS (
+  SELECT asset_id, month, value FROM (
+    SELECT asset_id, CAST(date // 100 AS INT) AS month, date, value,
+           ROW_NUMBER() OVER (PARTITION BY asset_id, date // 100
+                              ORDER BY date DESC) AS rn
+    FROM daily) WHERE rn = 1
+),
+mr AS (
+  SELECT asset_id, month,
+         value / LAG(value) OVER (PARTITION BY asset_id ORDER BY month) - 1 AS r
+  FROM mc
+),
+mq AS (
+  SELECT asset_id, month,
+         LAG(CAST(FLOOR(r * 10000 + 0.5) AS BIGINT))
+           OVER (PARTITION BY asset_id ORDER BY month) AS sig
+  FROM mr WHERE r IS NOT NULL
+),
+sel AS (
+  SELECT month, asset_id FROM (
+    SELECT month, asset_id,
+           ROW_NUMBER() OVER (PARTITION BY month
+                              ORDER BY sig DESC, asset_id) AS rn
+    FROM mq WHERE sig IS NOT NULL
+  ) WHERE rn <= 10
+),
+kept AS (
+  SELECT a.month, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM sel a JOIN sel b ON a.asset_id = b.asset_id AND a.month = b.month + 1
+  GROUP BY a.month
+),
+sizes AS (
+  SELECT month, CAST(COUNT(*) AS BIGINT) AS n_sel FROM sel GROUP BY month
+)
+SELECT s.month, s.n_sel,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       CAST(s.n_sel - COALESCE(k.n_kept, 0) AS DOUBLE) / s.n_sel AS turnover
+FROM sizes s LEFT JOIN kept k ON s.month = k.month
+WHERE EXISTS (SELECT 1 FROM sizes p WHERE p.month = s.month - 1)
+""",
+    category="timeseries",
+    description=(
+        "Month-over-month turnover of the momentum portfolio "
+        "(ts_momentum_backtest's position set): holdings kept vs "
+        "replaced via a (asset, month = month+1) self-join of the "
+        "selection relation — the trading-cost driver every backtest "
+        "must report next to its return"
+    ),
+)
+def ts_portfolio_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reuses the backtest's selection pipeline (same lagged signal, same
+    per-month rank window) and adds one self-join on the tiny
+    (month, asset) selection relation — months whose previous month has
+    no portfolio are excluded (the first tradable month has no turnover
+    to report).  Consecutive-month arithmetic works because yyyymm
+    months here are consecutive integers within a year boundary only
+    when both exist; the EXISTS guard keeps the contract honest."""
+    from findb_spark.queries.timeseries import _daily as _daily_ts
+
+    daily = _daily_ts(spark, sf_dir)
+    wmc = Window.partitionBy("asset_id", F.expr("date div 100")).orderBy(
+        F.col("date").desc()
+    )
+    mc = (
+        daily.select(
+            "asset_id",
+            F.expr("CAST(date div 100 AS INT)").alias("month"),
+            "date",
+            "value",
+            F.row_number().over(wmc).alias("rn"),
+        )
+        .where("rn = 1")
+        .select("asset_id", "month", "value")
+    )
+    wm = Window.partitionBy("asset_id").orderBy("month")
+    mq = (
+        mc.select(
+            "asset_id",
+            "month",
+            (F.col("value") / F.lag("value").over(wm) - 1).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+        .select(
+            "asset_id",
+            "month",
+            F.lag(
+                F.floor(F.col("r") * 10000 + F.lit(0.5)).cast("bigint")
+            ).over(wm).alias("sig"),
+        )
+    )
+    wsel = Window.partitionBy("month").orderBy(F.col("sig").desc(), "asset_id")
+    sel = (
+        mq.where(F.col("sig").isNotNull())
+        .withColumn("rn", F.row_number().over(wsel))
+        .where("rn <= 10")
+        .select("month", "asset_id")
+    )
+    sizes = sel.groupBy("month").agg(F.count("*").cast("bigint").alias("n_sel"))
+    prev = sel.select((F.col("month") + 1).alias("month"), "asset_id")
+    kept = (
+        sel.join(prev, ["month", "asset_id"])
+        .groupBy("month")
+        .agg(F.count("*").cast("bigint").alias("n_kept"))
+    )
+    has_prev = sizes.select((F.col("month") + 1).alias("month")).distinct()
+    return (
+        sizes.join(has_prev, "month")
+        .join(kept, "month", "left")
+        .select(
+            "month",
+            "n_sel",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.expr(
+                "CAST(n_sel - COALESCE(n_kept, 0) AS DOUBLE) / n_sel"
+            ).alias("turnover"),
+        )
+    )

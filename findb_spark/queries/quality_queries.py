@@ -442,3 +442,73 @@ def pii_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("nat", "seg", "nc", "t_closeness")
     )
+
+
+@register(
+    "dq_referential_integrity",
+    """
+WITH li_orphans AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+),
+ord_orphans AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+),
+ps_orphans AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+),
+tot AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitem,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders
+)
+SELECT 'lineitem->orders' AS fk, li_orphans.n AS n_orphans,
+       tot.n_lineitem AS n_child FROM li_orphans CROSS JOIN tot
+UNION ALL
+SELECT 'orders->customer', ord_orphans.n, tot.n_orders
+FROM ord_orphans CROSS JOIN tot
+UNION ALL
+SELECT 'lineitem->part', ps_orphans.n, tot.n_lineitem
+FROM ps_orphans CROSS JOIN tot
+""",
+    category="quality",
+    description=(
+        "Referential-integrity DQ rule (the constraint a lakehouse "
+        "cannot enforce at write time and must therefore audit): orphan "
+        "counts for the three foreign keys of the star schema via "
+        "anti-join aggregates — completes the declarative audit family "
+        "(nulls/ranges/domains/uniqueness in dq_orders_audit) with "
+        "cross-table consistency"
+    ),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each orphan check is one broadcast/shuffled ANTI join + a 1-row
+    count — at 100 TB the dimension sides broadcast and the fact scans
+    combine map-side; the three checks share no state and parallelize."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+
+    def orphans(child, parent, ck, pk):
+        return child.join(
+            parent.select(F.col(pk).alias(ck)), ck, "left_anti"
+        ).agg(F.count("*").cast("bigint").alias("n"))
+
+    n_li = li.agg(F.count("*").cast("bigint").alias("t"))
+    n_o = o.agg(F.count("*").cast("bigint").alias("t"))
+    rows = [
+        ("lineitem->orders", orphans(li, o, "l_orderkey", "o_orderkey"), n_li),
+        ("orders->customer", orphans(o, c, "o_custkey", "c_custkey"), n_o),
+        ("lineitem->part", orphans(li, p, "l_partkey", "p_partkey"), n_li),
+    ]
+    out = None
+    for fk, orph, tot in rows:
+        r = orph.crossJoin(tot).select(
+            F.lit(fk).alias("fk"),
+            F.col("n").alias("n_orphans"),
+            F.col("t").alias("n_child"),
+        )
+        out = r if out is None else out.unionAll(r)
+    return out
