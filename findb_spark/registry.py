@@ -55,8 +55,8 @@ _SPECS: dict[str, QuerySpec] = {}
 #: registration.
 #:
 #: ROUND-6 ROTATION PLAN (build _CHECK_FIRST from this when round 5's
-#: correctness lands): 60 queries registered past the round-5 window await
-#: first driver rows — the 31 listed in SURVEY's round-5 status plus the 29
+#: correctness lands): 66 queries registered past the round-5 window await
+#: first driver rows — the 31 listed in SURVEY's round-5 status plus the 35
 #: round-5-continuation additions (stats_mannwhitney,
 #: stats_histogram_quantiles, lineitem_transit_peak, skew_salted_join,
 #: ts_cusum_changepoint, events_attribution_ushape, roundtrip_ivm_delta,
@@ -67,8 +67,11 @@ _SPECS: dict[str, QuerySpec] = {}
 #: events_time_in_state, roundtrip_hive_partition_pruning,
 #: roundtrip_vacuum_retention, pit_feature_join, dedup_split_leakage,
 #: roundtrip_stream_stateful, orders_seasonal_naive_mae,
-#: roundtrip_bloom_manifest — all pre-validated at sf0.001 AND sf0.01 this
-#: session, with the whole registry additionally re-verified at sf0.01).
+#: roundtrip_bloom_manifest, ts_cvar_expected_shortfall, pii_tcloseness,
+#: roundtrip_manifest_incremental, customer_segment_migration,
+#: ts_portfolio_turnover, dq_referential_integrity — all pre-validated at
+#: sf0.001 AND sf0.01 this session, with the whole registry additionally
+#: re-verified at sf0.01).
 #: That exceeds one 50-slot window: round 6 should take the 31 + the 19
 #: continuation entries that gate new ENGINE mechanisms (the 8 roundtrips
 #: incl. ivm/watermark/stateful/bloom/vacuum/pruning, skew_salted_join,
