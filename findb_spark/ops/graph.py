@@ -318,3 +318,97 @@ def pagerank_int(
         )
     e.unpersist()
     return ranks.select("node", F.col("r").alias("rank_fx"))
+
+
+def label_propagation(
+    pairs: DataFrame, rounds: int = 4, a: str = "doc1", b: str = "doc2"
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007,
+    arXiv:0709.2938) over an undirected pair graph, made fully
+    deterministic: every node starts labeled with its own id; each round a
+    node adopts the most frequent label among its NEIGHBORS, ties broken by
+    the smallest label (classic LPA breaks ties randomly — useless for a
+    reproducible pipeline, so the tie rule is pinned instead).
+
+    Unlike :func:`connected_components` (which answers "same component?"),
+    LPA splits a component into densely-knit communities — on a dedup pair
+    graph that separates template families that happen to share one bridge
+    document. The reference has no graph operators (SURVEY §2.2); this is
+    new-engine surface for the LLM-pipeline mandate.
+
+    Scale: per round one join (edges x labels on the neighbor endpoint,
+    keyed shuffle), one groupBy count and one per-node window top-1 —
+    all keyed on node id so AQE co-partitions them. Fixed round count
+    (communities stabilize in 3-5 rounds on near-dup graphs);
+    localCheckpoint truncates lineage per round. Returns (node, lbl).
+    """
+    e = (
+        pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
+        .unionAll(pairs.select(F.col(b).alias("a"), F.col(a).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = e.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    from pyspark.sql import Window
+
+    top1 = Window.partitionBy("a").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    for _ in range(rounds):
+        votes = (
+            e.join(labels.select(F.col("node").alias("b"), "lbl"), "b")
+            .groupBy("a", "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(top1))
+            .where(F.col("rn") == 1)
+            .select(F.col("a").alias("node"), "lbl")
+            .localCheckpoint()
+        )
+    return labels
+
+
+def bfs_distances(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    a: str = "doc1",
+    b: str = "doc2",
+) -> DataFrame:
+    """Multi-source breadth-first hop distances over an undirected pair
+    graph: ``seeds`` (single column ``node``) start at distance 0; each
+    round relaxes one hop (frontier join + min-dist groupBy). After
+    ``rounds`` rounds the result holds the exact hop distance for every
+    node within ``rounds`` hops of a seed (unreached nodes absent).
+
+    This is distributed Bellman-Ford restricted to unit weights — the
+    standard BSP/Pregel formulation expressed as DataFrame algebra. Use
+    case: "how far does contamination spread through near-dup links from a
+    known-bad source?" — the hop histogram bounds the takedown blast
+    radius.
+
+    Scale: the distance relation is keyed by node and stays ≤ |V| rows;
+    each round is one keyed join with the (persisted) edge relation + one
+    groupBy min — shuffle on node id both times. localCheckpoint per round
+    truncates lineage exactly like :func:`connected_components`.
+    """
+    e = (
+        pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
+        .unionAll(pairs.select(F.col(b).alias("a"), F.col(a).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    d = seeds.select("node").distinct().withColumn("dist", F.lit(0).cast("bigint"))
+    for _ in range(rounds):
+        hop = (
+            e.join(d.select(F.col("node").alias("a"), "dist"), "a")
+            .select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        d = (
+            d.unionAll(hop)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return d

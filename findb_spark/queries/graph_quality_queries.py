@@ -693,3 +693,105 @@ def pipeline_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_tokens")
     )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_sql(rounds: int = _LPA_ROUNDS) -> str:
+    # edges are FIXED across rounds (only labels iterate, each l{i}
+    # referenced once) so there is no 3^rounds CTE explosion; emat/l{i} are
+    # still MATERIALIZED to stop DuckDB inlining the minhash pipeline into
+    # every round
+    ctes = [
+        "emat AS MATERIALIZED (SELECT DISTINCT a, b FROM edges)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM emat)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"c{i} AS (SELECT e.a, l.lbl, COUNT(*) AS cnt"
+            f" FROM emat e JOIN l{i} l ON e.b = l.node GROUP BY e.a, l.lbl)"
+        )
+        ctes.append(
+            f"l{i + 1} AS MATERIALIZED (SELECT a AS node, lbl FROM"
+            f" (SELECT a, lbl, ROW_NUMBER() OVER"
+            f" (PARTITION BY a ORDER BY cnt DESC, lbl ASC) AS rn FROM c{i})"
+            f" WHERE rn = 1)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+{body}
+SELECT node AS doc_id, lbl AS community FROM l{rounds}
+"""
+
+
+@register(
+    "graph_label_propagation",
+    _lpa_sql(),
+    category="dedup",
+    description=(
+        f"Deterministic synchronous label propagation ({_LPA_ROUNDS} rounds, "
+        "most-frequent neighbor label, min-label tie rule) over the "
+        "verified near-dup pair graph: splits a connected component into "
+        "densely-knit template families, unlike plain connected components"
+    ),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.4).select("doc1", "doc2")
+    return label_propagation(pairs, rounds=_LPA_ROUNDS).select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("community")
+    )
+
+
+_BFS_ROUNDS = 4
+_BFS_SEED_SOURCE = "src0"
+
+
+def _bfs_sql(rounds: int = _BFS_ROUNDS) -> str:
+    ctes = [
+        "emat AS MATERIALIZED (SELECT DISTINCT a, b FROM edges)",
+        "d0 AS MATERIALIZED (SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist"
+        f" FROM documents WHERE source = '{_BFS_SEED_SOURCE}')",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"d{i + 1} AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM"
+            f" (SELECT node, dist FROM d{i}"
+            f"  UNION ALL"
+            f"  SELECT e.b AS node, d.dist + 1 AS dist"
+            f"  FROM emat e JOIN d{i} d ON e.a = d.node) GROUP BY node)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+{body}
+SELECT node AS doc_id, dist AS hops FROM d{rounds}
+"""
+
+
+@register(
+    "graph_bfs_contamination",
+    _bfs_sql(),
+    category="dedup",
+    description=(
+        f"Multi-source BFS hop distances ({_BFS_ROUNDS} rounds) through the "
+        f"near-dup pair graph from every '{_BFS_SEED_SOURCE}' document: the "
+        "blast radius a known-bad source reaches through duplicate links "
+        "(unit-weight distributed Bellman-Ford as DataFrame algebra)"
+    ),
+)
+def graph_bfs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.graph import bfs_distances
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.4).select("doc1", "doc2")
+    seeds = docs.where(F.col("source") == _BFS_SEED_SOURCE).select(
+        F.col("doc_id").alias("node")
+    )
+    return bfs_distances(pairs, seeds, rounds=_BFS_ROUNDS).select(
+        F.col("node").alias("doc_id"), F.col("dist").alias("hops")
+    )

@@ -201,3 +201,100 @@ def test_triangles_orientation_defuses_hub(spark):
     }
     assert 0 not in out_deg  # all 20 hub edges oriented leaf -> hub
     assert max(out_deg.values()) <= 2
+
+
+# ---- label propagation -------------------------------------------------
+
+
+def _lpa_model(edges: list[tuple[int, int]], rounds: int) -> dict[int, int]:
+    """Driver-side synchronous LPA with the same pinned tie rule."""
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    nbrs: dict[int, list[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, []).append(b)
+    lbl = {n: n for n in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for n, ns in nbrs.items():
+            cnt: dict[int, int] = {}
+            for m in ns:
+                cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+            nxt[n] = min(cnt, key=lambda c: (-cnt[c], c))
+        lbl = nxt
+    return lbl
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_label_propagation_matches_model(spark, seed):
+    from findb_spark.ops.graph import label_propagation
+
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(30), rng.randrange(30)) for _ in range(45)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc1 bigint, doc2 bigint")
+    got = {(r.node, r.lbl) for r in label_propagation(df, rounds=3).collect()}
+    assert got == set(_lpa_model(edges, 3).items())
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    from findb_spark.ops.graph import label_propagation
+
+    # two 4-cliques joined by a single bridge edge: connected components
+    # would merge them; LPA should keep two communities
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = c1 + c2 + [(3, 10)]
+    df = spark.createDataFrame(edges, "doc1 bigint, doc2 bigint")
+    lbl = {r.node: r.lbl for r in label_propagation(df, rounds=4).collect()}
+    assert len({lbl[n] for n in range(4)}) == 1
+    assert len({lbl[n] for n in range(10, 14)}) == 1
+    assert lbl[0] != lbl[12]
+
+
+# ---- multi-source BFS ----------------------------------------------------
+
+
+def _bfs_model(
+    edges: list[tuple[int, int]], seeds: list[int], rounds: int
+) -> dict[int, int]:
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, rounds + 1):
+        frontier = {
+            m for n in frontier for m in nbrs.get(n, ()) if m not in dist
+        }
+        for m in frontier:
+            dist[m] = d
+    return dist
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bfs_distances_match_model(spark, seed):
+    from findb_spark.ops.graph import bfs_distances
+
+    rng = random.Random(seed)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    seeds = [0, 7, 13]
+    ed = spark.createDataFrame(edges, "doc1 bigint, doc2 bigint")
+    sd = spark.createDataFrame([(s,) for s in seeds], "node bigint")
+    got = {(r.node, r.dist) for r in bfs_distances(ed, sd, rounds=4).collect()}
+    assert got == set(_bfs_model(edges, seeds, 4).items())
+
+
+def test_bfs_isolated_seed_stays_at_zero(spark):
+    from findb_spark.ops.graph import bfs_distances
+
+    ed = spark.createDataFrame([(1, 2), (2, 3)], "doc1 bigint, doc2 bigint")
+    sd = spark.createDataFrame([(99,), (1,)], "node bigint")
+    got = {(r.node, r.dist) for r in bfs_distances(ed, sd, rounds=3).collect()}
+    assert got == {(99, 0), (1, 0), (2, 1), (3, 2)}
