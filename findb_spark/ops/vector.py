@@ -1147,3 +1147,89 @@ def cluster_silhouette(emb: DataFrame, k: int = IVF_K) -> DataFrame:
         (-F.col("t")[0]["_nc"]).cast("bigint").alias("cluster"),
         sil.alias("sil"),
     )
+
+
+def power_iteration_top_dir(
+    emb: DataFrame, rounds: int = 3, vq_scale: int = 10_000, w_scale: int = 1_000_000
+) -> DataFrame:
+    """Dominant principal direction of the (uncentered) embedding Gram
+    matrix X'X via power iteration expressed as pure DataFrame algebra —
+    matrix-free: each half-step is one keyed join + one groupBy sum over
+    the exploded (vec_id, dim, value) relation, never materializing X'X.
+
+    Determinism contract (the property float linear algebra cannot give):
+    components are quantized to integers at ``vq_scale`` once; the iterate
+    is renormalized to max-norm ``w_scale`` after every half-step using a
+    MAX aggregate (exact int) and a single int/int double divide — every
+    aggregate input is an int64, so sums are exact and order-independent
+    and the result is bit-identical on any IEEE-754 engine regardless of
+    partitioning. Start vector = all-ones (positive), which pins the sign.
+
+    Overflow budget: |vq| <= vq_scale, |s_q|,|w| <= w_scale, so the dim
+    aggregate sums n_rows * vq_scale * w_scale <= n * 1e10 — int64-safe to
+    ~9e8 rows; beyond that switch the sums to DECIMAL(38,0) (same algebra,
+    ANSI mode raises rather than wraps so the boundary is loud).
+
+    Returns (dim BIGINT, loading DOUBLE): the unit-L2 eigenvector estimate,
+    rounded to 6dp. rounds=3 resolves the top direction when the spectral
+    gap is moderate — the use case is corpus drift / dominant-axis
+    profiling, not full PCA.
+    """
+    spark = emb.sparkSession
+    ex = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("bigint").alias("dim"),
+        F.floor(F.col("v").cast("double") * vq_scale + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    ex = ex.persist()
+    dims = ex.select("dim").distinct()
+    w = dims.select("dim", F.lit(w_scale).cast("bigint").alias("w"))
+    for _ in range(rounds):
+        s = (
+            ex.join(w, "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("vq") * F.col("w")).alias("s_int"))
+        )
+        ms = s.agg(F.max(F.abs(F.col("s_int"))).alias("m"))
+        sq = s.crossJoin(F.broadcast(ms)).select(
+            "vec_id",
+            F.floor(
+                F.col("s_int").cast("double") / F.col("m").cast("double") * w_scale
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("s_q"),
+        )
+        u = (
+            ex.join(sq, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("vq") * F.col("s_q")).alias("u_int"))
+        )
+        mu = u.agg(F.max(F.abs(F.col("u_int"))).alias("m"))
+        w = (
+            u.crossJoin(F.broadcast(mu))
+            .select(
+                "dim",
+                F.floor(
+                    F.col("u_int").cast("double") / F.col("m").cast("double") * w_scale
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("w"),
+            )
+            .localCheckpoint()  # 64 rows; truncates the per-round lineage
+        )
+    nrm = w.agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    out = w.crossJoin(F.broadcast(nrm)).select(
+        "dim",
+        F.round(
+            F.col("w").cast("double") / F.sqrt(F.col("n2").cast("double")), 6
+        ).alias("loading"),
+    )
+    ex.unpersist()
+    return out

@@ -625,3 +625,70 @@ def vec_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purity"
         ),
     )
+
+
+_PI_ROUNDS = 3
+
+
+def _power_iter_sql(rounds: int = _PI_ROUNDS) -> str:
+    # every SUM is over exact int64 inputs (CAST back from DuckDB's HUGEINT)
+    # so the iterate is bit-identical to the Spark twin at every round
+    ctes = [
+        "ex AS MATERIALIZED ("
+        " SELECT vec_id, dim,"
+        "        CAST(FLOOR(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS vq"
+        " FROM (SELECT vec_id,"
+        "              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,"
+        "              unnest(embedding) AS v"
+        "       FROM embeddings))",
+        "w0 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS w FROM ex)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT e.vec_id,"
+            f" CAST(SUM(e.vq * w.w) AS BIGINT) AS s_int"
+            f" FROM ex e JOIN w{i} w USING (dim) GROUP BY e.vec_id)"
+        )
+        ctes.append(f"ms{i} AS (SELECT MAX(ABS(s_int)) AS m FROM s{i})")
+        ctes.append(
+            f"sq{i} AS MATERIALIZED (SELECT vec_id,"
+            f" CAST(FLOOR(CAST(s_int AS DOUBLE) / CAST(m AS DOUBLE) * 1000000"
+            f" + 0.5) AS BIGINT) AS s_q FROM s{i}, ms{i})"
+        )
+        ctes.append(
+            f"u{i} AS MATERIALIZED (SELECT e.dim,"
+            f" CAST(SUM(e.vq * q.s_q) AS BIGINT) AS u_int"
+            f" FROM ex e JOIN sq{i} q USING (vec_id) GROUP BY e.dim)"
+        )
+        ctes.append(f"mu{i} AS (SELECT MAX(ABS(u_int)) AS m FROM u{i})")
+        ctes.append(
+            f"w{i + 1} AS MATERIALIZED (SELECT dim,"
+            f" CAST(FLOOR(CAST(u_int AS DOUBLE) / CAST(m AS DOUBLE) * 1000000"
+            f" + 0.5) AS BIGINT) AS w FROM u{i}, mu{i})"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+n2 AS (SELECT CAST(SUM(w * w) AS BIGINT) AS n2 FROM w{rounds})
+SELECT dim, ROUND(CAST(w AS DOUBLE) / SQRT(CAST(n2 AS DOUBLE)), 6) AS loading
+FROM w{rounds}, n2
+"""
+
+
+@register(
+    "vec_power_iteration",
+    _power_iter_sql(),
+    category="vector",
+    description=(
+        f"Dominant principal direction of the embedding Gram matrix via "
+        f"{_PI_ROUNDS} matrix-free power-iteration rounds as DataFrame "
+        "algebra (exact fixed-point renormalization each half-step, so the "
+        "eigenvector estimate is bit-identical cross-engine) — corpus "
+        "drift / dominant-axis profiling without an ML library"
+    ),
+)
+def vec_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.vector import power_iteration_top_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_top_dir(emb, rounds=_PI_ROUNDS)

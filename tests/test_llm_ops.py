@@ -560,3 +560,31 @@ def test_cluster_silhouette_bounds_and_assignment_consistency(spark):
     for vid, r in sil.items():
         assert -1.0 - 1e-12 <= r.sil <= 1.0 + 1e-12
         assert r.cluster == assigned[vid], vid
+
+
+def test_power_iteration_recovers_dominant_direction(spark):
+    """On data with a planted dominant axis, 3 fixed-point power-iteration
+    rounds must align with numpy's exact top eigenvector of X'X
+    (|cos| > 0.999), and the output must be unit-L2."""
+    import numpy as np
+
+    from findb_spark.ops.vector import power_iteration_top_dir
+
+    rng = np.random.default_rng(7)
+    d = 16
+    axis = rng.standard_normal(d)
+    axis /= np.linalg.norm(axis)
+    x = (
+        rng.standard_normal((200, 1)) * 0.9 * axis[None, :]
+        + 0.05 * rng.standard_normal((200, d))
+    )
+    rows = [(i, [float(v) for v in x[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = power_iteration_top_dir(emb, rounds=3).collect()
+    v = np.zeros(d)
+    for r in got:
+        v[int(r.dim)] = r.loading
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    evals, evecs = np.linalg.eigh(x.T @ x)
+    top = evecs[:, int(np.argmax(evals))]
+    assert abs(float(v @ top)) > 0.999
