@@ -539,3 +539,209 @@ def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("df_log2_bucket")
     )
+
+
+_KN_D = 0.75
+_KN_TOPN = 30
+
+_BIGRAMS_CTE = """
+ptoks AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        FROM documents)
+),
+bg AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM (
+    SELECT tok AS w1,
+           LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM ptoks)
+  WHERE w2 IS NOT NULL GROUP BY w1, w2
+)
+"""
+
+
+@register(
+    "text_kneser_ney_bigram",
+    f"""
+WITH {_BIGRAMS_CTE},
+lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               COUNT(*) AS n1f FROM bg GROUP BY w1),
+rgt AS (SELECT w2, COUNT(*) AS nrev FROM bg GROUP BY w2),
+tot AS (SELECT COUNT(*) AS ntot FROM bg)
+SELECT w1, w2, c12,
+       ROUND(GREATEST(CAST(c12 AS DOUBLE) - {_KN_D}, CAST(0 AS DOUBLE))
+               / CAST(c1 AS DOUBLE)
+             + {_KN_D} * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
+               * CAST(nrev AS DOUBLE) / CAST(ntot AS DOUBLE), 8) AS p_kn,
+       ROUND(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE), 8) AS p_mle
+FROM bg JOIN lft USING (w1) JOIN rgt USING (w2), tot
+ORDER BY c12 DESC, w1, w2 LIMIT {_KN_TOPN}
+""",
+    category="text",
+    description=(
+        f"Interpolated Kneser-Ney bigram language model (discount D={_KN_D}, "
+        "Kneser-Ney continuation probabilities from distinct-context "
+        f"counts) over the corpus, top {_KN_TOPN} bigrams — the classic "
+        "n-gram LM smoother as pure relational algebra (all inputs exact "
+        "integer counts; one identical double expression both engines)"
+    ),
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select("doc_id", F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2"))
+        .where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    lft = bg.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"), F.count("*").alias("n1f")
+    )
+    rgt = bg.groupBy("w2").agg(F.count("*").alias("nrev"))
+    tot = bg.agg(F.count("*").alias("ntot"))
+    d = F.lit(_KN_D)
+    return (
+        bg.join(lft, "w1")
+        .join(rgt, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.greatest(F.col("c12").cast("double") - d, F.lit(0.0))
+                / F.col("c1").cast("double")
+                + d
+                * F.col("n1f").cast("double")
+                / F.col("c1").cast("double")
+                * F.col("nrev").cast("double")
+                / F.col("ntot").cast("double"),
+                8,
+            ).alias("p_kn"),
+            F.round(F.col("c12").cast("double") / F.col("c1").cast("double"), 8).alias(
+                "p_mle"
+            ),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(_KN_TOPN)
+    )
+
+
+_RAKE_STOP = ("the", "a")
+_RAKE_TOPN = 20
+
+
+@register(
+    "text_rake_keywords",
+    f"""
+WITH ptoks AS (
+  SELECT doc_id, tok, pos,
+         SUM(CASE WHEN tok IN {_RAKE_STOP} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        FROM documents)
+),
+members AS (
+  SELECT doc_id, pid, pos, tok FROM ptoks WHERE tok NOT IN {_RAKE_STOP}
+),
+plen AS (
+  SELECT doc_id, pid, COUNT(*) AS plen FROM members GROUP BY doc_id, pid
+),
+wstat AS (
+  SELECT tok, COUNT(*) AS freq,
+         CAST(SUM(plen - 1) AS BIGINT) AS deg
+  FROM members JOIN plen USING (doc_id, pid) GROUP BY tok
+),
+wscore AS (
+  SELECT tok,
+         CAST(FLOOR((CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) + 1.0)
+                    * 1000000 + 0.5) AS BIGINT) AS ws_q
+  FROM wstat
+),
+phrases AS (
+  SELECT m.doc_id, m.pid,
+         STRING_AGG(m.tok, ' ' ORDER BY m.pos) AS phrase,
+         CAST(SUM(w.ws_q) AS BIGINT) AS score_q
+  FROM members m JOIN wscore w USING (tok)
+  GROUP BY m.doc_id, m.pid
+)
+SELECT phrase,
+       CAST(score_q AS DOUBLE) / 1000000 AS score,
+       COUNT(*) AS occurrences
+FROM phrases
+GROUP BY phrase, score_q
+ORDER BY score DESC, phrase LIMIT {_RAKE_TOPN}
+""",
+    category="text",
+    description=(
+        "RAKE keyword extraction (Rose et al. 2010): candidate phrases are "
+        "maximal stopword-free runs; word score = degree/frequency + 1 over "
+        "the co-occurrence graph, phrase score = fxp-exact sum of member "
+        f"scores; top {_RAKE_TOPN} phrases corpus-wide"
+    ),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    stop = F.col("tok").isin(*_RAKE_STOP)
+    ptoks = toks.select(
+        "doc_id",
+        "tok",
+        "pos",
+        F.sum(F.when(stop, 1).otherwise(0)).over(w).alias("pid"),
+    )
+    members = ptoks.where(~F.col("tok").isin(*_RAKE_STOP))
+    plen = members.groupBy("doc_id", "pid").agg(F.count("*").alias("plen"))
+    wstat = (
+        members.join(plen, ["doc_id", "pid"])
+        .groupBy("tok")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum(F.col("plen") - 1).cast("bigint").alias("deg"),
+        )
+    )
+    wscore = wstat.select(
+        "tok",
+        F.floor(
+            (F.col("deg").cast("double") / F.col("freq").cast("double") + F.lit(1.0))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ws_q"),
+    )
+    phrases = (
+        members.join(wscore, "tok")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("ws_q").cast("bigint").alias("score_q"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase", "score_q")
+        .agg(F.count("*").alias("occurrences"))
+        .select(
+            "phrase",
+            (F.col("score_q").cast("double") / 1000000).alias("score"),
+            "occurrences",
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(_RAKE_TOPN)
+    )

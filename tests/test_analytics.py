@@ -191,3 +191,56 @@ def test_hll_exact_registers_estimator_sanity(spark):
         if est <= 2.5 * m and v > 0:
             est = m * math.log(m / v)
         assert abs(est - r.exact_users) / r.exact_users < 0.4, (r, est)
+
+
+# ---- round-5 session-3 corpus LM additions -------------------------------
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+
+
+def _run_corpus(spark, fn_name, docs):
+    import findb_spark.queries.corpus_queries as cq
+
+    orig = cq.load_table
+    try:
+        cq.load_table = lambda s, d, n: docs
+        return getattr(cq, fn_name)(spark, "unused")
+    finally:
+        cq.load_table = orig
+
+
+def test_kneser_ney_hand_example(spark):
+    """Corpus 'x y x z': P_KN(y|x) = max(1-.75,0)/2 + .75*(2/2)*(1/3) = .375,
+    P_KN(x|y) = .25 + .75*(1/3) = .5 (interpolated KN, D=0.75)."""
+    out = _run_corpus(spark, "text_kneser_ney_bigram", _docs(spark, ["x y x z"]))
+    got = {(r.w1, r.w2): (r.c12, r.p_kn, r.p_mle) for r in out.collect()}
+    assert got[("x", "y")] == (1, 0.375, 0.5)
+    assert got[("y", "x")] == (1, 0.5, 1.0)
+    assert got[("x", "z")] == (1, 0.375, 0.5)
+
+
+def test_rake_hand_example(spark):
+    """'the fast join a fast join the sort' -> phrases {fast join}x2,
+    {sort}: score(fast)=deg/freq+1=2, score(join)=2, phrase 'fast join'=4;
+    score(sort)=1."""
+    out = _run_corpus(
+        spark, "text_rake_keywords", _docs(spark, ["the fast join a fast join the sort"])
+    )
+    got = {r.phrase: (r.score, r.occurrences) for r in out.collect()}
+    assert got["fast join"] == (4.0, 2)
+    assert got["sort"] == (1.0, 1)
+
+
+def test_rake_phrases_never_contain_stopwords(spark, sf_dir):
+    import findb_spark.queries.corpus_queries as cq
+
+    out = cq.text_rake_keywords(spark, sf_dir).collect()
+    assert out, "expected phrases on the real corpus"
+    for r in out:
+        assert "the" not in r.phrase.split()
+        assert "a" not in r.phrase.split()
