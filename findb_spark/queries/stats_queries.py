@@ -1214,3 +1214,275 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / ((CAST(sq_tot AS DOUBLE) - sum_sg2_ng) / (n_tot - k))"
         ).alias("f_stat"),
     )
+
+
+# ---- rank statistics over monthly asset series ---------------------------
+# Shared relation: month-end (last trading day) price per asset, value
+# fxp-quantized at cents so every comparison/rank below is on exact ints.
+
+_MONTHLY_CTE = """
+m AS (
+  SELECT asset_id, month, ARG_MAX(v, date) AS v FROM (
+    SELECT asset_id, date, date // 100 AS month,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+    FROM daily WHERE asset_id <= 6)
+  GROUP BY asset_id, month
+)
+"""
+
+
+def _monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.queries.timeseries import _daily
+
+    d = _daily(spark, sf_dir).where(F.col("asset_id") <= 6)
+    return (
+        d.select(
+            "asset_id",
+            "date",
+            F.expr("date div 100").alias("month"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+        )
+        .groupBy("asset_id", "month")
+        .agg(F.expr("max_by(v, date)").alias("v"))
+    )
+
+
+def _aligned_pairs(monthly: DataFrame) -> DataFrame:
+    a, b = monthly.alias("a"), monthly.alias("b")
+    return a.join(
+        b,
+        (F.col("a.month") == F.col("b.month"))
+        & (F.col("a.asset_id") < F.col("b.asset_id")),
+    ).select(
+        F.col("a.asset_id").alias("a1"),
+        F.col("b.asset_id").alias("a2"),
+        F.col("a.month").alias("month"),
+        F.col("a.v").alias("x"),
+        F.col("b.v").alias("y"),
+    )
+
+
+_ALIGNED_SQL = """
+al AS (
+  SELECT a.asset_id AS a1, b.asset_id AS a2, a.month, a.v AS x, b.v AS y
+  FROM m a JOIN m b ON a.month = b.month AND a.asset_id < b.asset_id
+)
+"""
+
+from findb_spark.queries.timeseries import _DAILY_CTE  # noqa: E402
+
+
+@register(
+    "stats_kendall_tau",
+    f"""
+WITH {_DAILY_CTE},
+{_MONTHLY_CTE},
+{_ALIGNED_SQL},
+pp AS (
+  SELECT p.a1, p.a2,
+         CAST(SUM(CASE WHEN (q.x - p.x) * (q.y - p.y) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+         CAST(SUM(CASE WHEN (q.x - p.x) * (q.y - p.y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+         CAST(SUM(CASE WHEN q.x = p.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(SUM(CASE WHEN q.y = p.y THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+         COUNT(*) AS np
+  FROM al p JOIN al q
+    ON p.a1 = q.a1 AND p.a2 = q.a2 AND p.month < q.month
+  GROUP BY p.a1, p.a2
+)
+SELECT a1, a2, conc, disc,
+       ROUND((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+             / (SQRT(CAST(np - tx AS DOUBLE)) * SQRT(CAST(np - ty AS DOUBLE))), 8)
+         AS tau_b
+FROM pp
+""",
+    category="relational",
+    description=(
+        "Kendall tau-b rank correlation between month-end asset price "
+        "series (all-pairs concordance over exact integer cents; ties "
+        "handled by the tau-b denominator). The time-pair join is "
+        "O(months^2) per asset pair — bounded by the calendar, not the "
+        "data, so it scales with history length only"
+    ),
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    al = _aligned_pairs(_monthly(spark, sf_dir))
+    p, q = al.alias("p"), al.alias("q")
+    sgn = (F.col("q.x") - F.col("p.x")) * (F.col("q.y") - F.col("p.y"))
+    pp = (
+        p.join(
+            q,
+            (F.col("p.a1") == F.col("q.a1"))
+            & (F.col("p.a2") == F.col("q.a2"))
+            & (F.col("p.month") < F.col("q.month")),
+        )
+        .groupBy(F.col("p.a1").alias("a1"), F.col("p.a2").alias("a2"))
+        .agg(
+            F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("bigint").alias("conc"),
+            F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("bigint").alias("disc"),
+            F.sum(F.when(F.col("q.x") == F.col("p.x"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tx"),
+            F.sum(F.when(F.col("q.y") == F.col("p.y"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ty"),
+            F.count("*").alias("np"),
+        )
+    )
+    return pp.select(
+        "a1",
+        "a2",
+        "conc",
+        "disc",
+        F.round(
+            (F.col("conc").cast("double") - F.col("disc").cast("double"))
+            / (
+                F.sqrt((F.col("np") - F.col("tx")).cast("double"))
+                * F.sqrt((F.col("np") - F.col("ty")).cast("double"))
+            ),
+            8,
+        ).alias("tau_b"),
+    )
+
+
+@register(
+    "stats_spearman",
+    f"""
+WITH {_DAILY_CTE},
+{_MONTHLY_CTE},
+{_ALIGNED_SQL},
+rk AS (
+  SELECT a1, a2,
+         2 * RANK() OVER (PARTITION BY a1, a2 ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY a1, a2, x) - 1 AS rx,
+         2 * RANK() OVER (PARTITION BY a1, a2 ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY a1, a2, y) - 1 AS ry
+  FROM al
+),
+mo AS (
+  SELECT a1, a2, COUNT(*) AS n,
+         CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+         CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+         CAST(SUM(ry * ry) AS BIGINT) AS syy
+  FROM rk GROUP BY a1, a2
+)
+SELECT a1, a2, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8)
+         AS rho
+FROM mo WHERE n >= 3
+""",
+    category="relational",
+    description=(
+        "Spearman rank correlation between month-end asset series: average "
+        "ranks doubled to stay integer (2r = 2*RANK + ties - 1), then "
+        "Pearson's closed form on exact integer rank moments — "
+        "correlation is affine-invariant so rho is unchanged"
+    ),
+)
+def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    al = _aligned_pairs(_monthly(spark, sf_dir))
+    wx = Window.partitionBy("a1", "a2").orderBy("x")
+    wy = Window.partitionBy("a1", "a2").orderBy("y")
+    cx = Window.partitionBy("a1", "a2", "x")
+    cy = Window.partitionBy("a1", "a2", "y")
+    rk = al.select(
+        "a1",
+        "a2",
+        (2 * F.rank().over(wx) + F.count("*").over(cx) - 1).alias("rx"),
+        (2 * F.rank().over(wy) + F.count("*").over(cy) - 1).alias("ry"),
+    )
+    mo = rk.groupBy("a1", "a2").agg(
+        F.count("*").alias("n"),
+        F.sum("rx").cast("bigint").alias("sx"),
+        F.sum("ry").cast("bigint").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("bigint").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    den = F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd) * F.sqrt(
+        nd * F.col("syy").cast("double") - syd * syd
+    )
+    return mo.where(F.col("n") >= 3).select(
+        "a1", "a2", "n", F.round(num / den, 8).alias("rho")
+    )
+
+
+@register(
+    "stats_theil_sen",
+    f"""
+WITH {_DAILY_CTE},
+{_MONTHLY_CTE},
+ma AS (
+  SELECT asset_id, v,
+         ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY month) AS t
+  FROM m WHERE asset_id <= 5
+),
+sl AS (
+  SELECT p.asset_id,
+         CAST(q.v - p.v AS DOUBLE) / CAST(q.t - p.t AS DOUBLE) AS slope
+  FROM ma p JOIN ma q ON p.asset_id = q.asset_id AND p.t < q.t
+),
+rk AS (
+  SELECT asset_id, slope,
+         ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY slope) AS r,
+         COUNT(*) OVER (PARTITION BY asset_id) AS n
+  FROM sl
+)
+SELECT asset_id, CAST(MAX(n) AS BIGINT) AS n_pairs,
+       ROUND(AVG(slope), 6) AS ts_slope_cents
+FROM rk
+WHERE r = (n + 1) // 2 OR r = (n + 2) // 2
+GROUP BY asset_id
+""",
+    category="relational",
+    description=(
+        "Theil-Sen robust trend: median of all pairwise month-end slopes "
+        "per asset (slopes are exact int/int divides in cents/month; "
+        "explicit order-statistic median so both engines pick identical "
+        "middle elements). Pairwise set is O(months^2) — calendar-bounded"
+    ),
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _monthly(spark, sf_dir).where(F.col("asset_id") <= 5)
+    ma = m.select(
+        "asset_id",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("asset_id").orderBy("month"))
+        .alias("t"),
+    )
+    p, q = ma.alias("p"), ma.alias("q")
+    sl = p.join(
+        q,
+        (F.col("p.asset_id") == F.col("q.asset_id")) & (F.col("p.t") < F.col("q.t")),
+    ).select(
+        F.col("p.asset_id").alias("asset_id"),
+        (
+            (F.col("q.v") - F.col("p.v")).cast("double")
+            / (F.col("q.t") - F.col("p.t")).cast("double")
+        ).alias("slope"),
+    )
+    rk = sl.select(
+        "asset_id",
+        "slope",
+        F.row_number()
+        .over(Window.partitionBy("asset_id").orderBy("slope"))
+        .alias("r"),
+        F.count("*").over(Window.partitionBy("asset_id")).alias("n"),
+    )
+    return (
+        rk.where(
+            (F.col("r") == F.expr("(n + 1) div 2"))
+            | (F.col("r") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("asset_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("slope"), 6).alias("ts_slope_cents"),
+        )
+    )

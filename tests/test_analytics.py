@@ -244,3 +244,96 @@ def test_rake_phrases_never_contain_stopwords(spark, sf_dir):
     for r in out:
         assert "the" not in r.phrase.split()
         assert "a" not in r.phrase.split()
+
+
+# ---- rank statistics (Kendall / Spearman / Theil-Sen) --------------------
+
+
+def _patch_daily(monkeypatch, spark, rows):
+    """rows: (asset_id, yyyymmdd, value). Replaces the shared daily series."""
+    import findb_spark.queries.timeseries as tsm
+
+    df = spark.createDataFrame(rows, "asset_id bigint, date int, value double")
+    monkeypatch.setattr(tsm, "_daily", lambda s, d: df)
+
+
+def _tau_b(xs, ys):
+    c = d = tx = ty = n0 = 0
+    n = len(xs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = xs[j] - xs[i], ys[j] - ys[i]
+            n0 += 1
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+    return (c - d) / (((n0 - tx) ** 0.5) * ((n0 - ty) ** 0.5))
+
+
+def _spearman(xs, ys):
+    def avg_ranks(v):
+        s = sorted(range(len(v)), key=lambda i: v[i])
+        r = [0.0] * len(v)
+        i = 0
+        while i < len(v):
+            j = i
+            while j + 1 < len(v) and v[s[j + 1]] == v[s[i]]:
+                j += 1
+            for k in range(i, j + 1):
+                r[s[k]] = (i + j) / 2 + 1
+            i = j + 1
+        return r
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) ** 0.5 * sum((b - my) ** 2 for b in ry) ** 0.5
+    )
+    return num / den
+
+
+def test_rank_stats_match_python_model(monkeypatch, spark):
+    import findb_spark.queries.stats_queries as sq
+
+    # two assets, 8 months (one row per month), deliberate ties in both
+    months = [20240105, 20240210, 20240311, 20240405, 20240510,
+              20240610, 20240712, 20240808]
+    xs = [10.0, 12.0, 12.0, 11.0, 15.0, 14.0, 18.0, 17.0]
+    ys = [30.0, 29.0, 31.0, 31.0, 33.0, 36.0, 35.0, 40.0]
+    rows = [(1, d, x) for d, x in zip(months, xs)] + [
+        (2, d, y) for d, y in zip(months, ys)
+    ]
+    _patch_daily(monkeypatch, spark, rows)
+
+    got_tau = sq.stats_kendall_tau(spark, "unused").collect()
+    assert len(got_tau) == 1
+    assert got_tau[0].tau_b == round(_tau_b(xs, ys), 8)
+
+    got_rho = sq.stats_spearman(spark, "unused").collect()
+    assert len(got_rho) == 1
+    assert got_rho[0].rho == round(_spearman(xs, ys), 8)
+
+    # Theil-Sen per asset: median pairwise slope in cents/month-index
+    def ts_slope(v):
+        sl = sorted(
+            (v[j] - v[i]) * 100 / (j - i)
+            for i in range(len(v))
+            for j in range(i + 1, len(v))
+        )
+        n = len(sl)
+        mid = (
+            sl[(n - 1) // 2] if n % 2 else (sl[n // 2 - 1] + sl[n // 2]) / 2
+        )
+        return round(mid, 6)
+
+    got_ts = {r.asset_id: r for r in sq.stats_theil_sen(spark, "unused").collect()}
+    assert got_ts[1].ts_slope_cents == ts_slope(xs)
+    assert got_ts[2].ts_slope_cents == ts_slope(ys)
+    assert got_ts[1].n_pairs == 28
