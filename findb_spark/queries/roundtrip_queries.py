@@ -1489,3 +1489,167 @@ def roundtrip_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("date").cast("bigint").alias("max_date"),
         fxp_sum(F.col("value"), "sum_value"),
     )
+
+
+@register(
+    "roundtrip_dynamic_overwrite",
+    """
+WITH src AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS month,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+mx AS (SELECT MAX(month) AS t FROM src)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN month = t THEN cents * 2 ELSE cents END) AS BIGINT)
+         AS sum_cents,
+       CAST(COUNT(DISTINCT month) AS BIGINT) AS n_months
+FROM src, mx
+""",
+    category="roundtrip",
+    description=(
+        "Dynamic partition overwrite hard signal (O10/O11 partition-level "
+        "update): orders laid out by month, then ONLY the latest month "
+        "rewritten with doubled cents under "
+        "partitionOverwriteMode=dynamic — untouched partitions must keep "
+        "their exact files (asserted in-query; static mode would wipe "
+        "them) and the table must re-aggregate to the oracle's patched "
+        "full-source sum"
+    ),
+)
+def roundtrip_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-level mutation primitive every warehouse backfill
+    uses: replace one partition in place, leave the rest byte-stable.
+    INSERT OVERWRITE static mode silently truncating sibling partitions
+    is the classic footgun — this cert fails loudly if the dynamic mode
+    contract regresses."""
+    import glob
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    path = _scratch(sf_dir, "dyn_overwrite_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    src.write.mode("overwrite").partitionBy("month").parquet(path)
+    bounds = src.agg(
+        F.min("month").alias("lo"), F.max("month").alias("hi")
+    ).collect()[0]  # bounded 1-row agg
+    witness = sorted(
+        os.path.basename(p) for p in glob.glob(f"{path}/month={bounds.lo}/part-*")
+    )
+    patched = src.where(F.col("month") == bounds.hi).withColumn(
+        "cents", F.col("cents") * 2
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patched.write.mode("overwrite").partitionBy("month").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = sorted(
+        os.path.basename(p) for p in glob.glob(f"{path}/month={bounds.lo}/part-*")
+    )
+    if witness != after or not witness:
+        raise AssertionError(
+            f"dynamic overwrite touched a sibling partition: {witness} -> {after}"
+        )
+    return spark.read.parquet(path).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.countDistinct("month").cast("bigint").alias("n_months"),
+    )
+
+
+@register(
+    "roundtrip_stream_restart",
+    f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       {fxp_sum_sql('value')} AS sum_value
+FROM events GROUP BY event_type
+""",
+    category="roundtrip",
+    description=(
+        "Checkpoint-restart exactly-once hard signal: the event stream is "
+        "replayed as TWO SEPARATE availableNow query lifetimes over one "
+        "checkpoint (second file arrives only after the first query "
+        "terminates) — the restarted query must resume from the source "
+        "offset log without reprocessing batch 1, and the parquet sink's "
+        "commit log must expose exactly-once output equal to the batch "
+        "oracle over the full table"
+    ),
+)
+def roundtrip_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the recovery contract streaming correctness rests on:
+    offsets + sink transaction log survive a query (process) restart.
+    A duplicate replay would double batch-1 counts and hash-fail; a
+    lost offset would drop batch 2. The in-query assertion additionally
+    pins run 1's output to exactly the first half's row count."""
+    import glob
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    mid = (
+        ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .select((F.col("lo") + (F.col("hi") - F.col("lo")) / 2).alias("m"))
+        .collect()[0]["m"]
+    )
+    stream_dir = _scratch(sf_dir, "restart_stream")
+    out_dir = _scratch(sf_dir, "restart_out")
+    ckpt_dir = _scratch(sf_dir, "restart_ckpt")
+    for d in (stream_dir, out_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(stream_dir)
+
+    halves = (
+        ev.where(F.col("ts") < F.lit(mid)),
+        ev.where(F.col("ts") >= F.lit(mid)),
+    )
+
+    def _stage(i: int) -> None:
+        stage = _scratch(sf_dir, f"restart_stage{i}")
+        halves[i].coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = os.path.join(stream_dir, f"batch{i}.parquet")
+        shutil.copy(glob.glob(stage + "/part-*.parquet")[0], dst)
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
+
+    _stage(0)
+    schema = ev.schema
+
+    def _run_once() -> None:
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            src.select("event_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run_once()
+    n_run1 = spark.read.parquet(out_dir).count()
+    n_half1 = halves[0].count()
+    if n_run1 != n_half1:
+        raise AssertionError(f"run 1 emitted {n_run1} rows, expected {n_half1}")
+    _stage(1)
+    _run_once()  # NEW query object, same checkpoint: must resume, not replay
+    back = spark.read.parquet(out_dir)  # commit-log-gated listing
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        fxp_sum(F.col("value"), "sum_value"),
+    )

@@ -50,3 +50,34 @@ def test_compact_preserves_month_partitions(spark, tmp_path):
         for m in scan_metrics(out.where(F.col("date_month") == 202003))
     )
     assert 0 < pruned_files < full_files
+
+
+def test_dynamic_overwrite_preserves_siblings_static_wipes(spark, tmp_path):
+    """The contract the roundtrip_dynamic_overwrite cert rests on: dynamic
+    mode replaces only written partitions; static mode truncates the table
+    (negative control, so a mode regression cannot pass silently)."""
+    import glob
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20)], "id bigint, part int"
+    )
+    df.write.mode("overwrite").partitionBy("part").parquet(path)
+    before = sorted(glob.glob(path + "/part=10/part-*"))
+    patch = spark.createDataFrame([(9, 20)], "id bigint, part int")
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch.write.mode("overwrite").partitionBy("part").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert sorted(glob.glob(path + "/part=10/part-*")) == before
+    assert {(r.id, r.part) for r in spark.read.parquet(path).collect()} == {
+        (1, 10), (2, 10), (9, 20)
+    }
+
+    # negative control: static overwrite of the same single-partition frame
+    # wipes the sibling partition entirely
+    patch.write.mode("overwrite").partitionBy("part").parquet(path)
+    assert glob.glob(path + "/part=10/part-*") == []

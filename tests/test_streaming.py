@@ -455,3 +455,46 @@ def test_watermark_replay_drops_late_rows(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_restart_resumes_without_replay(spark, tmp_path):
+    """Two availableNow query lifetimes over one checkpoint: the second
+    must process only the file that arrived after the first terminated."""
+    import os
+
+    stream_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_dir)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, k string")
+    df2 = spark.createDataFrame([(3, "c")], "id bigint, k string")
+
+    def stage(df, name):
+        stage_dir = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+        import glob as g
+        import shutil
+
+        shutil.copy(
+            g.glob(stage_dir + "/part-*.parquet")[0],
+            os.path.join(stream_dir, name + ".parquet"),
+        )
+
+    def run():
+        src = spark.readStream.schema(df1.schema).parquet(stream_dir)
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage(df1, "b0")
+    run()
+    assert spark.read.parquet(out_dir).count() == 2
+    stage(df2, "b1")
+    run()
+    got = sorted(r.id for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 2, 3]  # no batch-1 duplicates, batch 2 present
