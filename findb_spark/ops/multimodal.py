@@ -383,3 +383,49 @@ def image_resize_thumbs(
             )
 
     return with_payload.mapInPandas(batches, schema=THUMB_SCHEMA)
+
+
+def image_boxblur_cells(with_payload: DataFrame) -> DataFrame:
+    """REAL stencil kernel over decoded P6 PPM payloads: 3x3 integer box
+    blur (sum of the 9-neighborhood, floor-divided by 9) on the image
+    interior ('valid' region, no padding semantics to pin), emitted LONG —
+    one row per interior cell per channel triple.
+
+    This is the convolution stage of an image feature pipeline with the
+    library dependency removed: separable two-pass numpy sums inside one
+    Arrow mapInPandas batch, all-integer so every output cell is exactly
+    the closed-form pixel formula's neighborhood mean — the registered
+    oracle recomputes it without touching bytes. At corpus scale the
+    kernel is embarrassingly parallel per image; batch shape and schema
+    are identical to the resize stage so the two compose."""
+    import numpy as np
+
+    from findb_spark.functions.media_codec import decode_ppm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_ppm(bytes(payload)).astype(np.int64)
+                s = px[:-2, :, :] + px[1:-1, :, :] + px[2:, :, :]
+                s = s[:, :-2, :] + s[:, 1:-1, :] + s[:, 2:, :]
+                blur = s // 9
+                for r in range(blur.shape[0]):
+                    for c in range(blur.shape[1]):
+                        rows.append(
+                            (
+                                doc_id,
+                                r + 1,
+                                c + 1,
+                                int(blur[r, c, 0]),
+                                int(blur[r, c, 1]),
+                                int(blur[r, c, 2]),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "r", "c", "red", "green", "blue"]
+            )
+
+    return with_payload.mapInPandas(
+        batches, schema="doc_id BIGINT, r INT, c INT, red INT, green INT, blue INT"
+    )

@@ -1443,3 +1443,83 @@ def ts_portfolio_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("turnover"),
         )
     )
+
+
+@register(
+    "ts_amihud_illiquidity",
+    f"""
+WITH {_DAILY_CTE},
+{_RET_CTE},
+dvol AS (
+  SELECT l_partkey AS asset_id,
+         CAST(strftime(l_shipdate, '%Y%m%d') AS INT) AS date,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem WHERE l_partkey <= 10
+  GROUP BY 1, 2
+),
+term AS (
+  SELECT r.asset_id,
+         CAST(FLOOR(ABS(CAST(r.ri AS DOUBLE)) / 10000
+                    / (CAST(d.cents AS DOUBLE) / 100)
+                    * 1000000000000 + 0.5) AS BIGINT) AS tq
+  FROM ri r JOIN dvol d ON r.asset_id = d.asset_id AND r.date = d.date
+  WHERE r.asset_id <= 10
+)
+SELECT asset_id, COUNT(*) AS n_days,
+       ROUND(CAST(SUM(tq) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) / 1000000, 6)
+         AS illiq_x1e6
+FROM term GROUP BY asset_id
+""",
+    category="timeseries",
+    description=(
+        "Amihud (2002) illiquidity: mean of |daily return| / dollar volume "
+        "per asset, scaled x1e6 — the price-impact-per-dollar measure; "
+        "per-day terms fxp-quantized at 1e12 before the exact integer mean "
+        "so the average is order-independent"
+    ),
+)
+def ts_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    li = prices_from_lineitem(spark, sf_dir)  # asset_id/date/value rows
+    wlag = Window.partitionBy("asset_id").orderBy("date")
+    ri = (
+        daily.select(
+            "asset_id",
+            "date",
+            (F.col("value") / F.lag("value").over(wlag) - 1).alias("r"),
+        )
+        .where(F.col("r").isNotNull() & (F.col("asset_id") <= 10))
+        .select(
+            "asset_id",
+            "date",
+            F.floor(F.col("r") * 10000 + F.lit(0.5)).cast("bigint").alias("ri"),
+        )
+    )
+    dvol = (
+        li.where(F.col("asset_id") <= 10)
+        .groupBy("asset_id", "date")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    term = ri.join(dvol, ["asset_id", "date"]).select(
+        "asset_id",
+        F.floor(
+            F.abs(F.col("ri").cast("double"))
+            / 10000
+            / (F.col("cents").cast("double") / 100)
+            * F.lit(1000000000000)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("tq"),
+    )
+    return term.groupBy("asset_id").agg(
+        F.count("*").alias("n_days"),
+        F.round(
+            F.sum("tq").cast("bigint") / F.count("*").cast("double") / 1000000, 6
+        ).alias("illiq_x1e6"),
+    )

@@ -277,3 +277,42 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return image_resize_thumbs(attach_ppm_payload(docs))
+
+
+@register(
+    "multimodal_image_boxblur",
+    """
+WITH d AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 5 AS BIGINT) AS w,
+         CAST(6 + doc_id % 4 AS BIGINT) AS h
+  FROM documents
+),
+rc AS (SELECT doc_id, w, h, unnest(generate_series(1, h - 2)) AS r FROM d),
+rcc AS (SELECT doc_id, w, r, unnest(generate_series(1, w - 2)) AS c FROM rc),
+dd AS (SELECT doc_id, r, c, unnest([-1, 0, 1]) AS dr FROM rcc),
+de AS (SELECT doc_id, r, c, dr, unnest([-1, 0, 1]) AS dc FROM dd)
+SELECT doc_id, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+       CAST(SUM((doc_id * 31 + (r + dr) * 17 + (c + dc) * 13 + 0) % 256) // 9
+            AS INT) AS red,
+       CAST(SUM((doc_id * 31 + (r + dr) * 17 + (c + dc) * 13 + 7) % 256) // 9
+            AS INT) AS green,
+       CAST(SUM((doc_id * 31 + (r + dr) * 17 + (c + dc) * 13 + 14) % 256) // 9
+            AS INT) AS blue
+FROM de GROUP BY doc_id, r, c
+""",
+    category="multimodal",
+    description=(
+        "REAL 3x3 box-blur convolution: P6 PPM payloads decoded and the "
+        "9-neighborhood integer mean computed per interior cell (separable "
+        "two-pass numpy stencil in one Arrow mapInPandas stage), emitted "
+        "long-format; the oracle recomputes every blurred cell from the "
+        "closed-form pixel formula — certifying the encode -> bytes -> "
+        "decode -> convolve path end to end"
+    ),
+)
+def multimodal_image_boxblur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.multimodal import attach_ppm_payload, image_boxblur_cells
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_boxblur_cells(attach_ppm_payload(docs))

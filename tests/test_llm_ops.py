@@ -588,3 +588,31 @@ def test_power_iteration_recovers_dominant_direction(spark):
     evals, evecs = np.linalg.eigh(x.T @ x)
     top = evecs[:, int(np.argmax(evals))]
     assert abs(float(v @ top)) > 0.999
+
+
+def test_image_boxblur_matches_naive_stencil(spark):
+    """The separable two-pass kernel must equal the naive 9-sum // 9 on a
+    known image, interior-only coordinates."""
+    import numpy as np
+
+    from findb_spark.functions.media_codec import image_pixels
+    from findb_spark.ops.multimodal import attach_ppm_payload, image_boxblur_cells
+
+    docs = spark.createDataFrame(
+        [(3, "x", "en", "s", 1), (7, "y", "en", "s", 1)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = image_boxblur_cells(attach_ppm_payload(docs)).collect()
+    got = {(r.doc_id, r.r, r.c): (r.red, r.green, r.blue) for r in out}
+    for doc_id in (3, 7):
+        px = image_pixels(doc_id).astype(np.int64)
+        h, w, _ = px.shape
+        for r in range(1, h - 1):
+            for c in range(1, w - 1):
+                want = tuple(
+                    int(px[r - 1 : r + 2, c - 1 : c + 2, ch].sum() // 9)
+                    for ch in range(3)
+                )
+                assert got[(doc_id, r, c)] == want
+    # interior-only: no border coordinates emitted
+    assert all(r >= 1 and c >= 1 for (_, r, c) in got)
