@@ -1292,3 +1292,81 @@ def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ushape_rev"),
         )
     )
+
+
+_MKV_ROUNDS = 6
+
+
+def _markov_stationary_sql(rounds: int = _MKV_ROUNDS) -> str:
+    # transition counts are FIXED across rounds (only the mass vector
+    # iterates, each pi{i} referenced once) — no CTE blowup; the per-term
+    # floor division keeps every round exact-integer on both engines
+    ctes = [
+        """seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events)""",
+        """t AS (
+  SELECT prev_type AS p, event_type AS q, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type)""",
+        "c AS (SELECT p, CAST(SUM(n) AS BIGINT) AS cn FROM t GROUP BY p)",
+        "pi0 AS (SELECT p AS typ, CAST(1000000 AS BIGINT) AS m FROM c)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"pi{i + 1} AS (SELECT t.q AS typ,"
+            f" CAST(SUM((pi.m * t.n) // c.cn) AS BIGINT) AS m"
+            f" FROM pi{i} pi JOIN t ON pi.typ = t.p JOIN c ON t.p = c.p"
+            f" GROUP BY t.q)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+tot AS (SELECT CAST(SUM(m) AS BIGINT) AS s FROM pi{rounds})
+SELECT typ AS event_type, m AS pi_fx,
+       ROUND(CAST(m AS DOUBLE) / CAST(s AS DOUBLE), 8) AS pi_share
+FROM pi{rounds}, tot
+"""
+
+
+@register(
+    "events_markov_stationary",
+    _markov_stationary_sql(),
+    category="events",
+    description=(
+        f"Stationary distribution of the user-journey Markov chain: "
+        f"{_MKV_ROUNDS} integer power-iteration rounds over the transition "
+        "counts (per-term floor division, exact int mass vector) — the "
+        "long-run share of attention each event type absorbs; bit-identical "
+        "cross-engine, unlike float matrix iteration"
+    ),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("q"),
+        F.lag("event_type").over(w).alias("p"),
+    ).where(F.col("p").isNotNull())
+    t = seq.groupBy("p", "q").agg(F.count("*").alias("n"))
+    c = t.groupBy("p").agg(F.sum("n").cast("bigint").alias("cn"))
+    t = t.join(c, "p").localCheckpoint()  # K^2 rows, reused every round
+    pi = c.select(F.col("p").alias("typ"), F.lit(1000000).cast("bigint").alias("m"))
+    for _ in range(_MKV_ROUNDS):
+        pi = (
+            pi.join(t, pi["typ"] == t["p"])
+            .select("q", F.expr("(m * n) div cn").alias("contrib"))
+            .groupBy("q")
+            .agg(F.sum("contrib").cast("bigint").alias("m"))
+            .select(F.col("q").alias("typ"), "m")
+            .localCheckpoint()
+        )
+    tot = pi.agg(F.sum("m").cast("bigint").alias("s"))
+    return pi.crossJoin(F.broadcast(tot)).select(
+        F.col("typ").alias("event_type"),
+        F.col("m").alias("pi_fx"),
+        F.round(F.col("m").cast("double") / F.col("s").cast("double"), 8).alias(
+            "pi_share"
+        ),
+    )

@@ -1653,3 +1653,73 @@ def roundtrip_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         fxp_sum(F.col("value"), "sum_value"),
     )
+
+
+@register(
+    "roundtrip_occ_commit",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(3 AS BIGINT) AS n_versions,
+       CAST(1 AS BIGINT) AS n_conflicts
+FROM orders
+""",
+    category="roundtrip",
+    description=(
+        "Optimistic-concurrency commit hard signal: two writers race from "
+        "the same base version — the CAS commit marker lets exactly one "
+        "win, the loser gets VersionConflict, rebases on the new head and "
+        "retries; the final head must contain BOTH changes (no lost "
+        "update) and aggregate identically to the oracle's full source"
+    ),
+)
+def roundtrip_occ_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional write contract of every lakehouse format: a
+    stale writer must never silently clobber a concurrent commit (the
+    lost-update anomaly). Writer B and writer C both base on v1; B wins
+    v2, C conflicts, rebases by re-reading the new head, and lands v3
+    carrying B's rows forward — certified by the aggregate equaling the
+    oracle over ALL rows."""
+    import shutil
+
+    from findb_spark.versioning import (
+        VersionConflict,
+        commit_version,
+        read_version,
+        write_version,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = _scratch(sf_dir, "occ_table")
+    shutil.rmtree(table, ignore_errors=True)
+    base = write_version(o.where(F.col("o_orderkey") % 3 == 0), table)  # v1
+
+    delta_b = o.where(F.col("o_orderkey") % 3 == 1)
+    delta_c = o.where(F.col("o_orderkey") % 3 == 2)
+
+    # writer B: read head(v1), union its delta, commit -> v2
+    head_b = read_version(spark, table)
+    v2 = commit_version(head_b.unionByName(delta_b), table, expected_base=base)
+
+    # writer C: ALSO based on v1 (stale) -> must conflict, then rebase
+    stale_view = read_version(spark, table, version=base).unionByName(delta_c)
+    n_conflicts = 0
+    try:
+        commit_version(stale_view, table, expected_base=base)
+    except VersionConflict:
+        n_conflicts = 1
+    if n_conflicts != 1:
+        raise AssertionError("stale writer committed without a conflict")
+    rebased = read_version(spark, table).unionByName(delta_c)
+    v3 = commit_version(rebased, table, expected_base=v2)
+
+    final = read_version(spark, table)
+    return final.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+        F.lit(v3).cast("bigint").alias("n_versions"),
+        F.lit(n_conflicts).cast("bigint").alias("n_conflicts"),
+    )

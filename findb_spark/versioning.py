@@ -101,3 +101,57 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
     for v in expired:
         shutil.rmtree(versions[v], ignore_errors=True)
     return expired
+
+
+class VersionConflict(RuntimeError):
+    """Another writer committed first; rebase on the new head and retry."""
+
+
+def commit_version(df: DataFrame, table_dir: str, expected_base: int) -> int:
+    """Optimistic-concurrency commit — the Delta/Iceberg CAS contract:
+    publish ``df`` as version ``expected_base + 1`` ONLY IF no other
+    writer got there first; otherwise raise :class:`VersionConflict` so
+    the caller re-reads the new head, rebases its change, and retries.
+
+    Atomicity comes from a put-if-absent commit marker: version N+1 is
+    claimed by creating ``_commit_v{N+1}`` with O_CREAT|O_EXCL, which the
+    filesystem guarantees exactly one writer wins (the same primitive
+    Delta Lake uses for its log-entry put-if-absent). The stale-base fast
+    path (head already moved) is checked first so losers usually fail
+    before writing any data; a loser that wrote data discards its orphan
+    directory. The manifest rewrite stays atomic (tmp + os.replace), so
+    readers still never observe a half-commit.
+    """
+    import shutil
+
+    os.makedirs(table_dir, exist_ok=True)
+    versions = list_versions(table_dir)
+    head = max(versions) if versions else 0
+    if head != expected_base:
+        raise VersionConflict(
+            f"expected base {expected_base}, head is {head}: rebase and retry"
+        )
+    v = expected_base + 1
+    marker = os.path.join(table_dir, f"_commit_v{v}")
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise VersionConflict(
+            f"version {v} already claimed by another writer: rebase and retry"
+        ) from None
+    os.close(fd)
+    data_dir = os.path.join(table_dir, f"v{v}")
+    try:
+        df.write.mode("overwrite").parquet(data_dir)
+        if not os.path.exists(os.path.join(data_dir, "_SUCCESS")):
+            raise RuntimeError(f"parquet commit missing _SUCCESS: {data_dir}")
+    except BaseException:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        os.unlink(marker)
+        raise
+    versions[v] = data_dir
+    tmp = _manifest_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"versions": {str(k): p for k, p in versions.items()}}, f)
+    os.replace(tmp, _manifest_path(table_dir))
+    return v

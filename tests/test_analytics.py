@@ -337,3 +337,30 @@ def test_rank_stats_match_python_model(monkeypatch, spark):
     assert got_ts[1].ts_slope_cents == ts_slope(xs)
     assert got_ts[2].ts_slope_cents == ts_slope(ys)
     assert got_ts[1].n_pairs == 28
+
+
+def test_markov_stationary_fixed_point_of_known_chain(spark):
+    """Two-state chain a->b always, b->a always: stationary = (.5, .5).
+    Three-state with self-loops verified against the float fixed point."""
+    import datetime as dt
+
+    import findb_spark.queries.events_queries as eq
+
+    # user 1 alternates a,b,a,b,... -> P(a->b)=P(b->a)=1
+    rows = []
+    for i in range(21):
+        rows.append((i, TS0 + dt.timedelta(minutes=i), 1,
+                     "a" if i % 2 == 0 else "b", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    orig = eq.load_table
+    try:
+        eq.load_table = lambda s, d, n: ev
+        got = {r.event_type: r.pi_share for r in
+               eq.events_markov_stationary(spark, "unused").collect()}
+    finally:
+        eq.load_table = orig
+    assert got == {"a": 0.5, "b": 0.5}

@@ -129,3 +129,77 @@ def test_vacuum_expires_old_versions(spark, tmp_path):
     # new writes continue the version sequence (no number reuse)
     v = write_version(spark.createDataFrame([(5, 50)], "k int, v int"), table)
     assert v == 5
+
+
+# ---- optimistic concurrency (commit_version CAS) -------------------------
+
+
+def test_occ_stale_base_conflicts_then_rebases(spark, tmp_path):
+    from findb_spark.versioning import (
+        VersionConflict,
+        commit_version,
+        read_version,
+        write_version,
+    )
+    import pytest as _pt
+
+    table = str(tmp_path / "t")
+    df = lambda *ids: spark.createDataFrame([(i,) for i in ids], "id bigint")
+    base = write_version(df(1), table)
+    v2 = commit_version(df(1, 2), table, expected_base=base)
+    assert v2 == 2
+    with _pt.raises(VersionConflict):
+        commit_version(df(1, 3), table, expected_base=base)  # stale
+    v3 = commit_version(df(1, 2, 3), table, expected_base=v2)
+    assert v3 == 3
+    assert sorted(r.id for r in read_version(spark, table).collect()) == [1, 2, 3]
+    # time travel still resolves every committed version
+    assert sorted(r.id for r in read_version(spark, table, 2).collect()) == [1, 2]
+
+
+def test_occ_marker_claim_is_put_if_absent(spark, tmp_path):
+    """Even with a matching manifest head, a pre-existing commit marker
+    (a racer that claimed the slot but hasn't published yet) must lose
+    the CAS — the O_EXCL guarantee the whole contract rests on."""
+    import os
+
+    import pytest as _pt
+
+    from findb_spark.versioning import VersionConflict, commit_version, write_version
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id bigint")
+    write_version(df, table)
+    open(os.path.join(table, "_commit_v2"), "w").close()  # racer's claim
+    with _pt.raises(VersionConflict):
+        commit_version(df, table, expected_base=1)
+
+
+def test_occ_failed_write_releases_claim(spark, tmp_path, monkeypatch):
+    """If the data write blows up after the marker is claimed, the marker
+    and orphan directory are cleaned up so a retry can claim the slot."""
+    import os
+
+    import pytest as _pt
+
+    from findb_spark.versioning import commit_version, write_version
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id bigint")
+    write_version(df, table)
+
+    class Boom(Exception):
+        pass
+
+    bad = spark.createDataFrame([(2,)], "id bigint")
+    orig = type(bad.write).parquet
+
+    def explode(self, path):
+        raise Boom()
+
+    monkeypatch.setattr(type(bad.write), "parquet", explode)
+    with _pt.raises(Boom):
+        commit_version(bad, table, expected_base=1)
+    monkeypatch.setattr(type(bad.write), "parquet", orig)
+    assert not os.path.exists(os.path.join(table, "_commit_v2"))
+    assert commit_version(bad, table, expected_base=1) == 2
