@@ -1486,3 +1486,194 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("slope"), 6).alias("ts_slope_cents"),
         )
     )
+
+
+@register(
+    "stats_cramers_v",
+    """
+WITH d AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st FROM orders
+),
+cells AS (SELECT pri, st, COUNT(*) AS o FROM d GROUP BY 1, 2),
+rt AS (SELECT pri, SUM(o) AS row_tot FROM cells GROUP BY 1),
+ct AS (SELECT st, SUM(o) AS col_tot FROM cells GROUP BY 1),
+g AS (SELECT SUM(o) AS grand FROM cells),
+terms AS (
+  SELECT CAST(FLOOR(
+           (o - CAST(row_tot * col_tot AS DOUBLE) / grand)
+           * (o - CAST(row_tot * col_tot AS DOUBLE) / grand)
+           / (CAST(row_tot * col_tot AS DOUBLE) / grand) * 1000000 + 0.5)
+         AS BIGINT) AS t
+  FROM cells JOIN rt USING (pri) JOIN ct USING (st) CROSS JOIN g
+),
+dims AS (SELECT COUNT(DISTINCT pri) AS r, COUNT(DISTINCT st) AS c FROM cells)
+SELECT ROUND(CAST(SUM(t) AS DOUBLE) / 1000000, 6) AS chi2,
+       CAST(MAX(g.grand) AS BIGINT) AS n,
+       CAST((MAX(d2.r) - 1) * (MAX(d2.c) - 1) AS BIGINT) AS dof,
+       ROUND(SQRT(CAST(SUM(t) AS DOUBLE) / 1000000
+                  / (CAST(MAX(g.grand) AS DOUBLE)
+                     * LEAST(MAX(d2.r) - 1, MAX(d2.c) - 1))), 8) AS cramers_v
+FROM terms CROSS JOIN g CROSS JOIN dims d2
+""",
+    category="relational",
+    description=(
+        "Cramer's V effect size for order priority x order status: the "
+        "chi-squared machinery (exact rational expected counts, "
+        "fixed-point term sum) normalized to [0,1] by n*min(r-1,c-1) — "
+        "association strength, not just significance"
+    ),
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st"))
+    cells = d.groupBy("pri", "st").agg(F.count("*").alias("o"))
+    rt = cells.groupBy("pri").agg(F.sum("o").alias("row_tot"))
+    ct = cells.groupBy("st").agg(F.sum("o").alias("col_tot"))
+    g = cells.agg(F.sum("o").alias("grand"))
+    terms = (
+        cells.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.expr(
+                "CAST(FLOOR("
+                "(o - CAST(row_tot * col_tot AS DOUBLE) / grand)"
+                " * (o - CAST(row_tot * col_tot AS DOUBLE) / grand)"
+                " / (CAST(row_tot * col_tot AS DOUBLE) / grand) * 1000000 + 0.5)"
+                " AS BIGINT)"
+            ).alias("t"),
+            "grand",
+            "pri",
+            "st",
+        )
+    )
+    agg = terms.agg(
+        F.sum("t").alias("st_sum"),
+        F.max("grand").alias("grand"),
+        F.countDistinct("pri").alias("r"),
+        F.countDistinct("st").alias("c"),
+    )
+    chi2 = F.col("st_sum").cast("double") / 1000000
+    return agg.select(
+        F.round(chi2, 6).alias("chi2"),
+        F.col("grand").cast("bigint").alias("n"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.col("grand").cast("double")
+                    * F.least(F.col("r") - 1, F.col("c") - 1)
+                )
+            ),
+            8,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "orders_abc_xyz",
+    """
+WITH rev AS (
+  SELECT l_partkey AS part,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+),
+abc AS (
+  SELECT part, cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, part) AS BIGINT) AS cum,
+         CAST(SUM(cents) OVER () AS BIGINT) AS tot
+  FROM rev
+),
+abc_cls AS (
+  SELECT part, cents,
+         CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+              WHEN cum * 10 <= tot * 9 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM abc
+),
+mq AS (
+  SELECT l_partkey AS part,
+         CAST(strftime(l_shipdate, '%Y%m') AS INT) AS month,
+         CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+xyz AS (
+  SELECT part, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s,
+         CAST(SUM(q * q) AS BIGINT) AS sq
+  FROM mq GROUP BY part
+),
+xyz_cls AS (
+  SELECT part,
+         CASE WHEN (n * sq - s * s) * 4 < s * s THEN 'X'
+              WHEN n * sq - s * s < s * s THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM xyz
+)
+SELECT abc_class, xyz_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS rev_cents
+FROM abc_cls JOIN xyz_cls USING (part)
+GROUP BY abc_class, xyz_class
+""",
+    category="relational",
+    description=(
+        "ABC/XYZ inventory classification grid: ABC by cumulative revenue "
+        "share (70/90 cuts as exact integer cross-products, no double "
+        "thresholds), XYZ by demand variability (CV cuts 0.5/1.0 compared "
+        "as exact integer moment inequalities: CV^2 = (n*sq - s^2)/s^2)"
+    ),
+)
+def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    )
+    wcum = Window.orderBy(F.col("cents").desc(), "part").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy()
+    abc = rev.select(
+        "part",
+        "cents",
+        F.sum("cents").over(wcum).cast("bigint").alias("cum"),
+        F.sum("cents").over(wtot).cast("bigint").alias("tot"),
+    ).select(
+        "part",
+        "cents",
+        F.when(F.col("cum") * 10 <= F.col("tot") * 7, "A")
+        .when(F.col("cum") * 10 <= F.col("tot") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    mq = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_format("l_shipdate", "yyyyMM").cast("int").alias("month"),
+    ).agg(
+        F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("q")
+    )
+    xyz = mq.groupBy("part").agg(
+        F.count("*").alias("n"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sq"),
+    )
+    var_num = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    xyz_cls = xyz.select(
+        "part",
+        F.when(var_num * 4 < F.col("s") * F.col("s"), "X")
+        .when(var_num < F.col("s") * F.col("s"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz_cls, "part")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+        )
+    )

@@ -364,3 +364,44 @@ def test_markov_stationary_fixed_point_of_known_chain(spark):
     finally:
         eq.load_table = orig
     assert got == {"a": 0.5, "b": 0.5}
+
+
+def test_abc_xyz_classification_hand_grid(spark):
+    """Three parts: one dominant-revenue steady seller (A/X), one mid
+    erratic (B or C / Y or Z), one tail (C). Pin the exact grid."""
+    import datetime as dt
+
+    import findb_spark.queries.stats_queries as sq
+
+    rows = []
+    # part 1: 70 revenue units over 3 months, steady qty 10/10/10 -> A, X
+    for m, (q, p) in enumerate([(10, 2400.0), (10, 2300.0), (10, 2300.0)]):
+        rows.append((1, q, p, dt.datetime(2024, 1 + m, 15)))
+    # part 2: erratic demand 1/10 -> CV = sqrt(2*101-121)/11 = 0.82 -> Y
+    for m, (q, p) in enumerate([(1, 1500.0), (10, 500.0)]):
+        rows.append((2, q, p, dt.datetime(2024, 1 + m, 15)))
+    # part 3: tiny tail revenue, single month -> C, X (CV=0)
+    rows.append((3, 5, 100.0, dt.datetime(2024, 2, 15)))
+    li = spark.createDataFrame(
+        [(i, p, 1, 1, float(q), price, 0.0, 0.0, "N", "O", d)
+         for i, (p, q, price, d) in enumerate(rows)],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+    orig = sq.load_table
+    try:
+        sq.load_table = lambda s, d, n: li
+        got = {
+            (r.abc_class, r.xyz_class): (r.n_parts, r.rev_cents)
+            for r in sq.orders_abc_xyz(spark, "unused").collect()
+        }
+    finally:
+        sq.load_table = orig
+    # totals: p1=7000_00, p2=2000_00, p3=100_00 cents; total=9100_00
+    # cumshare p1 = 7000/9100 = .769 > .7 -> B?  cum*10 <= tot*7 ->
+    # 70000*10 <= 91000*7=637000 -> 700000 > 637000 -> B. p2 cum 9000/9100
+    # -> 90000*10=900000 <= 91000*9=819000? no -> C. p3 -> C.
+    assert got == {("B", "X"): (1, 700000), ("C", "Y"): (1, 200000),
+                   ("C", "X"): (1, 10000)}
