@@ -1639,3 +1639,35 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "to_band"
         ),
     ).agg(F.count("*").cast("bigint").alias("n_customers"))
+
+
+@register(
+    "sql_pivot_syntax",
+    """
+SELECT o_orderpriority AS pri,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+FROM orders GROUP BY o_orderpriority
+""",
+    category="sql",
+    description=(
+        "SQL-front-end PIVOT syntax cert: the literal PIVOT clause "
+        "(Spark SQL grammar) producing status-count columns per priority; "
+        "the oracle is the equivalent conditional aggregation — proves the "
+        "SQL surface parses and plans PIVOT, not just the DataFrame pivot"
+    ),
+)
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pivot_v")
+    return spark.sql(
+        """
+        SELECT pri,
+               CAST(COALESCE(o, 0) AS BIGINT) AS n_open,
+               CAST(COALESCE(f, 0) AS BIGINT) AS n_filled,
+               CAST(COALESCE(p, 0) AS BIGINT) AS n_partial
+        FROM (SELECT o_orderpriority AS pri, o_orderstatus AS st
+              FROM orders_pivot_v)
+        PIVOT (COUNT(*) FOR st IN ('O' AS o, 'F' AS f, 'P' AS p))
+        """
+    )

@@ -1723,3 +1723,85 @@ def roundtrip_occ_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(v3).cast("bigint").alias("n_versions"),
         F.lit(n_conflicts).cast("bigint").alias("n_conflicts"),
     )
+
+
+@register(
+    "roundtrip_shallow_clone",
+    """
+WITH src AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+halves AS (SELECT *, o_orderkey % 2 = 0 AS even FROM src)
+SELECT CAST((SELECT COUNT(*) FROM halves WHERE even) AS BIGINT) AS src_rows,
+       CAST((SELECT COUNT(*) FROM halves) AS BIGINT) AS clone_rows,
+       CAST((SELECT SUM(cents) FROM halves WHERE even) AS BIGINT) AS src_cents,
+       CAST((SELECT SUM(cents) FROM halves) AS BIGINT) AS clone_cents,
+       CAST(0 AS BIGINT) AS n_files_copied
+""",
+    category="roundtrip",
+    description=(
+        "Zero-copy shallow-clone hard signal: a versioned table cloned by "
+        "manifest reference only (asserted in-query: the clone directory "
+        "contains NO parquet files), then the clone commits a divergent "
+        "version — the source head must stay unchanged and both heads "
+        "must aggregate to the oracle's two populations"
+    ),
+)
+def roundtrip_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the metadata-only table-copy primitive (dev/test forks of
+    production tables at zero storage cost) plus post-clone divergence
+    isolation — the lost-isolation failure (clone write mutating the
+    source) would flip src_rows/src_cents and hash-fail."""
+    import glob
+    import shutil
+
+    from findb_spark.versioning import (
+        clone_table,
+        commit_version,
+        read_version,
+        write_version,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    even = o.where(F.col("o_orderkey") % 2 == 0)
+    odd = o.where(F.col("o_orderkey") % 2 == 1)
+    src = _scratch(sf_dir, "clone_src")
+    dst = _scratch(sf_dir, "clone_dst")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    write_version(even.limit(0), src)  # v1: empty seed
+    head = commit_version(even, src, expected_base=1)  # v2: even half
+
+    cloned_head = clone_table(src, dst)
+    if cloned_head != head:
+        raise AssertionError(f"clone head {cloned_head} != source head {head}")
+    copied = glob.glob(os.path.join(dst, "**", "*.parquet"), recursive=True)
+    if copied:
+        raise AssertionError(f"shallow clone copied data files: {copied[:3]}")
+
+    # clone diverges: adds the odd half on top of the shared history
+    grown = read_version(spark, dst).unionByName(odd)
+    commit_version(grown, dst, expected_base=cloned_head)
+
+    src_now = read_version(spark, src)
+    clone_now = read_version(spark, dst)
+    cents = lambda c: F.sum(
+        F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")
+    ).cast("bigint")
+    a = src_now.agg(
+        F.count("*").cast("bigint").alias("src_rows"),
+        cents("o_totalprice").alias("src_cents"),
+    )
+    b = clone_now.agg(
+        F.count("*").cast("bigint").alias("clone_rows"),
+        cents("o_totalprice").alias("clone_cents"),
+    )
+    return a.crossJoin(b).select(
+        "src_rows",
+        "clone_rows",
+        "src_cents",
+        "clone_cents",
+        F.lit(0).cast("bigint").alias("n_files_copied"),
+    )

@@ -155,3 +155,32 @@ def commit_version(df: DataFrame, table_dir: str, expected_base: int) -> int:
         json.dump({"versions": {str(k): p for k, p in versions.items()}}, f)
     os.replace(tmp, _manifest_path(table_dir))
     return v
+
+
+def clone_table(src_table: str, dst_table: str) -> int:
+    """Zero-copy shallow clone (Delta SHALLOW CLONE semantics): the clone's
+    manifest REFERENCES the source's immutable version directories — no
+    data bytes are copied, so cloning a petabyte table is one JSON write.
+    After the clone, commits to either table diverge independently (each
+    table's new versions land under its own directory; the shared history
+    stays shared).
+
+    Caveat (same as the lakehouse formats'): vacuuming the SOURCE can
+    remove directories the clone still references — production deployments
+    either track cross-table references or deep-copy on vacuum. At library
+    scope the contract is documented and tests pin the visible semantics.
+    """
+    versions = list_versions(src_table)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {src_table}")
+    if list_versions(dst_table):
+        raise FileExistsError(f"clone target {dst_table} already has versions")
+    os.makedirs(dst_table, exist_ok=True)
+    tmp = _manifest_path(dst_table) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"versions": {str(k): os.path.abspath(p) for k, p in versions.items()}},
+            f,
+        )
+    os.replace(tmp, _manifest_path(dst_table))
+    return max(versions)

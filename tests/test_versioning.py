@@ -203,3 +203,32 @@ def test_occ_failed_write_releases_claim(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(type(bad.write), "parquet", orig)
     assert not os.path.exists(os.path.join(table, "_commit_v2"))
     assert commit_version(bad, table, expected_base=1) == 2
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    import glob
+    import os
+
+    import pytest as _pt
+
+    from findb_spark.versioning import (
+        clone_table,
+        commit_version,
+        read_version,
+        write_version,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = lambda *ids: spark.createDataFrame([(i,) for i in ids], "id bigint")
+    write_version(df(1, 2), src)
+    head = clone_table(src, dst)
+    assert head == 1
+    assert glob.glob(os.path.join(dst, "**", "*.parquet"), recursive=True) == []
+    assert sorted(r.id for r in read_version(spark, dst).collect()) == [1, 2]
+    # clone diverges; source untouched
+    commit_version(df(1, 2, 3), dst, expected_base=1)
+    assert sorted(r.id for r in read_version(spark, dst).collect()) == [1, 2, 3]
+    assert sorted(r.id for r in read_version(spark, src).collect()) == [1, 2]
+    # cloning onto an existing table refuses
+    with _pt.raises(FileExistsError):
+        clone_table(src, dst)
