@@ -1671,3 +1671,56 @@ def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         PIVOT (COUNT(*) FOR st IN ('O' AS o, 'F' AS f, 'P' AS p))
         """
     )
+
+
+@register(
+    "orders_repeat_purchase_curve",
+    """
+WITH seq AS (
+  SELECT o_custkey,
+         CAST(strftime(MIN(o_orderdate) OVER (PARTITION BY o_custkey), '%Y%m')
+              AS INT) AS cohort,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rnk
+  FROM orders
+),
+banded AS (
+  SELECT cohort,
+         CASE WHEN rnk = 1 THEN '1st'
+              WHEN rnk = 2 THEN '2nd'
+              WHEN rnk = 3 THEN '3rd'
+              ELSE '4plus' END AS order_band
+  FROM seq
+)
+SELECT cohort, order_band, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM banded GROUP BY cohort, order_band
+""",
+    category="relational",
+    description=(
+        "Repeat-purchase curve: customers cohorted by first-order month, "
+        "orders banded by per-customer sequence rank (1st/2nd/3rd/4+) — "
+        "the lifecycle depth grid; one shuffle on custkey for both the "
+        "cohort min and the sequence window"
+    ),
+)
+def orders_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_custkey")
+    ws = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.date_format(F.min("o_orderdate").over(wc), "yyyyMM")
+        .cast("int")
+        .alias("cohort"),
+        F.row_number().over(ws).alias("rnk"),
+    )
+    banded = seq.select(
+        "cohort",
+        F.when(F.col("rnk") == 1, "1st")
+        .when(F.col("rnk") == 2, "2nd")
+        .when(F.col("rnk") == 3, "3rd")
+        .otherwise("4plus")
+        .alias("order_band"),
+    )
+    return banded.groupBy("cohort", "order_band").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )

@@ -692,3 +692,89 @@ def vec_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return power_iteration_top_dir(emb, rounds=_PI_ROUNDS)
+
+
+@register(
+    "vec_centroid_drift",
+    """
+WITH ex AS (
+  SELECT vec_id, label, vec_id % 2 AS half, dim,
+         CAST(FLOOR(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS vq
+  FROM (SELECT vec_id, label,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings)
+),
+cent AS (
+  SELECT label, half, dim, CAST(SUM(vq) AS BIGINT) AS s, COUNT(*) AS n
+  FROM ex GROUP BY label, half, dim
+),
+diff AS (
+  SELECT a.label, a.dim,
+         CAST(FLOOR((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+                    * 100 + 0.5) AS BIGINT) AS dq,
+         a.n AS n_even, b.n AS n_odd
+  FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.half = 0 AND b.half = 1
+)
+SELECT label,
+       CAST(MAX(n_even) AS BIGINT) AS n_even,
+       CAST(MAX(n_odd) AS BIGINT) AS n_odd,
+       ROUND(SQRT(CAST(SUM(dq * dq) AS DOUBLE)) / 1000000, 6) AS drift_l2
+FROM diff GROUP BY label
+""",
+    category="vector",
+    description=(
+        "Embedding centroid drift per label: corpus split into halves by "
+        "vec_id parity, per-dim centroid deltas fxp-quantized (at 1e6 of "
+        "the raw unit: 1e4 component scale x 1e2 delta scale) before the "
+        "exact integer sum of squares — the distribution-shift monitor a "
+        "production embedding pipeline alarms on"
+    ),
+)
+def vec_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.session import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label",
+        "half",
+        F.col("pos").cast("bigint").alias("dim"),
+        F.floor(F.col("v").cast("double") * 10000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    cent = ex.groupBy("label", "half", "dim").agg(
+        F.sum("vq").cast("bigint").alias("s"), F.count("*").alias("n")
+    )
+    a = cent.where(F.col("half") == 0).alias("a")
+    b = cent.where(F.col("half") == 1).alias("b")
+    diff = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.dim") == F.col("b.dim"))
+    ).select(
+        F.col("a.label").alias("label"),
+        F.floor(
+            (
+                F.col("a.s").cast("double") / F.col("a.n")
+                - F.col("b.s").cast("double") / F.col("b.n")
+            )
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("dq"),
+        F.col("a.n").alias("n_even"),
+        F.col("b.n").alias("n_odd"),
+    )
+    return diff.groupBy("label").agg(
+        F.max("n_even").cast("bigint").alias("n_even"),
+        F.max("n_odd").cast("bigint").alias("n_odd"),
+        F.round(
+            F.sqrt(F.sum(F.col("dq") * F.col("dq")).cast("double")) / 1000000, 6
+        ).alias("drift_l2"),
+    )
