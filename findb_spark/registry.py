@@ -79,6 +79,17 @@ _SPECS: dict[str, QuerySpec] = {}
 #: dedup_split_leakage first), and roll the remainder + headline
 #: re-confirmations to round 7.
 #:
+#: SESSION-3 ADDITIONS (also pre-validated at sf0.001 AND sf0.01; never
+#: driver-checked): 20 more — engine mechanisms first for round 6 if
+#: slots allow (roundtrip_dynamic_overwrite, roundtrip_stream_restart,
+#: roundtrip_occ_commit, roundtrip_shallow_clone, vec_power_iteration,
+#: graph_label_propagation, graph_bfs_contamination,
+#: multimodal_image_boxblur, sql_pivot_syntax, events_markov_stationary),
+#: analytics to round 7 (text_kneser_ney_bigram, text_rake_keywords,
+#: stats_kendall_tau, stats_spearman, stats_theil_sen,
+#: ts_amihud_illiquidity, stats_cramers_v, orders_abc_xyz,
+#: vec_centroid_drift, orders_repeat_purchase_curve).
+#:
 #: ROUND-5 ROTATION: CORRECTNESS_r04 landed 50/50 green, so every query
 #: registered before round 5 carries a driver hard-signal row EXCEPT the 5
 #: registered after the round-4 window filled — they lead this prefix.  Next

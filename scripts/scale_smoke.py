@@ -358,6 +358,17 @@ def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
                 "findb_spark.queries.text_queries", fromlist=["x"]
             ).text_bpe_train_rounds(spark, sf_dir).count()
         ),
+        # synchronous LPA: per round one edges x labels join + top-1
+        # window, both keyed on node — wall should track the pair-graph
+        # size, with the fixed round count amortized
+        "label_propagation": timed(
+            lambda: all_specs()["graph_label_propagation"].fn(spark, sf_dir).count()
+        ),
+        # multi-source BFS: frontier relation bounded by |V|; per round
+        # one keyed join + min groupBy — same scaling contract as LPA
+        "bfs_contamination": timed(
+            lambda: all_specs()["graph_bfs_contamination"].fn(spark, sf_dir).count()
+        ),
     }
 
 
@@ -439,6 +450,7 @@ def events_workload(spark, sf_dir: str) -> dict[str, float]:
 
 def vector_workload(spark, sf_dir: str, factor: int = 1) -> dict[str, float]:
     from findb_spark.ops.vector import pq_adc_topk
+    from findb_spark.registry import all_specs
 
     emb = load_table(spark, sf_dir, "embeddings")
     # LSH SCALE LAW: with a FIXED plane count, bucket density grows
@@ -454,6 +466,19 @@ def vector_workload(spark, sf_dir: str, factor: int = 1) -> dict[str, float]:
         "pq_adc_topk": timed(lambda: pq_adc_topk(emb, k=5).count()),
         "knn_graph": timed(
             lambda: _knn_graph_shape(emb, n_planes=6 + extra).count()
+        ),
+        # matrix-free power iteration: every half-step is one keyed join +
+        # one groupBy over the exploded (vec, dim) relation — work is
+        # O(n*d) per round, so the ratio must track replication linearly
+        "power_iteration": timed(
+            lambda: __import__(
+                "findb_spark.ops.vector", fromlist=["x"]
+            ).power_iteration_top_dir(emb, rounds=3).count()
+        ),
+        # per-(label, half, dim) centroid sums + 64-row-per-label join:
+        # one exploded-scan aggregation, linear
+        "centroid_drift": timed(
+            lambda: all_specs()["vec_centroid_drift"].fn(spark, sf_dir).count()
         ),
     }
 

@@ -402,3 +402,41 @@ def test_momentum_backtest_single_asset_shuffle(spark):
     # most one exchange on asset_id-containing keys plus the small
     # month-level exchanges
     assert p.count("Exchange hashpartitioning(asset_id") <= 2
+
+
+def test_kendall_pair_joins_are_equi_not_cartesian(spark):
+    p = _plan(spark, "stats_kendall_tau")
+    assert "CartesianProduct" not in p
+    # month alignment + time-pair ordering both plan as hash/merge joins
+    assert "Join" in p
+
+
+def test_power_iteration_normalizers_broadcast(spark):
+    # the final normalization joins a 1-row aggregate: must be a broadcast
+    # nested-loop with the single-row side, never a cartesian of the data
+    p = _plan(spark, "vec_power_iteration")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_boxblur_is_two_arrow_stages(spark):
+    # attach payload + convolve: exactly two Python/Arrow map stages,
+    # no per-row Python UDF anywhere
+    p = _plan(spark, "multimodal_image_boxblur")
+    # formatted explain lists each node twice (tree + details): "(N) Map…"
+    assert p.count(") MapInPandas") == 2
+    assert "BatchEvalPython" not in p
+
+
+def test_centroid_drift_single_explode_equi_join(spark):
+    p = _plan(spark, "vec_centroid_drift")
+    assert "CartesianProduct" not in p
+    # the exploded (label, half, dim) relation feeds per-group aggregation
+    assert "Generate" in p
+
+
+def test_kn_bigram_single_doc_shuffle_then_pair_aggs(spark):
+    p = _plan(spark, "text_kneser_ney_bigram")
+    assert "CartesianProduct" not in p
+    # the 1-row bigram-total side joins as broadcast
+    assert "BroadcastNestedLoopJoin" in p
