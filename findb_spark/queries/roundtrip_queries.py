@@ -1805,3 +1805,73 @@ def roundtrip_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clone_cents",
         F.lit(0).cast("bigint").alias("n_files_copied"),
     )
+
+
+@register(
+    "roundtrip_change_feed",
+    """
+WITH k AS (
+  SELECT o_orderkey AS k,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT CAST(SUM(CASE WHEN k % 6 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(SUM(CASE WHEN k % 6 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+       CAST(SUM(CASE WHEN k % 12 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(SUM(CASE WHEN k % 6 = 4 THEN cents
+                     WHEN k % 12 = 0 THEN cents * 2
+                     ELSE 0 END) AS BIGINT) AS sum_new_cents
+FROM k
+""",
+    category="roundtrip",
+    description=(
+        "Change-data-feed hard signal: three committed versions (seed / "
+        "inserts / mixed insert+delete+update), then read_changes(v1 -> "
+        "v3) — the feed must classify every key exactly (inserts k%6=4, "
+        "deletes k%6=3, updates k%12=0 price-doubled) and its new-value "
+        "sum must match the oracle's closed form over the source"
+    ),
+)
+def roundtrip_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the versioning layer's read story: time travel reads a
+    state, the change feed reads a TRANSITION — the input every
+    downstream incremental consumer (IVM, replication, cache refresh)
+    actually wants. No write-side logging: the feed falls out of the
+    immutable version directories."""
+    import shutil
+
+    from findb_spark.versioning import read_changes, write_version
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    table = _scratch(sf_dir, "cdf_table")
+    shutil.rmtree(table, ignore_errors=True)
+    v1 = o.where(F.col("k") % 3 == 0)
+    write_version(v1, table)
+    v2 = v1.unionByName(o.where(F.col("k") % 3 == 1))
+    write_version(v2, table)
+    v3 = v2.where(F.col("k") % 6 != 3).withColumn(
+        "cents",
+        F.when(F.col("k") % 12 == 0, F.col("cents") * 2).otherwise(F.col("cents")),
+    ).where(F.col("k") % 6 != 1)
+    write_version(v3, table)
+
+    feed = read_changes(spark, table, 1, 3, keys=["k"], compare=["cents"])
+    return feed.agg(
+        F.sum(F.when(F.col("change") == "insert", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_insert"),
+        F.sum(F.when(F.col("change") == "delete", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_delete"),
+        F.sum(F.when(F.col("change") == "update", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_update"),
+        F.sum(F.coalesce(F.col("new_cents"), F.lit(0)))
+        .cast("bigint")
+        .alias("sum_new_cents"),
+    )

@@ -778,3 +778,78 @@ def vec_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.sum(F.col("dq") * F.col("dq")).cast("double")) / 1000000, 6
         ).alias("drift_l2"),
     )
+
+
+_BIN_TOPK = 5
+
+
+@register(
+    "vec_binary_hamming_topk",
+    f"""
+WITH bits AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN CAST(v AS DOUBLE) >= 0
+                       THEN CAST(1 AS BIGINT) << dim ELSE 0 END) AS BIGINT)
+           AS word
+  FROM (SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings)
+  GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, word AS qw FROM bits WHERE vec_id < 3),
+h AS (
+  SELECT query_id, vec_id,
+         CAST(bit_count(xor(word, qw)) AS INT) AS hamming
+  FROM bits CROSS JOIN q WHERE vec_id != query_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, vec_id) AS rnk
+      FROM h)
+SELECT query_id, vec_id, hamming, rnk FROM r WHERE rnk <= {_BIN_TOPK}
+""",
+    category="vector",
+    description=(
+        "Binary-sign embedding compression + Hamming top-k: 64 dims packed "
+        "into ONE int64 word (sign bits), neighbors ranked by "
+        "popcount(xor) — 4 bytes-per-dim crushed to 1 bit, the 32x "
+        "compression rung below PQ; corpus pass reads 8 bytes per vector"
+    ),
+)
+def vec_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.session import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+    bits = ex.groupBy("vec_id").agg(
+        F.sum(
+            # shiftleft's shift amount must be a literal in the Python DSL;
+            # the SQL form accepts the dim column
+            F.when(
+                F.col("v").cast("double") >= 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), dim)"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("word")
+    )
+    q = bits.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("word").alias("qw")
+    )
+    h = (
+        bits.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.bit_count(F.col("word").bitwiseXOR(F.col("qw")))
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        h.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _BIN_TOPK)
+        .select("query_id", "vec_id", "hamming", "rnk")
+    )
