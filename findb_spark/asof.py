@@ -272,25 +272,38 @@ def asof_join_nearest(
     — the mark-to-nearest-quote shape.
 
     Implemented as the backward and forward union+last_value scans joined
-    on the probe key — two one-shuffle passes, still no range-join
-    explosion; the pick is a pure projection.  ``right_time`` must be in
-    ``value_cols`` (the distances need the matched times)."""
+    on a synthetic unique probe id — two one-shuffle passes, still no
+    range-join explosion; the pick is a pure projection.  The probe id
+    (``monotonically_increasing_id`` pinned by an eager
+    ``localCheckpoint``, so both passes see identical ids) rather than the
+    full left row is the join key: duplicate left rows would otherwise
+    cross-product (2 identical probes -> 4 rows) and a NULL in any left
+    column would silently drop its probe (equi-join is not null-safe).
+    ``right_time`` must be in ``value_cols`` (the distances need the
+    matched times)."""
     if right_time not in value_cols:
         raise ValueError("nearest requires right_time in value_cols")
+    rid = "_nearest_probe_id"
+    # eager checkpoint pins the nondeterministic ids so the backward and
+    # forward passes cannot recompute them differently
+    left_id = left.withColumn(rid, F.monotonically_increasing_id()).localCheckpoint(
+        eager=True
+    )
     l_cols = [c for c in left.columns]
     back = asof_join(
-        left, right, on, left_time, right_time, value_cols, "backward"
+        left_id, right, on, left_time, right_time, value_cols, "backward"
     ).select(
         *l_cols,
+        rid,
         *[F.col(f"matched_{c}").alias(f"_b_{c}") for c in value_cols],
     )
     fwd = asof_join(
-        left, right, on, left_time, right_time, value_cols, "forward"
+        left_id, right, on, left_time, right_time, value_cols, "forward"
     ).select(
-        *l_cols,
+        rid,
         *[F.col(f"matched_{c}").alias(f"_f_{c}") for c in value_cols],
     )
-    j = back.join(fwd, l_cols)
+    j = back.join(fwd, rid)
     bt, ft = F.col(f"_b_{right_time}"), F.col(f"_f_{right_time}")
     lt = F.col(left_time)
     use_back = F.when(bt.isNull(), F.lit(False)).otherwise(

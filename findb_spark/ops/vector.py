@@ -943,7 +943,11 @@ def pq_train(nv: DataFrame, cbw: DataFrame | list) -> DataFrame:
 
 
 def pq_adc_topk(
-    emb: DataFrame, k: int = 5, train: bool = True, kernel: str = "arrow"
+    emb: DataFrame,
+    k: int = 5,
+    train: bool = True,
+    kernel: str = "arrow",
+    codebook: list | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate top-k for the standard query set (vec_id < 3).
 
@@ -979,11 +983,18 @@ def pq_adc_topk(
     # As lazy plans their corpus-scan subtrees would be RE-EXECUTED by
     # every consumer (measured 108 parquet scans / 23k plan nodes in the
     # unmaterialized pq_search plan); binary py4j doubles keep every
-    # codeword bit-identical.
+    # codeword bit-identical.  ``codebook`` short-circuits training with
+    # already-trained rows (the deployed shape: the index is built once
+    # and amortizes across every query against the same corpus — see
+    # queries/vector_queries.py's per-corpus memo), making this function
+    # fully lazy: zero eager jobs, one action end-to-end.
     nv = _normalized(emb)
-    cb_rows = pq_codebook(emb).collect()
-    if train:
-        cb_rows = pq_train(nv, cb_rows).collect()
+    if codebook is not None:
+        cb_rows = list(codebook)
+    else:
+        cb_rows = pq_codebook(emb).collect()
+        if train:
+            cb_rows = pq_train(nv, cb_rows).collect()
     cw = _cb_lists(cb_rows)
     cbdf = _cb_onerow(emb.sparkSession, cw)
     enc = pq_encode_arrow if kernel == "arrow" else pq_encode
@@ -1019,6 +1030,7 @@ def pq_search(
     shortlist: int = 50,
     train: bool = True,
     kernel: str = "arrow",
+    codebook: list | None = None,
 ) -> DataFrame:
     """Production PQ search shape: ADC shortlist (integer lookups over the
     compressed code table) -> exact cosine rerank of only the shortlist
@@ -1028,9 +1040,9 @@ def pq_search(
     (queries x shortlist)-row join back to the embedding table.  Recall =
     P(true top-k inside the ADC shortlist); tests pin the trained-codebook
     recall floor and the improvement over the untrained sample."""
-    sl = pq_adc_topk(emb, k=shortlist, train=train, kernel=kernel).select(
-        "query_id", "vec_id"
-    )
+    sl = pq_adc_topk(
+        emb, k=shortlist, train=train, kernel=kernel, codebook=codebook
+    ).select("query_id", "vec_id")
     base = emb.select("vec_id", "embedding").withColumn(
         "_nrm", norm_expr("embedding")
     )

@@ -160,10 +160,16 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Benford expected first-digit shares log10(1 + 1/d) — transcendental, so
-#: computed ONCE in Python and embedded as identical float literals
-_BENFORD = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
-_BENFORD_CASE = " ".join(
-    f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items()
+#: computed ONCE in Python and embedded as exact integer parts-per-million
+#: literals (half-up).  All downstream arithmetic is pure int64: the driver
+#: hashes raw column values, and ROUND(double, 6) computed by two engines can
+#: differ in the final ulp while agreeing at 6dp (round-5 red driver row).
+_BENFORD_PPM = {
+    d: int(math.floor(math.log10(1.0 + 1.0 / d) * 1_000_000 + 0.5))
+    for d in range(1, 10)
+}
+_BENFORD_CASE_PPM = " ".join(
+    f"WHEN {d} THEN CAST({p} AS BIGINT)" for d, p in _BENFORD_PPM.items()
 )
 
 
@@ -178,10 +184,10 @@ WITH c AS (
 n AS (SELECT COUNT(*) AS tot FROM c)
 SELECT digit,
        COUNT(*) AS n,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / tot, 6) AS share,
-       CASE digit {_BENFORD_CASE} END AS benford_expected,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / tot
-             - CASE digit {_BENFORD_CASE} END, 6) AS deviation
+       CAST((COUNT(*) * 1000000 + tot // 2) // tot AS BIGINT) AS share_ppm,
+       CASE digit {_BENFORD_CASE_PPM} END AS benford_ppm,
+       CAST((COUNT(*) * 1000000 + tot // 2) // tot AS BIGINT)
+         - CASE digit {_BENFORD_CASE_PPM} END AS deviation_ppm
 FROM c CROSS JOIN n
 GROUP BY digit, tot
 ORDER BY digit
@@ -209,13 +215,14 @@ def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             "n",
-            F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("share"),
-            F.expr(f"CASE digit {_BENFORD_CASE} END").alias("benford_expected"),
-            F.round(
-                F.col("n").cast("double") / F.col("tot")
-                - F.expr(f"CASE digit {_BENFORD_CASE} END"),
-                6,
-            ).alias("deviation"),
+            F.expr("CAST((n * 1000000 + tot DIV 2) DIV tot AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr(f"CASE digit {_BENFORD_CASE_PPM} END").alias("benford_ppm"),
+            F.expr(
+                "CAST((n * 1000000 + tot DIV 2) DIV tot AS BIGINT)"
+                f" - CASE digit {_BENFORD_CASE_PPM} END"
+            ).alias("deviation_ppm"),
         )
         .orderBy("digit")
     )

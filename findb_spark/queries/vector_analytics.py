@@ -788,8 +788,14 @@ _BIN_TOPK = 5
     f"""
 WITH bits AS (
   SELECT vec_id,
-         CAST(SUM(CASE WHEN CAST(v AS DOUBLE) >= 0
-                       THEN CAST(1 AS BIGINT) << dim ELSE 0 END) AS BIGINT)
+         -- dim=63 is the int64 sign bit: DuckDB's checked shift raises on
+         -- 1<<63, so that bit is emitted as the INT64_MIN literal and the
+         -- shift amount is clamped (dim % 63 == dim for every row that
+         -- actually takes the ELSE branch) so the overflowing shift can
+         -- never be computed even under eager branch evaluation.
+         CAST(SUM(CASE WHEN CAST(v AS DOUBLE) < 0 THEN 0
+                       WHEN dim = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                       ELSE CAST(1 AS BIGINT) << (dim % 63) END) AS BIGINT)
            AS word
   FROM (SELECT vec_id,
                CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,

@@ -319,3 +319,35 @@ def test_asof_join_nearest_matches_pandas(spark, rows, probes):
         else:
             want[key] = (ft, float(f.value), "forward")
     assert got == want
+
+
+def test_asof_join_nearest_duplicate_and_null_probes(spark):
+    """Duplicate left rows must each yield exactly ONE output row (joining
+    the backward/forward passes on the full left row would cross-product:
+    2 identical probes -> 4 rows), and a NULL in a non-key left column must
+    not drop its probe (an all-columns equi-join is not null-safe).  Guards
+    the synthetic-row-id join inside asof_join_nearest."""
+    from findb_spark.asof import asof_join_nearest
+
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0)],
+        schema="asset_id BIGINT, ts BIGINT, value DOUBLE",
+    )
+    left = spark.createDataFrame(
+        [(1, 12, "x"), (1, 12, "x"), (1, 19, None)],
+        schema="asset_id BIGINT, qts BIGINT, tag STRING",
+    )
+    out = asof_join_nearest(left, right).collect()
+    assert len(out) == 3
+    dups = [r for r in out if r.qts == 12]
+    assert len(dups) == 2
+    for r in dups:
+        assert (r.matched_ts, r.matched_value, r.matched_direction) == (
+            10,
+            1.0,
+            "backward",
+        )
+    (null_tag,) = [r for r in out if r.qts == 19]
+    assert null_tag.tag is None
+    assert (null_tag.matched_ts, null_tag.matched_value) == (20, 2.0)
+    assert null_tag.matched_direction == "forward"
