@@ -1237,11 +1237,18 @@ def power_iteration_top_dir(
             .localCheckpoint()  # 64 rows; truncates the per-round lineage
         )
     nrm = w.agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    # fixed-point ppm loading: divide and sqrt are correctly-rounded IEEE
+    # ops (bit-equal cross-engine), then floor(x*1e6+0.5) is exact —
+    # unlike ROUND(double, 6), whose final-ulp behavior differs per engine
     out = w.crossJoin(F.broadcast(nrm)).select(
         "dim",
-        F.round(
-            F.col("w").cast("double") / F.sqrt(F.col("n2").cast("double")), 6
-        ).alias("loading"),
+        F.floor(
+            F.col("w").cast("double") / F.sqrt(F.col("n2").cast("double"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("loading_ppm"),
     )
     ex.unpersist()
     return out

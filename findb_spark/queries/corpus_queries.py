@@ -344,7 +344,7 @@ p AS (
 m AS (SELECT true_lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2),
 tot AS (SELECT true_lang, CAST(SUM(n) AS BIGINT) AS t FROM m GROUP BY 1)
 SELECT m.true_lang, pred_lang, CAST(n AS BIGINT) AS n_docs,
-       ROUND(CAST(n AS DOUBLE) / t, 6) AS row_share
+       CAST((n * 1000000 + t // 2) // t AS BIGINT) AS row_share_ppm
 FROM m JOIN tot ON m.true_lang = tot.true_lang
 """,
     category="text",
@@ -369,7 +369,11 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_lang",
         "pred_lang",
         F.col("n").cast("bigint").alias("n_docs"),
-        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("row_share"),
+        # exact integer ppm (half-up) — ROUND(double, 6) outputs can differ
+        # between engines in the final ulp while agreeing at 6dp
+        F.expr("CAST((n * 1000000 + t DIV 2) DIV t AS BIGINT)").alias(
+            "row_share_ppm"
+        ),
     )
 
 
@@ -442,7 +446,8 @@ growth AS (
   GROUP BY cps.pct
 )
 SELECT pct, n_tokens, vocab,
-       ROUND(CAST(vocab AS DOUBLE) / n_tokens, 6) AS vocab_token_ratio
+       CAST((vocab * 1000000 + n_tokens // 2) // n_tokens AS BIGINT)
+         AS vocab_token_ratio_ppm
 FROM growth ORDER BY pct
 """,
     category="text",
@@ -489,9 +494,10 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pct",
         "n_tokens",
         "vocab",
-        F.round(F.col("vocab").cast("double") / F.col("n_tokens"), 6).alias(
-            "vocab_token_ratio"
-        ),
+        # exact integer ppm (half-up) — driver-hash-stable across engines
+        F.expr(
+            "CAST((vocab * 1000000 + n_tokens DIV 2) DIV n_tokens AS BIGINT)"
+        ).alias("vocab_token_ratio_ppm"),
     ).orderBy("pct")
 
 
@@ -571,11 +577,12 @@ lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
 rgt AS (SELECT w2, COUNT(*) AS nrev FROM bg GROUP BY w2),
 tot AS (SELECT COUNT(*) AS ntot FROM bg)
 SELECT w1, w2, c12,
-       ROUND(GREATEST(CAST(c12 AS DOUBLE) - {_KN_D}, CAST(0 AS DOUBLE))
+       CAST(FLOOR((GREATEST(CAST(c12 AS DOUBLE) - {_KN_D}, CAST(0 AS DOUBLE))
                / CAST(c1 AS DOUBLE)
              + {_KN_D} * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
-               * CAST(nrev AS DOUBLE) / CAST(ntot AS DOUBLE), 8) AS p_kn,
-       ROUND(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE), 8) AS p_mle
+               * CAST(nrev AS DOUBLE) / CAST(ntot AS DOUBLE))
+             * 100000000 + 0.5) AS BIGINT) AS p_kn_p8,
+       CAST((c12 * 100000000 + c1 // 2) // c1 AS BIGINT) AS p_mle_p8
 FROM bg JOIN lft USING (w1) JOIN rgt USING (w2), tot
 ORDER BY c12 DESC, w1, w2 LIMIT {_KN_TOPN}
 """,
@@ -614,19 +621,26 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "c12",
-            F.round(
-                F.greatest(F.col("c12").cast("double") - d, F.lit(0.0))
-                / F.col("c1").cast("double")
-                + d
-                * F.col("n1f").cast("double")
-                / F.col("c1").cast("double")
-                * F.col("nrev").cast("double")
-                / F.col("ntot").cast("double"),
-                8,
-            ).alias("p_kn"),
-            F.round(F.col("c12").cast("double") / F.col("c1").cast("double"), 8).alias(
-                "p_mle"
-            ),
+            # fixed-point 1e8 (half-up): identical correctly-rounded IEEE
+            # op sequence on both engines, unlike ROUND(double, 8)
+            F.floor(
+                (
+                    F.greatest(F.col("c12").cast("double") - d, F.lit(0.0))
+                    / F.col("c1").cast("double")
+                    + d
+                    * F.col("n1f").cast("double")
+                    / F.col("c1").cast("double")
+                    * F.col("nrev").cast("double")
+                    / F.col("ntot").cast("double")
+                )
+                * 100000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("p_kn_p8"),
+            F.expr(
+                "CAST((c12 * 100000000 + c1 DIV 2) DIV c1 AS BIGINT)"
+            ).alias("p_mle_p8"),
         )
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(_KN_TOPN)

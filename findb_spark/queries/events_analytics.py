@@ -518,7 +518,7 @@ g AS (SELECT gap_days FROM iv WHERE gap_days IS NOT NULL),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM g)
 SELECT CAST(gap_days // 30 AS BIGINT) AS gap_months,
        CAST(COUNT(*) AS BIGINT) AS n_gaps,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / tot, 6) AS share
+       CAST((COUNT(*) * 1000000 + tot // 2) // tot AS BIGINT) AS share_ppm
 FROM g CROSS JOIN n
 GROUP BY gap_months, tot
 ORDER BY gap_months
@@ -547,9 +547,11 @@ def customer_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "gap_months",
             "n_gaps",
-            F.round(F.col("n_gaps").cast("double") / F.col("tot"), 6).alias(
-                "share"
-            ),
+            # exact integer ppm (half-up) — ROUND(double, 6) outputs are
+            # engine-unstable under the driver's raw-value hash
+            F.expr(
+                "CAST((n_gaps * 1000000 + tot DIV 2) DIV tot AS BIGINT)"
+            ).alias("share_ppm"),
         )
         .orderBy("gap_months")
     )

@@ -1325,7 +1325,7 @@ def _markov_stationary_sql(rounds: int = _MKV_ROUNDS) -> str:
 WITH {body},
 tot AS (SELECT CAST(SUM(m) AS BIGINT) AS s FROM pi{rounds})
 SELECT typ AS event_type, m AS pi_fx,
-       ROUND(CAST(m AS DOUBLE) / CAST(s AS DOUBLE), 8) AS pi_share
+       CAST((m * 100000000 + s // 2) // s AS BIGINT) AS pi_share_p8
 FROM pi{rounds}, tot
 """
 
@@ -1366,7 +1366,9 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pi.crossJoin(F.broadcast(tot)).select(
         F.col("typ").alias("event_type"),
         F.col("m").alias("pi_fx"),
-        F.round(F.col("m").cast("double") / F.col("s").cast("double"), 8).alias(
-            "pi_share"
+        # exact integer parts-per-1e8 (half-up): mass is ~K*1e6 so the
+        # product stays far inside int64; ROUND(double, 8) is engine-unstable
+        F.expr("CAST((m * 100000000 + s DIV 2) DIV s AS BIGINT)").alias(
+            "pi_share_p8"
         ),
     )

@@ -892,8 +892,8 @@ spans AS (
 SELECT asset_id, n_obs,
        CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS span_days,
        CAST(date_diff('day', d0, d1) + 1 AS BIGINT) - n_obs AS n_missing,
-       ROUND(CAST(n_obs AS DOUBLE)
-             / (date_diff('day', d0, d1) + 1), 6) AS coverage
+       CAST((n_obs * 1000000 + (date_diff('day', d0, d1) + 1) // 2)
+            // (date_diff('day', d0, d1) + 1) AS BIGINT) AS coverage_ppm
 FROM spans WHERE n_obs >= 2
 """,
     category="timeseries",
@@ -919,9 +919,11 @@ def ts_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         F.expr("CAST(datediff(d1, d0) + 1 AS BIGINT)").alias("span_days"),
         F.expr("CAST(datediff(d1, d0) + 1 AS BIGINT) - n_obs").alias("n_missing"),
+        # exact integer ppm (half-up) — ROUND(double, 6) is engine-unstable
         F.expr(
-            "ROUND(CAST(n_obs AS DOUBLE) / (datediff(d1, d0) + 1), 6)"
-        ).alias("coverage"),
+            "CAST((n_obs * 1000000 + (datediff(d1, d0) + 1) DIV 2)"
+            " DIV (datediff(d1, d0) + 1) AS BIGINT)"
+        ).alias("coverage_ppm"),
     )
 
 
@@ -1467,8 +1469,7 @@ term AS (
   WHERE r.asset_id <= 10
 )
 SELECT asset_id, COUNT(*) AS n_days,
-       ROUND(CAST(SUM(tq) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) / 1000000, 6)
-         AS illiq_x1e6
+       CAST((SUM(tq) + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS illiq_x1e12
 FROM term GROUP BY asset_id
 """,
     category="timeseries",
@@ -1519,7 +1520,9 @@ def ts_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return term.groupBy("asset_id").agg(
         F.count("*").alias("n_days"),
-        F.round(
-            F.sum("tq").cast("bigint") / F.count("*").cast("double") / 1000000, 6
-        ).alias("illiq_x1e6"),
+        # exact integer mean at the tq terms' 1e12 fixed-point scale
+        # (half-up) — ROUND(double, 6) outputs are engine-unstable
+        F.expr(
+            "CAST((SUM(tq) + COUNT(*) DIV 2) DIV COUNT(*) AS BIGINT)"
+        ).alias("illiq_x1e12"),
     )

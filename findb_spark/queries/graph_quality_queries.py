@@ -352,15 +352,17 @@ c AS (SELECT half, status, COUNT(*) AS n FROM h GROUP BY 1, 2),
 t AS (SELECT half, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY half),
 s AS (
   SELECT status,
-         MAX(CASE WHEN c.half = 'a' THEN CAST(n AS DOUBLE) / tot END) AS share_a,
-         MAX(CASE WHEN c.half = 'b' THEN CAST(n AS DOUBLE) / tot END) AS share_b
+         MAX(CASE WHEN c.half = 'a'
+             THEN CAST((n * 1000000 + tot // 2) // tot AS BIGINT) END)
+           AS share_a_ppm,
+         MAX(CASE WHEN c.half = 'b'
+             THEN CAST((n * 1000000 + tot // 2) // tot AS BIGINT) END)
+           AS share_b_ppm
   FROM c JOIN t ON c.half = t.half
   GROUP BY status
 )
-SELECT status,
-       ROUND(share_a, 6) AS share_a,
-       ROUND(share_b, 6) AS share_b,
-       ROUND(ABS(share_a - share_b), 6) AS abs_drift
+SELECT status, share_a_ppm, share_b_ppm,
+       ABS(share_a_ppm - share_b_ppm) AS abs_drift_ppm
 FROM s
 """,
     category="quality",
@@ -379,23 +381,26 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = h.groupBy("half", "status").agg(F.count("*").alias("n"))
     t = c.groupBy("half").agg(F.sum("n").cast("bigint").alias("tot"))
+    # exact integer ppm per half (half-up) — ROUND(double, 6) outputs can
+    # differ between engines in the final ulp while agreeing at 6dp
+    ppm = "CAST((n * 1000000 + tot DIV 2) DIV tot AS BIGINT)"
     s = (
         c.join(t, "half")
         .groupBy("status")
         .agg(
-            F.max(
-                F.when(F.col("half") == "a", F.col("n").cast("double") / F.col("tot"))
-            ).alias("share_a"),
-            F.max(
-                F.when(F.col("half") == "b", F.col("n").cast("double") / F.col("tot"))
-            ).alias("share_b"),
+            F.max(F.expr(f"CASE WHEN half = 'a' THEN {ppm} END")).alias(
+                "share_a_ppm"
+            ),
+            F.max(F.expr(f"CASE WHEN half = 'b' THEN {ppm} END")).alias(
+                "share_b_ppm"
+            ),
         )
     )
     return s.select(
         "status",
-        F.round(F.col("share_a"), 6).alias("share_a"),
-        F.round(F.col("share_b"), 6).alias("share_b"),
-        F.round(F.abs(F.col("share_a") - F.col("share_b")), 6).alias("abs_drift"),
+        "share_a_ppm",
+        "share_b_ppm",
+        F.abs(F.col("share_a_ppm") - F.col("share_b_ppm")).alias("abs_drift_ppm"),
     )
 
 
@@ -451,9 +456,11 @@ SELECT CAST(n_exact AS BIGINT) AS n_exact,
        CAST(n_lsh AS BIGINT) AS n_lsh,
        CAST(tp AS BIGINT) AS tp,
        CASE WHEN n_lsh = 0 THEN NULL
-            ELSE ROUND(CAST(tp AS DOUBLE) / n_lsh, 6) END AS precision_lsh,
+            ELSE CAST((tp * 1000000 + n_lsh // 2) // n_lsh AS BIGINT) END
+         AS precision_lsh_ppm,
        CASE WHEN n_exact = 0 THEN NULL
-            ELSE ROUND(CAST(tp AS DOUBLE) / n_exact, 6) END AS recall_lsh
+            ELSE CAST((tp * 1000000 + n_exact // 2) // n_exact AS BIGINT) END
+         AS recall_lsh_ppm
 FROM m
 """
 
@@ -489,14 +496,18 @@ def dedup_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_exact").cast("bigint").alias("n_exact"),
             F.col("n_lsh").cast("bigint").alias("n_lsh"),
             F.col("tp").cast("bigint").alias("tp"),
+            # exact integer ppm (half-up) — ROUND(double, 6) is
+            # engine-unstable under the driver's raw-value hash
             F.expr(
                 "CASE WHEN n_lsh = 0 THEN NULL"
-                " ELSE ROUND(CAST(tp AS DOUBLE) / n_lsh, 6) END"
-            ).alias("precision_lsh"),
+                " ELSE CAST((tp * 1000000 + n_lsh DIV 2) DIV n_lsh AS BIGINT)"
+                " END"
+            ).alias("precision_lsh_ppm"),
             F.expr(
                 "CASE WHEN n_exact = 0 THEN NULL"
-                " ELSE ROUND(CAST(tp AS DOUBLE) / n_exact, 6) END"
-            ).alias("recall_lsh"),
+                " ELSE CAST((tp * 1000000 + n_exact DIV 2) DIV n_exact"
+                " AS BIGINT) END"
+            ).alias("recall_lsh_ppm"),
         )
     )
 

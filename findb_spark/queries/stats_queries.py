@@ -1297,9 +1297,9 @@ pp AS (
   GROUP BY p.a1, p.a2
 )
 SELECT a1, a2, conc, disc,
-       ROUND((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
-             / (SQRT(CAST(np - tx AS DOUBLE)) * SQRT(CAST(np - ty AS DOUBLE))), 8)
-         AS tau_b
+       CAST(FLOOR((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+             / (SQRT(CAST(np - tx AS DOUBLE)) * SQRT(CAST(np - ty AS DOUBLE)))
+             * 100000000 + 0.5) AS BIGINT) AS tau_b_p8
 FROM pp
 """,
     category="relational",
@@ -1340,14 +1340,20 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a2",
         "conc",
         "disc",
-        F.round(
+        # fixed-point 1e8 (half-up): subtract/sqrt/divide over exact ints
+        # are correctly-rounded IEEE ops, bit-equal cross-engine, unlike
+        # ROUND(double, 8)
+        F.floor(
             (F.col("conc").cast("double") - F.col("disc").cast("double"))
             / (
                 F.sqrt((F.col("np") - F.col("tx")).cast("double"))
                 * F.sqrt((F.col("np") - F.col("ty")).cast("double"))
-            ),
-            8,
-        ).alias("tau_b"),
+            )
+            * 100000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("tau_b_p8"),
     )
 
 
@@ -1374,10 +1380,10 @@ mo AS (
   FROM rk GROUP BY a1, a2
 )
 SELECT a1, a2, n,
-       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8)
-         AS rho
+       CAST(FLOOR((CAST(n * sxy - sx * sy AS DOUBLE))
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+             * 100000000 + 0.5) AS BIGINT) AS rho_p8
 FROM mo WHERE n >= 3
 """,
     category="relational",
@@ -1408,14 +1414,19 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("rx") * F.col("rx")).cast("bigint").alias("sxx"),
         F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("syy"),
     )
-    nd = F.col("n").cast("double")
-    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    num = nd * F.col("sxy").cast("double") - sxd * syd
-    den = F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd) * F.sqrt(
-        nd * F.col("syy").cast("double") - syd * syd
+    # moments combined in EXACT int64 (ranks are O(n), fourth-order terms
+    # ~4n^4 stay far inside int64 for calendar-bounded month counts), then
+    # ONE cast to double per factor: divide/sqrt are correctly-rounded so
+    # the fixed-point 1e8 output is bit-equal cross-engine
+    num = F.expr("CAST(n * sxy - sx * sy AS DOUBLE)")
+    den = F.sqrt(F.expr("CAST(n * sxx - sx * sx AS DOUBLE)")) * F.sqrt(
+        F.expr("CAST(n * syy - sy * sy AS DOUBLE)")
     )
     return mo.where(F.col("n") >= 3).select(
-        "a1", "a2", "n", F.round(num / den, 8).alias("rho")
+        "a1",
+        "a2",
+        "n",
+        F.floor(num / den * 100000000 + F.lit(0.5)).cast("bigint").alias("rho_p8"),
     )
 
 
@@ -1441,7 +1452,8 @@ rk AS (
   FROM sl
 )
 SELECT asset_id, CAST(MAX(n) AS BIGINT) AS n_pairs,
-       ROUND(AVG(slope), 6) AS ts_slope_cents
+       CAST(FLOOR(AVG(slope) * 1000000 + 0.5) AS BIGINT)
+         AS ts_slope_cents_ppm
 FROM rk
 WHERE r = (n + 1) // 2 OR r = (n + 2) // 2
 GROUP BY asset_id
@@ -1490,7 +1502,12 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("asset_id")
         .agg(
             F.max("n").cast("bigint").alias("n_pairs"),
-            F.round(F.avg("slope"), 6).alias("ts_slope_cents"),
+            # AVG over the 1-2 middle order statistics is deterministic
+            # (commutative two-term sum); fixed-point 1e6 half-up replaces
+            # the engine-unstable ROUND(double, 6)
+            F.floor(F.avg("slope") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("ts_slope_cents_ppm"),
         )
     )
 
@@ -1514,12 +1531,13 @@ terms AS (
   FROM cells JOIN rt USING (pri) JOIN ct USING (st) CROSS JOIN g
 ),
 dims AS (SELECT COUNT(DISTINCT pri) AS r, COUNT(DISTINCT st) AS c FROM cells)
-SELECT ROUND(CAST(SUM(t) AS DOUBLE) / 1000000, 6) AS chi2,
+SELECT CAST(SUM(t) AS BIGINT) AS chi2_x1e6,
        CAST(MAX(g.grand) AS BIGINT) AS n,
        CAST((MAX(d2.r) - 1) * (MAX(d2.c) - 1) AS BIGINT) AS dof,
-       ROUND(SQRT(CAST(SUM(t) AS DOUBLE) / 1000000
+       CAST(FLOOR(SQRT(CAST(SUM(t) AS DOUBLE) / 1000000
                   / (CAST(MAX(g.grand) AS DOUBLE)
-                     * LEAST(MAX(d2.r) - 1, MAX(d2.c) - 1))), 8) AS cramers_v
+                     * LEAST(MAX(d2.r) - 1, MAX(d2.c) - 1)))
+                  * 100000000 + 0.5) AS BIGINT) AS cramers_v_p8
 FROM terms CROSS JOIN g CROSS JOIN dims d2
 """,
     category="relational",
@@ -1560,21 +1578,26 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("pri").alias("r"),
         F.countDistinct("st").alias("c"),
     )
+    # chi2 emitted as its exact 1e6-fixed-point integer; V as 1e8 fixed
+    # point (divide/sqrt are correctly-rounded, bit-equal cross-engine)
     chi2 = F.col("st_sum").cast("double") / 1000000
     return agg.select(
-        F.round(chi2, 6).alias("chi2"),
+        F.col("st_sum").cast("bigint").alias("chi2_x1e6"),
         F.col("grand").cast("bigint").alias("n"),
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
-        F.round(
+        F.floor(
             F.sqrt(
                 chi2
                 / (
                     F.col("grand").cast("double")
                     * F.least(F.col("r") - 1, F.col("c") - 1)
                 )
-            ),
-            8,
-        ).alias("cramers_v"),
+            )
+            * 100000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cramers_v_p8"),
     )
 
 

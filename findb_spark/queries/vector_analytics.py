@@ -419,8 +419,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
        CAST(SUM(sz) AS BIGINT) AS n_vecs,
        CAST(MIN(sz) AS BIGINT) AS min_size,
        CAST(MAX(sz) AS BIGINT) AS max_size,
-       ROUND(CAST(MAX(sz) AS DOUBLE) * COUNT(*) / CAST(SUM(sz) AS BIGINT), 6)
-         AS imbalance
+       CAST((MAX(sz) * COUNT(*) * 1000000 + SUM(sz) // 2) // SUM(sz)
+            AS BIGINT) AS imbalance_ppm
 FROM s
 """.format(
         hd=hash48_duck("CAST(vec_id AS VARCHAR)"),
@@ -445,10 +445,12 @@ def vec_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").cast("bigint").alias("n_vecs"),
         F.min("sz").cast("bigint").alias("min_size"),
         F.max("sz").cast("bigint").alias("max_size"),
+        # exact integer ppm (half-up): max*K*1e6 stays far inside int64
+        # even at 1e9 vectors; ROUND(double, 6) is engine-unstable
         F.expr(
-            "ROUND(CAST(MAX(sz) AS DOUBLE) * COUNT(*)"
-            " / CAST(SUM(sz) AS BIGINT), 6)"
-        ).alias("imbalance"),
+            "CAST((MAX(sz) * COUNT(*) * 1000000 + SUM(sz) DIV 2)"
+            " DIV SUM(sz) AS BIGINT)"
+        ).alias("imbalance_ppm"),
     )
 
 
@@ -518,7 +520,7 @@ b AS (
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM b)
 SELECT sim_decile,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / tot, 6) AS share
+       CAST((COUNT(*) * 1000000 + tot // 2) // tot AS BIGINT) AS share_ppm
 FROM b CROSS JOIN n
 GROUP BY sim_decile, tot
 ORDER BY sim_decile
@@ -554,9 +556,11 @@ def vec_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "sim_decile",
             "n_pairs",
-            F.round(F.col("n_pairs").cast("double") / F.col("tot"), 6).alias(
-                "share"
-            ),
+            # exact integer ppm (half-up) — ROUND(double, 6) is
+            # engine-unstable under the driver's raw-value hash
+            F.expr(
+                "CAST((n_pairs * 1000000 + tot DIV 2) DIV tot AS BIGINT)"
+            ).alias("share_ppm"),
         )
         .orderBy("sim_decile")
     )
@@ -590,7 +594,8 @@ tot AS (
   FROM mj
 )
 SELECT n_clusters, n_vecs,
-       ROUND(CAST(n_maj AS DOUBLE) / n_vecs, 6) AS purity
+       CAST((n_maj * 1000000 + n_vecs // 2) // n_vecs AS BIGINT)
+         AS purity_ppm
 FROM tot
 """,
     category="vector",
@@ -621,9 +626,10 @@ def vec_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         "n_clusters",
         "n_vecs",
-        F.round(F.col("n_maj").cast("double") / F.col("n_vecs"), 6).alias(
-            "purity"
-        ),
+        # exact integer ppm (half-up) — ROUND(double, 6) is engine-unstable
+        F.expr(
+            "CAST((n_maj * 1000000 + n_vecs DIV 2) DIV n_vecs AS BIGINT)"
+        ).alias("purity_ppm"),
     )
 
 
@@ -670,7 +676,9 @@ def _power_iter_sql(rounds: int = _PI_ROUNDS) -> str:
     return f"""
 WITH {body},
 n2 AS (SELECT CAST(SUM(w * w) AS BIGINT) AS n2 FROM w{rounds})
-SELECT dim, ROUND(CAST(w AS DOUBLE) / SQRT(CAST(n2 AS DOUBLE)), 6) AS loading
+SELECT dim,
+       CAST(FLOOR(CAST(w AS DOUBLE) / SQRT(CAST(n2 AS DOUBLE)) * 1000000
+                  + 0.5) AS BIGINT) AS loading_ppm
 FROM w{rounds}, n2
 """
 
@@ -720,7 +728,8 @@ diff AS (
 SELECT label,
        CAST(MAX(n_even) AS BIGINT) AS n_even,
        CAST(MAX(n_odd) AS BIGINT) AS n_odd,
-       ROUND(SQRT(CAST(SUM(dq * dq) AS DOUBLE)) / 1000000, 6) AS drift_l2
+       CAST(FLOOR(SQRT(CAST(SUM(dq * dq) AS DOUBLE)) + 0.5) AS BIGINT)
+         AS drift_l2_x1e6
 FROM diff GROUP BY label
 """,
     category="vector",
@@ -774,9 +783,14 @@ def vec_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.groupBy("label").agg(
         F.max("n_even").cast("bigint").alias("n_even"),
         F.max("n_odd").cast("bigint").alias("n_odd"),
-        F.round(
-            F.sqrt(F.sum(F.col("dq") * F.col("dq")).cast("double")) / 1000000, 6
-        ).alias("drift_l2"),
+        # integer drift at the deltas' native 1e6 fixed-point scale:
+        # sqrt of the exact int sum is correctly rounded, then half-up —
+        # no ROUND(double, k) in the output
+        F.floor(
+            F.sqrt(F.sum(F.col("dq") * F.col("dq")).cast("double")) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("drift_l2_x1e6"),
     )
 
 

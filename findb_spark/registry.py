@@ -54,123 +54,81 @@ _SPECS: dict[str, QuerySpec] = {}
 #: behind.  Names not yet registered are ignored, so this list never breaks
 #: registration.
 #:
-#: ROUND-6 ROTATION PLAN (build _CHECK_FIRST from this when round 5's
-#: correctness lands): 66 queries registered past the round-5 window await
-#: first driver rows — the 31 listed in SURVEY's round-5 status plus the 35
-#: round-5-continuation additions (stats_mannwhitney,
-#: stats_histogram_quantiles, lineitem_transit_peak, skew_salted_join,
-#: ts_cusum_changepoint, events_attribution_ushape, roundtrip_ivm_delta,
-#: graph_clustering_coeff, ts_momentum_backtest, roundtrip_stream_watermark,
-#: multimodal_image_resize, events_l28_histogram, ts_pairs_spread,
-#: graph_source_modularity, text_bpe_train_rounds, text_readability_ari,
-#: part_supplier_hhi, dq_duplicate_orders, stats_anova_f,
-#: events_time_in_state, roundtrip_hive_partition_pruning,
-#: roundtrip_vacuum_retention, pit_feature_join, dedup_split_leakage,
-#: roundtrip_stream_stateful, orders_seasonal_naive_mae,
-#: roundtrip_bloom_manifest, ts_cvar_expected_shortfall, pii_tcloseness,
-#: roundtrip_manifest_incremental, customer_segment_migration,
-#: ts_portfolio_turnover, dq_referential_integrity — all pre-validated at
-#: sf0.001 AND sf0.01 this session, with the whole registry additionally
-#: re-verified at sf0.01).
-#: That exceeds one 50-slot window: round 6 should take the 31 + the 19
-#: continuation entries that gate new ENGINE mechanisms (the 8 roundtrips
-#: incl. ivm/watermark/stateful/bloom/vacuum/pruning, skew_salted_join,
-#: text_bpe_train_rounds, pit_feature_join, multimodal_image_resize,
-#: dedup_split_leakage first), and roll the remainder + headline
-#: re-confirmations to round 7.
-#:
-#: SESSION-3 ADDITIONS (also pre-validated at sf0.001 AND sf0.01; never
-#: driver-checked): 20 more — engine mechanisms first for round 6 if
-#: slots allow (roundtrip_dynamic_overwrite, roundtrip_stream_restart,
-#: roundtrip_occ_commit, roundtrip_shallow_clone, vec_power_iteration,
-#: graph_label_propagation, graph_bfs_contamination,
-#: multimodal_image_boxblur, sql_pivot_syntax, events_markov_stationary),
-#: analytics to round 7 (text_kneser_ney_bigram, text_rake_keywords,
-#: stats_kendall_tau, stats_spearman, stats_theil_sen,
-#: ts_amihud_illiquidity, stats_cramers_v, orders_abc_xyz,
-#: vec_centroid_drift, orders_repeat_purchase_curve).
-#:
-#: ROUND-5 ROTATION: CORRECTNESS_r04 landed 50/50 green, so every query
-#: registered before round 5 carries a driver hard-signal row EXCEPT the 5
-#: registered after the round-4 window filled — they lead this prefix.  Next
-#: come 8 re-confirmation slots for the bench-flagged headline queries whose
-#: only green rows date from r1 (asof_join_shifted, dedup_minhash_lsh,
-#: dedup_ngram_jaccard, dedup_simhash_pairs, events_tumbling_hourly,
-#: vec_ann_lsh, vec_cosine_topk, ts_moving_avg — four rounds of engine
-#: evolution sit between those rows and today's code).  The remaining 37
-#: slots are the round-5 additions: advanced finance analytics (Bollinger /
-#: rolling beta / MACD / autocorr / seasonality / cross-sectional z /
-#: bitemporal diff), statistical tests (Welch t, chi-squared, Benford,
-#: distributed-rank Gini, Simpson diversity, windowed distinct, bitmap
-#: months, explicit Bloom semi-join), corpus LM analytics (surprisal, Zipf,
-#: hapax, trigram diversity, cross-source dups, bigram coverage), events
-#: product analytics (exact DAU/WAU, time-to-convert, 2nd-order Markov,
-#: cohort LTV, churn), vector analytics (kNN graph, MMR rerank, LSH recall
-#: curve, norm profile), dup-graph structure (2-core peel, neighbor
-#: Jaccard, cluster histogram), privacy/DQ (l-diversity, freshness SLA),
-#: and two new source/sink hard signals (versioned time travel,
-#: CSV quoting quirks).  5 + 8 + 37 = the 50-slot window exactly; after it
-#: lands, every registered query again carries a driver row.
+#: ROUND-6 WINDOW (50 slots): the two round-5 defect fixes lead (the
+#: repaired vec_binary_hamming_topk oracle and the ppm-integer
+#: stats_benford re-certification), then every never-driver-checked query
+#: that gates a distinct ENGINE MECHANISM (14 storage/streaming/versioning
+#: roundtrips: IVM delta repair, watermark late-drop, stateful recovery,
+#: Bloom + incremental manifests, vacuum, Hive pruning, dynamic overwrite,
+#: stream restart, OCC commit, shallow clone, change feed, stream-versioned
+#: sink, parquet codecs; skew salting, BPE training, PIT interval join,
+#: split-leakage audit, the four multimodal Arrow stages, PIVOT/LATERAL
+#: SQL grammar, power iteration, label propagation, BFS, Markov stationary,
+#: nearest as-of), and the 19 oldest pending analytics.  The ~36-query
+#: remainder (pure analytics: CVaR, t-closeness, turnover, migration,
+#: ANOVA, MAE, HHI, ARI, dwell, L28, ushape, pairs-spread, CUSUM,
+#: momentum, Mann-Whitney, histogram-quantiles, sweep-peak, modularity,
+#: clustering-coeff, seasonal-MAE, dup-orders, ref-integrity,
+#: Kendall/Spearman/Theil-Sen, Cramer's V, ABC/XYZ, centroid drift,
+#: repeat-purchase, sim-histogram, cluster-purity, open-backlog,
+#: weekend-rate, lead-time, order-intervals, langid... see backlog) rolls
+#: to round 7, after which every registered query carries a driver row.
+#: Registry growth is FROZEN until that backlog clears (round-5 verdict).
 _CHECK_FIRST: tuple[str, ...] = (
-    # ---- 5 queries registered after the round-4 window filled (first
-    # driver rows due this round) ----
-    "roundtrip_stream_enrich",
-    "pii_kanonymity",
-    "vec_cluster_silhouette",
-    "events_hll_exact_registers",
-    "events_kmv_sketch_setops",
-    # ---- headline re-confirmation rows: bench-flagged queries whose only
-    # green rows date from r1 (current code differs by 4 rounds of engine
-    # evolution; a recent row per headline keeps the bench trustworthy) ----
-    "asof_join_shifted",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "events_tumbling_hourly",
-    "vec_ann_lsh",
-    "vec_cosine_topk",
-    "ts_moving_avg",
-    # ---- the 37 round-5 additions (never driver-checked by definition):
-    # finance analytics, statistical tests, corpus LM analytics, events
-    # product analytics, vector analytics, dup-graph structure, privacy/DQ,
-    # versioned time travel + CSV quirks roundtrips ----
-    "ts_bollinger",
-    "ts_rolling_beta",
-    "ts_autocorr",
-    "ts_macd",
-    "ts_seasonality_dow",
-    "ts_zscore_xsection",
-    "asof_bitemporal_diff",
-    "stats_welch_ttest",
-    "stats_chi2_independence",
+    # ---- round-5 defect fixes: re-certification rows ----
+    "vec_binary_hamming_topk",
     "stats_benford",
-    "stats_gini_revenue",
-    "stats_simpson_diversity",
-    "window_rolling_distinct",
-    "bitmap_active_months",
-    "bloom_prefilter_join",
-    "text_unigram_surprisal",
-    "text_zipf_slope",
-    "text_hapax_ratio",
-    "text_trigram_diversity",
-    "dedup_cross_source",
-    "text_bigram_coverage",
-    "events_dau_wau",
-    "events_time_to_convert",
-    "events_markov2",
-    "events_cohort_ltv",
-    "events_churn_inactive",
-    "vec_knn_graph",
-    "vec_mmr_rerank",
-    "vec_lsh_recall_curve",
-    "vec_norm_profile",
-    "graph_kcore",
-    "graph_neighbor_jaccard",
-    "dedup_cluster_stats",
-    "pii_ldiversity",
-    "dq_freshness_lag",
-    "roundtrip_time_travel",
-    "roundtrip_csv_quirks",
+    # ---- storage / streaming / versioning roundtrip certifications ----
+    "roundtrip_ivm_delta",
+    "roundtrip_stream_watermark",
+    "roundtrip_vacuum_retention",
+    "roundtrip_hive_partition_pruning",
+    "roundtrip_stream_stateful",
+    "roundtrip_bloom_manifest",
+    "roundtrip_manifest_incremental",
+    "roundtrip_dynamic_overwrite",
+    "roundtrip_stream_restart",
+    "roundtrip_occ_commit",
+    "roundtrip_shallow_clone",
+    "roundtrip_change_feed",
+    "roundtrip_stream_versioned",
+    "roundtrip_parquet_codecs",
+    # ---- engine-mechanism operators ----
+    "skew_salted_join",
+    "text_bpe_train_rounds",
+    "pit_feature_join",
+    "dedup_split_leakage",
+    "multimodal_image_ahash",
+    "multimodal_audio_frames",
+    "multimodal_image_resize",
+    "multimodal_image_boxblur",
+    "sql_pivot_syntax",
+    "sql_lateral_topk",
+    "vec_power_iteration",
+    "graph_label_propagation",
+    "graph_bfs_contamination",
+    "events_markov_stationary",
+    "asof_join_nearest",
+    # ---- oldest pending analytics (19) ----
+    "ts_sharpe",
+    "ts_var_historic",
+    "ts_regime_switch",
+    "ts_drawdown_duration",
+    "ts_missing_days",
+    "stats_poisson_bootstrap",
+    "stats_ks_test",
+    "text_langid_confusion",
+    "text_vocab_growth",
+    "dedup_shingle_df_profile",
+    "dedup_threshold_sweep",
+    "dedup_lsh_precision_recall",
+    "dq_distribution_drift",
+    "dp_noisy_histogram",
+    "pipeline_quality_sweep",
+    "vec_ivf_balance",
+    "vec_dim_variance",
+    "graph_degree_assortativity",
+    "events_burstiness",
 )
 
 

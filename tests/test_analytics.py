@@ -6,6 +6,7 @@ tests pin the SEMANTICS on streams small enough to verify by hand."""
 from __future__ import annotations
 
 import datetime as dt
+import math
 
 import pytest
 from pyspark.sql import functions as F
@@ -218,10 +219,10 @@ def test_kneser_ney_hand_example(spark):
     """Corpus 'x y x z': P_KN(y|x) = max(1-.75,0)/2 + .75*(2/2)*(1/3) = .375,
     P_KN(x|y) = .25 + .75*(1/3) = .5 (interpolated KN, D=0.75)."""
     out = _run_corpus(spark, "text_kneser_ney_bigram", _docs(spark, ["x y x z"]))
-    got = {(r.w1, r.w2): (r.c12, r.p_kn, r.p_mle) for r in out.collect()}
-    assert got[("x", "y")] == (1, 0.375, 0.5)
-    assert got[("y", "x")] == (1, 0.5, 1.0)
-    assert got[("x", "z")] == (1, 0.375, 0.5)
+    got = {(r.w1, r.w2): (r.c12, r.p_kn_p8, r.p_mle_p8) for r in out.collect()}
+    assert got[("x", "y")] == (1, 37500000, 50000000)
+    assert got[("y", "x")] == (1, 50000000, 100000000)
+    assert got[("x", "z")] == (1, 37500000, 50000000)
 
 
 def test_rake_hand_example(spark):
@@ -314,11 +315,11 @@ def test_rank_stats_match_python_model(monkeypatch, spark):
 
     got_tau = sq.stats_kendall_tau(spark, "unused").collect()
     assert len(got_tau) == 1
-    assert got_tau[0].tau_b == round(_tau_b(xs, ys), 8)
+    assert got_tau[0].tau_b_p8 == math.floor(_tau_b(xs, ys) * 1e8 + 0.5)
 
     got_rho = sq.stats_spearman(spark, "unused").collect()
     assert len(got_rho) == 1
-    assert got_rho[0].rho == round(_spearman(xs, ys), 8)
+    assert got_rho[0].rho_p8 == math.floor(_spearman(xs, ys) * 1e8 + 0.5)
 
     # Theil-Sen per asset: median pairwise slope in cents/month-index
     def ts_slope(v):
@@ -331,11 +332,11 @@ def test_rank_stats_match_python_model(monkeypatch, spark):
         mid = (
             sl[(n - 1) // 2] if n % 2 else (sl[n // 2 - 1] + sl[n // 2]) / 2
         )
-        return round(mid, 6)
+        return math.floor(mid * 1e6 + 0.5)
 
     got_ts = {r.asset_id: r for r in sq.stats_theil_sen(spark, "unused").collect()}
-    assert got_ts[1].ts_slope_cents == ts_slope(xs)
-    assert got_ts[2].ts_slope_cents == ts_slope(ys)
+    assert got_ts[1].ts_slope_cents_ppm == ts_slope(xs)
+    assert got_ts[2].ts_slope_cents_ppm == ts_slope(ys)
     assert got_ts[1].n_pairs == 28
 
 
@@ -359,11 +360,11 @@ def test_markov_stationary_fixed_point_of_known_chain(spark):
     orig = eq.load_table
     try:
         eq.load_table = lambda s, d, n: ev
-        got = {r.event_type: r.pi_share for r in
+        got = {r.event_type: r.pi_share_p8 for r in
                eq.events_markov_stationary(spark, "unused").collect()}
     finally:
         eq.load_table = orig
-    assert got == {"a": 0.5, "b": 0.5}
+    assert got == {"a": 50000000, "b": 50000000}
 
 
 def test_abc_xyz_classification_hand_grid(spark):

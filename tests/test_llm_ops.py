@@ -583,7 +583,7 @@ def test_power_iteration_recovers_dominant_direction(spark):
     got = power_iteration_top_dir(emb, rounds=3).collect()
     v = np.zeros(d)
     for r in got:
-        v[int(r.dim)] = r.loading
+        v[int(r.dim)] = r.loading_ppm / 1e6
     assert abs(np.linalg.norm(v) - 1.0) < 1e-4
     evals, evecs = np.linalg.eigh(x.T @ x)
     top = evecs[:, int(np.argmax(evals))]
