@@ -119,6 +119,19 @@ def main() -> None:
         timings[spec.name] = round(run + (build if spec.name in eager else 0.0), 3)
 
     total = round(sum(timings.values()), 3)
+    # machine-state fingerprint: round-over-round comparisons are only
+    # meaningful on comparable machines — a controlled two-tree experiment
+    # (round 6) showed ~1.3x UNIFORM wall inflation from environment alone,
+    # with the load average the best single predictor of the noise band
+    try:
+        la1, la5, _ = os.getloadavg()
+        machine = {
+            "cpus": os.cpu_count(),
+            "loadavg_1m": round(la1, 2),
+            "loadavg_5m": round(la5, 2),
+        }
+    except OSError:
+        machine = {"cpus": os.cpu_count()}
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -127,6 +140,7 @@ def main() -> None:
         "build": builds,
         "build_total": round(sum(builds.values()), 3),
         "eager_build_included": sorted(eager),
+        "machine": machine,
         "sf": sf,
     }
     if errors:
