@@ -112,7 +112,7 @@ def main(argv: list[str] | None = None) -> int:
             if s.sql is None:
                 print(f"NOORA {n}: {s.fn(spark, args.sf_dir).count()} rows")
                 continue
-            problems = compare_query(spark, con, s.fn, s.sql, args.sf_dir)
+            problems = compare_query(spark, con, s.fn, s.sql, args.sf_dir, name=n)
             if problems:
                 failures += 1
                 print(f"FAIL  {n}: {'; '.join(problems)[:300]}")

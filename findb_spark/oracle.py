@@ -32,26 +32,40 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def canon_value(v):
+#: Queries whose float outputs are compared at 6 decimals instead of
+#: bit-exact: the truncated-EMA recurrences chain 10-26 dependent
+#: multiply-adds whose cross-engine drift is ~1e-12 relative — exact-int64
+#: reformulation is impossible (the 26-term MACD's rational-weight common
+#: denominator 27^25 overflows int64), and both queries carry GREEN
+#: external-hash rows, so the certified tolerance is what the gate pins.
+#: Everything else must be bit-exact.
+SIX_DP_QUERIES = frozenset({"ts_ewma", "ts_macd"})
+
+
+def canon_value(v, six_dp: bool = False):
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if six_dp:
+            return round(v, 6)
         # bit-exact: repr round-trips every finite double uniquely
         return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return tuple(canon_value(x) for x in v)
+        return tuple(canon_value(x, six_dp) for x in v)
     if isinstance(v, bytes):
         return v.hex()
     return v
 
 
-def canon_rows(cols: list[str], rows) -> Counter:
+def canon_rows(cols: list[str], rows, six_dp: bool = False) -> Counter:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return Counter(tuple(canon_value(r[i]) for i in order) for r in rows)
+    return Counter(
+        tuple(canon_value(r[i], six_dp) for i in order) for r in rows
+    )
 
 
 #: DuckDB output types with no Spark analog.  ``SUM(<integer>)`` types as
@@ -88,8 +102,14 @@ def lint_oracle_types(con, sqls: dict[str, str]) -> list[str]:
     return problems
 
 
-def compare_query(spark, con, fn, sql: str, sf_dir: str) -> list[str]:
-    """Run one spec both ways; return a list of problems (empty = parity)."""
+def compare_query(
+    spark, con, fn, sql: str, sf_dir: str, name: str | None = None
+) -> list[str]:
+    """Run one spec both ways; return a list of problems (empty = parity).
+
+    ``name`` selects the per-query float policy (``SIX_DP_QUERIES``);
+    callers that omit it get the strict bit-exact comparison."""
+    six_dp = name in SIX_DP_QUERIES
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [[r[c] for c in s_cols] for r in sdf.collect()]
@@ -103,8 +123,8 @@ def compare_query(spark, con, fn, sql: str, sf_dir: str) -> list[str]:
     if len(s_rows) != len(o_rows):
         problems.append(f"rowcount spark={len(s_rows)} oracle={len(o_rows)}")
     if not problems:
-        sc = canon_rows(s_cols, s_rows)
-        oc = canon_rows(o_cols, o_rows)
+        sc = canon_rows(s_cols, s_rows, six_dp)
+        oc = canon_rows(o_cols, o_rows, six_dp)
         if sc != oc:
             problems.append(
                 f"values spark-only={list((sc - oc).items())[:3]} "

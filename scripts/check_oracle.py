@@ -62,7 +62,7 @@ def main() -> int:
                 print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:200]}")
             continue
         try:
-            problems = compare_query(spark, con, fn, sqls[name], sf_dir)
+            problems = compare_query(spark, con, fn, sqls[name], sf_dir, name=name)
         except Exception as e:
             problems = [f"error: {str(e).splitlines()[0][:300]}"]
         if problems:

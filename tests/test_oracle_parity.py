@@ -36,5 +36,5 @@ def test_oracle_parity(spark, con, sf_dir, spec):
         # rows-only check (non-SQL-expressible op)
         spec.fn(spark, sf_dir).count()
         return
-    problems = compare_query(spark, con, spec.fn, spec.sql, sf_dir)
+    problems = compare_query(spark, con, spec.fn, spec.sql, sf_dir, name=spec.name)
     assert not problems, f"{spec.name}: {problems}"
