@@ -74,6 +74,31 @@ _SPECS: dict[str, QuerySpec] = {}
 #: weekend-rate, lead-time, order-intervals, langid... see backlog) rolls
 #: to round 7, after which every registered query carries a driver row.
 #: Registry growth is FROZEN until that backlog clears (round-5 verdict).
+#:
+#: ROUND-7 WINDOW PLAN (build _CHECK_FIRST from this when round 6's
+#: correctness lands): exactly 37 queries then remain without a driver
+#: row — orders_seasonal_naive_mae, customer_segment_migration,
+#: orders_repeat_purchase_curve, events_attribution_ushape,
+#: text_readability_ari, graph_clustering_coeff, graph_source_modularity,
+#: pii_tcloseness, dq_referential_integrity, ts_cusum_changepoint,
+#: ts_momentum_backtest, ts_pairs_spread, ts_cvar_expected_shortfall,
+#: ts_portfolio_turnover, ts_amihud_illiquidity, stats_mannwhitney,
+#: stats_histogram_quantiles, lineitem_transit_peak, part_supplier_hhi,
+#: dq_duplicate_orders, stats_anova_f, stats_kendall_tau, stats_spearman,
+#: stats_theil_sen, stats_cramers_v, orders_abc_xyz,
+#: text_kneser_ney_bigram, text_rake_keywords, orders_open_backlog,
+#: events_rate_weekend_test, supplier_lead_time, customer_order_intervals,
+#: events_l28_histogram, events_time_in_state, vec_sim_histogram,
+#: vec_cluster_purity, vec_centroid_drift.  All 37 pass the bit-exact
+#: oracle gate at sf0.01 (round-6 whole-registry sweep); every
+#: ROUND(double, k) output among them was converted to fixed-point int64
+#: in round 6.  The ~13 spare slots should re-confirm the bench headline
+#: queries whose newest green rows date from r5 (asof_batch, asof_range,
+#: asof_snapshot_all_assets, dedup_cdc_chunks, dedup_chunk_exact,
+#: dedup_clusters, dedup_jaccard_prefix, dedup_semantic,
+#: dedup_substring_runs, events_sessionize, pipeline_pretrain_mix,
+#: q1_pricing_summary, vec_pq_search — vec_pq_search now runs the
+#: memoized-codebook path, so a fresh row certifies it).
 _CHECK_FIRST: tuple[str, ...] = (
     # ---- round-5 defect fixes: re-certification rows ----
     "vec_binary_hamming_topk",
