@@ -93,6 +93,7 @@ def main() -> None:
     tracker = sc.statusTracker()
     timings: dict[str, float] = {}
     builds: dict[str, float] = {}
+    amortized: dict[str, float] = {}
     eager: list[str] = []
     errors: dict[str, str] = {}
     for spec in specs:
@@ -117,6 +118,13 @@ def main() -> None:
         run, build = min(runs), min(bts)
         builds[spec.name] = round(build, 3)
         timings[spec.name] = round(run + (build if spec.name in eager else 0.0), 3)
+        # one-time costs amortized OUT of the steady-state headline (e.g.
+        # the PQ codebook training memo: iteration 0 trains, iteration 1
+        # hits the cache, min() keeps the steady state) are reported
+        # explicitly so the headline's accounting is auditable
+        gap = max(bts) - build
+        if gap > 0.5:
+            amortized[spec.name] = round(gap, 3)
 
     total = round(sum(timings.values()), 3)
     # machine-state fingerprint: round-over-round comparisons are only
@@ -140,6 +148,7 @@ def main() -> None:
         "build": builds,
         "build_total": round(sum(builds.values()), 3),
         "eager_build_included": sorted(eager),
+        "amortized_one_time": amortized,
         "machine": machine,
         "sf": sf,
     }

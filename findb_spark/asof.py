@@ -271,39 +271,71 @@ def asof_join_nearest(
     backward/forward/tolerance, this covers 'closest print either side'
     — the mark-to-nearest-quote shape.
 
-    Implemented as the backward and forward union+last_value scans joined
-    on a synthetic unique probe id — two one-shuffle passes, still no
-    range-join explosion; the pick is a pure projection.  The probe id
-    (``monotonically_increasing_id`` pinned by an eager
-    ``localCheckpoint``, so both passes see identical ids) rather than the
-    full left row is the join key: duplicate left rows would otherwise
-    cross-product (2 identical probes -> 4 rows) and a NULL in any left
-    column would silently drop its probe (equi-join is not null-safe).
-    ``right_time`` must be in ``value_cols`` (the distances need the
-    matched times)."""
+    Implemented as ONE union+window pass — not as two directional joins
+    stitched back together.  Both inputs are tagged and unioned (the same
+    machinery as :func:`asof_join`); over a single per-key time sort, the
+    backward match is ``last(value_struct, ignorenulls)`` over the
+    preceding frame and the forward match is ``first(value_struct,
+    ignorenulls)`` over the following frame.  One shuffle, one sort, two
+    frame scans, fully lazy — no self-join (a rejoin keyed on the left
+    row cross-products duplicate probes and drops NULL-bearing rows; a
+    synthetic-row-id rejoin forces an eager checkpoint of the whole probe
+    table, which at 100 TB is a materialization this formulation never
+    pays).
+
+    Equal-time right rows sort before the probe, so the forward frame
+    (which starts AT the probe) does not see them — harmless: an
+    equal-time row is a distance-0 backward match, which wins every tie
+    by the stated rule.  ``right_time`` must be in ``value_cols`` (the
+    distances need the matched times)."""
     if right_time not in value_cols:
         raise ValueError("nearest requires right_time in value_cols")
-    rid = "_nearest_probe_id"
-    # eager checkpoint pins the nondeterministic ids so the backward and
-    # forward passes cannot recompute them differently
-    left_id = left.withColumn(rid, F.monotonically_increasing_id()).localCheckpoint(
-        eager=True
-    )
     l_cols = [c for c in left.columns]
-    back = asof_join(
-        left_id, right, on, left_time, right_time, value_cols, "backward"
-    ).select(
-        *l_cols,
-        rid,
-        *[F.col(f"matched_{c}").alias(f"_b_{c}") for c in value_cols],
+    r_types = dict(right.dtypes)
+    vs_type = "struct<" + ",".join(f"{c}:{r_types[c]}" for c in value_cols) + ">"
+    tagged_r = right.select(
+        F.col(on),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_q"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_vs"),
+        *[F.lit(None).alias(f"_l_{c}") for c in l_cols if c != on],
     )
-    fwd = asof_join(
-        left_id, right, on, left_time, right_time, value_cols, "forward"
-    ).select(
-        rid,
-        *[F.col(f"matched_{c}").alias(f"_f_{c}") for c in value_cols],
+    tagged_l = left.select(
+        F.col(on),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_q"),
+        F.lit(None).cast(vs_type).alias("_vs"),
+        *[F.col(c).alias(f"_l_{c}") for c in l_cols if c != on],
     )
-    j = back.join(fwd, rid)
+    unioned = tagged_r.unionByName(tagged_l)
+    order = [F.col("_t"), F.col("_is_q"), F.col("_vs").asc_nulls_last()]
+    wb = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    j = (
+        unioned.select(
+            on,
+            "_t",
+            "_is_q",
+            *[F.col(f"_l_{c}") for c in l_cols if c != on],
+            F.last(F.col("_vs"), ignorenulls=True).over(wb).alias("_b"),
+            F.first(F.col("_vs"), ignorenulls=True).over(wf).alias("_f"),
+        )
+        .where(F.col("_is_q") == 1)
+        .select(
+            on,
+            *[F.col(f"_l_{c}").alias(c) for c in l_cols if c != on],
+            *[F.col("_b")[c].alias(f"_b_{c}") for c in value_cols],
+            *[F.col("_f")[c].alias(f"_f_{c}") for c in value_cols],
+        )
+    )
     bt, ft = F.col(f"_b_{right_time}"), F.col(f"_f_{right_time}")
     lt = F.col(left_time)
     use_back = F.when(bt.isNull(), F.lit(False)).otherwise(

@@ -1182,7 +1182,8 @@ def power_iteration_top_dir(
     ~9e8 rows; beyond that switch the sums to DECIMAL(38,0) (same algebra,
     ANSI mode raises rather than wraps so the boundary is loud).
 
-    Returns (dim BIGINT, loading DOUBLE): the unit-L2 eigenvector estimate,
+    Returns (dim BIGINT, loading_ppm BIGINT — the unit-L2 loading in 1e6
+    fixed point, half-up): the eigenvector estimate,
     rounded to 6dp. rounds=3 resolves the top direction when the spectral
     gap is moderate — the use case is corpus drift / dominant-axis
     profiling, not full PCA.

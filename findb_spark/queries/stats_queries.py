@@ -1297,9 +1297,10 @@ pp AS (
   GROUP BY p.a1, p.a2
 )
 SELECT a1, a2, conc, disc,
-       CAST(FLOOR((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
-             / (SQRT(CAST(np - tx AS DOUBLE)) * SQRT(CAST(np - ty AS DOUBLE)))
-             * 100000000 + 0.5) AS BIGINT) AS tau_b_p8
+       CASE WHEN np = tx OR np = ty THEN NULL
+            ELSE CAST(FLOOR((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+                  / (SQRT(CAST(np - tx AS DOUBLE)) * SQRT(CAST(np - ty AS DOUBLE)))
+                  * 100000000 + 0.5) AS BIGINT) END AS tau_b_p8
 FROM pp
 """,
     category="relational",
@@ -1342,17 +1343,24 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "disc",
         # fixed-point 1e8 (half-up): subtract/sqrt/divide over exact ints
         # are correctly-rounded IEEE ops, bit-equal cross-engine, unlike
-        # ROUND(double, 8)
-        F.floor(
-            (F.col("conc").cast("double") - F.col("disc").cast("double"))
-            / (
-                F.sqrt((F.col("np") - F.col("tx")).cast("double"))
-                * F.sqrt((F.col("np") - F.col("ty")).cast("double"))
-            )
-            * 100000000
-            + F.lit(0.5)
+        # ROUND(double, 8).  All-tied series (tx=np or ty=np) make the
+        # denominator 0 -> NULL (DuckDB raises on CAST(FLOOR(NaN)), Spark
+        # silently wraps — the guard keeps the query total on both).
+        F.when(
+            (F.col("np") == F.col("tx")) | (F.col("np") == F.col("ty")),
+            F.lit(None).cast("bigint"),
         )
-        .cast("bigint")
+        .otherwise(
+            F.floor(
+                (F.col("conc").cast("double") - F.col("disc").cast("double"))
+                / (
+                    F.sqrt((F.col("np") - F.col("tx")).cast("double"))
+                    * F.sqrt((F.col("np") - F.col("ty")).cast("double"))
+                )
+                * 100000000
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
         .alias("tau_b_p8"),
     )
 
@@ -1380,10 +1388,11 @@ mo AS (
   FROM rk GROUP BY a1, a2
 )
 SELECT a1, a2, n,
-       CAST(FLOOR((CAST(n * sxy - sx * sy AS DOUBLE))
-             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
-                * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
-             * 100000000 + 0.5) AS BIGINT) AS rho_p8
+       CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN NULL
+            ELSE CAST(FLOOR((CAST(n * sxy - sx * sy AS DOUBLE))
+                  / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+                  * 100000000 + 0.5) AS BIGINT) END AS rho_p8
 FROM mo WHERE n >= 3
 """,
     category="relational",
@@ -1426,7 +1435,16 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a1",
         "a2",
         "n",
-        F.floor(num / den * 100000000 + F.lit(0.5)).cast("bigint").alias("rho_p8"),
+        # constant-rank series (zero variance) -> NULL, keeping the
+        # query total on both engines instead of NaN/Inf in the floor
+        F.when(
+            F.expr("n * sxx = sx * sx OR n * syy = sy * sy"),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(num / den * 100000000 + F.lit(0.5)).cast("bigint")
+        )
+        .alias("rho_p8"),
     )
 
 
@@ -1534,10 +1552,11 @@ dims AS (SELECT COUNT(DISTINCT pri) AS r, COUNT(DISTINCT st) AS c FROM cells)
 SELECT CAST(SUM(t) AS BIGINT) AS chi2_x1e6,
        CAST(MAX(g.grand) AS BIGINT) AS n,
        CAST((MAX(d2.r) - 1) * (MAX(d2.c) - 1) AS BIGINT) AS dof,
-       CAST(FLOOR(SQRT(CAST(SUM(t) AS DOUBLE) / 1000000
+       CASE WHEN LEAST(MAX(d2.r) - 1, MAX(d2.c) - 1) = 0 THEN NULL
+            ELSE CAST(FLOOR(SQRT(CAST(SUM(t) AS DOUBLE) / 1000000
                   / (CAST(MAX(g.grand) AS DOUBLE)
                      * LEAST(MAX(d2.r) - 1, MAX(d2.c) - 1)))
-                  * 100000000 + 0.5) AS BIGINT) AS cramers_v_p8
+                  * 100000000 + 0.5) AS BIGINT) END AS cramers_v_p8
 FROM terms CROSS JOIN g CROSS JOIN dims d2
 """,
     category="relational",
@@ -1585,18 +1604,25 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st_sum").cast("bigint").alias("chi2_x1e6"),
         F.col("grand").cast("bigint").alias("n"),
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
-        F.floor(
-            F.sqrt(
-                chi2
-                / (
-                    F.col("grand").cast("double")
-                    * F.least(F.col("r") - 1, F.col("c") - 1)
-                )
-            )
-            * 100000000
-            + F.lit(0.5)
+        # a 1xC or Rx1 table has min(r-1, c-1) = 0 -> NULL (V undefined),
+        # keeping the query total on both engines
+        F.when(
+            F.least(F.col("r") - 1, F.col("c") - 1) == 0,
+            F.lit(None).cast("bigint"),
         )
-        .cast("bigint")
+        .otherwise(
+            F.floor(
+                F.sqrt(
+                    chi2
+                    / (
+                        F.col("grand").cast("double")
+                        * F.least(F.col("r") - 1, F.col("c") - 1)
+                    )
+                )
+                * 100000000
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
         .alias("cramers_v_p8"),
     )
 

@@ -807,6 +807,10 @@ WITH bits AS (
          -- shift amount is clamped (dim % 63 == dim for every row that
          -- actually takes the ELSE branch) so the overflowing shift can
          -- never be computed even under eager branch evaluation.
+         -- CONTRACT: exactly-64-dim embeddings (the one-word packing this
+         -- query exists for); dims > 63 would alias under the clamp —
+         -- the Spark twin's shiftleft wraps mod 64 the same way only for
+         -- dim 64..126 by accident, so neither side is defined above 64.
          CAST(SUM(CASE WHEN CAST(v AS DOUBLE) < 0 THEN 0
                        WHEN dim = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
                        ELSE CAST(1 AS BIGINT) << (dim % 63) END) AS BIGINT)

@@ -55,9 +55,11 @@ def _corpus_key(sf_dir: str) -> tuple:
         )
     else:
         files = [p]
-    return tuple(
-        (f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in files
-    )
+    out = []
+    for f in files:
+        st = os.stat(f)
+        out.append((f, st.st_mtime_ns, st.st_size))
+    return tuple(out)
 
 
 def _trained_pq_codebook(spark: SparkSession, sf_dir: str) -> list:

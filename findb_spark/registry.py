@@ -15,7 +15,17 @@ hash, CORRECTNESS_r{N}.json):
   — exact and order-independent, so Spark and DuckDB agree bit-for-bit
   regardless of partitioning/accumulation order (a raw double sum over 600k
   rows carries ~1e-5 absolute error that WOULD flip a hash);
-- ratio-style outputs are rounded to a fixed small scale on both sides;
+- ratio-style outputs are EXACT fixed-point int64, never ``ROUND(double,
+  k)`` (Spark's BigDecimal half-up and DuckDB's multiply-round-divide can
+  differ in the final ulp while agreeing at k decimals — a driver-red
+  proven failure class).  The canonical idioms, byte-for-byte on both
+  engines: ``CAST((num * 10^k + den DIV 2) DIV den AS BIGINT)`` when
+  numerator and denominator are exact integers (``//`` in DuckDB), else
+  ``CAST(FLOOR(x * 10^k + 0.5) AS BIGINT)`` where ``x`` is a single
+  correctly-rounded IEEE expression (divide/sqrt only — never library
+  transcendentals, whose libm rounding differs cross-engine); guard any
+  zero denominator with an explicit NULL CASE (DuckDB raises on
+  ``CAST(FLOOR(NaN) AS BIGINT)``, Spark wraps silently);
 - every top-k has a total deterministic ORDER BY (unique tiebreaker column).
 """
 
