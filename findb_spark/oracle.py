@@ -38,6 +38,12 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 #: reformulation is impossible (the 26-term MACD's rational-weight common
 #: denominator 27^25 overflows int64), and both queries carry GREEN
 #: external-hash rows, so the certified tolerance is what the gate pins.
+#: Root cause (measured, round 6): DuckDB's evaluation of the
+#: ``lag*w + lag*w + ...`` chain itself deviates ~1 ulp from the
+#: canonical left-associated IEEE tree on a subset of rows (its window
+#: evaluator fuses/reassociates the multiply-add chain), so no SQL
+#: formulation of a chained double sum can be bit-equal — unlike single
+#: divide/sqrt expressions, which are correctly rounded on both engines.
 #: Everything else must be bit-exact.
 SIX_DP_QUERIES = frozenset({"ts_ewma", "ts_macd"})
 

@@ -340,6 +340,29 @@ def test_rank_stats_match_python_model(monkeypatch, spark):
     assert got_ts[1].n_pairs == 28
 
 
+def test_rank_stats_degenerate_series_yield_null(monkeypatch, spark):
+    """An all-constant series degenerates both rank correlations (tau-b's
+    tie correction empties the denominator, Spearman's rank variance is
+    zero).  Both must emit NULL — not NaN/Inf, which DuckDB rejects at
+    the BIGINT cast while Spark silently wraps (the cross-engine trap the
+    guards exist for)."""
+    import findb_spark.queries.stats_queries as sq
+
+    months = [20240105, 20240210, 20240311, 20240405]
+    xs = [10.0, 10.0, 10.0, 10.0]  # constant -> degenerate
+    ys = [30.0, 29.0, 31.0, 33.0]
+    rows = [(1, d, x) for d, x in zip(months, xs)] + [
+        (2, d, y) for d, y in zip(months, ys)
+    ]
+    _patch_daily(monkeypatch, spark, rows)
+
+    got_tau = sq.stats_kendall_tau(spark, "unused").collect()
+    assert len(got_tau) == 1 and got_tau[0].tau_b_p8 is None
+
+    got_rho = sq.stats_spearman(spark, "unused").collect()
+    assert len(got_rho) == 1 and got_rho[0].rho_p8 is None
+
+
 def test_markov_stationary_fixed_point_of_known_chain(spark):
     """Two-state chain a->b always, b->a always: stationary = (.5, .5).
     Three-state with self-loops verified against the float fixed point."""
