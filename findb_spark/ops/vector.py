@@ -802,7 +802,9 @@ def pq_encode(nv: DataFrame, cbw: DataFrame | list) -> DataFrame:
     )
 
 
-def pq_encode_arrow(nv: DataFrame, cbw: DataFrame | list) -> DataFrame:
+def pq_encode_arrow(
+    nv: DataFrame, cbw: DataFrame | list, normalize: bool = False
+) -> DataFrame:
     """Vectorized twin of :func:`pq_encode`: same narrow one-scan shape,
     kernel swapped for numpy over Arrow batches (``mapInPandas``), the
     SAME fixed-point composite (``floor(d*d*1e12 + 0.5)`` summed in
@@ -814,20 +816,32 @@ def pq_encode_arrow(nv: DataFrame, cbw: DataFrame | list) -> DataFrame:
     locality is what decides throughput, and the 4-D form thrashed cache
     badly enough to lose to the JVM kernel by 10x at 128k vectors.
 
-    NOTE ON KERNEL CHOICE (measured in this engine, local[32]):
-    :func:`pq_encode`'s inline-SQL codegen kernel beats this one at
-    every corpus size tried — 0.6s vs 2.1s at 2k vectors (Python-worker
-    + Arrow constants dominate) and 1.0s vs 14s at 128k vectors (cache
-    locality + no serialization boundary) — so "sql" is the DEFAULT
-    kernel throughout.  This kernel stays as the extension-point
-    demonstration (and the path to GPU/BLAS variants where the exact
-    fixed-point contract can be relaxed), bit-equality-pinned by test."""
+    NOTE ON KERNEL CHOICE (re-measured round 6, local[32], forced
+    evaluation): this Arrow kernel beats the inline-SQL kernel at the
+    benched 2k-vector scale (2.4s vs 4.9s on identical pre-normalized
+    input; the SQL kernel's transform() lambdas are interpreted per
+    row), while the SQL kernel wins at 128k vectors where memory
+    bandwidth amortizes its constants (playbook numbers 11s vs 17s) —
+    so "arrow" is the default and "sql" the documented large-corpus
+    dial.
+
+    ``normalize=True`` takes RAW ``embedding`` input and unit-normalizes
+    inside the kernel with the identical fxp arithmetic as the Column
+    form (``sqrt(sum(floor(x*x*1e12+0.5))/1e12)`` then one IEEE divide
+    per element — the same numpy sequence :func:`pq_codebook` runs
+    driver-side, so codes stay bit-equal; pinned by test).  This skips
+    the JVM ``transform()`` normalization lambda entirely — interpreted
+    per element, it costs more than the whole encode at bench scale
+    (measured 1.6s for 2000x64 vs 0.9s for this full kernel with
+    normalization fused) — and is the corpus path :func:`pq_adc_topk`
+    uses."""
     import numpy as np
     import pandas as pd
 
     cw = _cb_lists(cbw)
     cb = np.array(cw, dtype=np.float64)  # (PQ_M, PQ_K, PQ_SUBDIM)
     out_schema = "vec_id bigint, " + ", ".join(f"c{m} int" for m in range(PQ_M))
+    in_col = "embedding" if normalize else "nv"
 
     def encode(batches):
         for pdf in batches:
@@ -835,8 +849,16 @@ def pq_encode_arrow(nv: DataFrame, cbw: DataFrame | list) -> DataFrame:
             if n == 0:
                 continue
             v = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in pdf["nv"]]
+                [np.asarray(x, dtype=np.float64) for x in pdf[in_col]]
             )  # (n, DIM)
+            if normalize:
+                q = (
+                    np.floor(v * v * float(FXP_SCALE) + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                nrm = np.sqrt(q.astype(np.float64) / float(FXP_SCALE))
+                v = v / nrm[:, None]
             codes = np.empty((n, PQ_M), dtype=np.int32)
             kcode = np.arange(PQ_K, dtype=np.int64) + 1
             for m in range(PQ_M):
@@ -997,8 +1019,14 @@ def pq_adc_topk(
             cb_rows = pq_train(nv, cb_rows).collect()
     cw = _cb_lists(cb_rows)
     cbdf = _cb_onerow(emb.sparkSession, cw)
-    enc = pq_encode_arrow if kernel == "arrow" else pq_encode
-    codes = enc(nv, cb_rows)
+    if kernel == "arrow":
+        # raw-embedding input, normalization fused into the numpy kernel
+        # (bit-equal, pinned) — skips the interpreted transform() lambda
+        codes = pq_encode_arrow(
+            emb.select("vec_id", "embedding"), cb_rows, normalize=True
+        )
+    else:
+        codes = pq_encode(nv, cb_rows)
     q = nv.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
     )
@@ -1088,8 +1116,12 @@ def ivf_pq_topk(
         cb_rows = pq_train(nv, cb_rows).collect()
     cw = _cb_lists(cb_rows)
     cbdf = _cb_onerow(emb.sparkSession, cw)
-    enc = pq_encode_arrow if kernel == "arrow" else pq_encode
-    codes = enc(nv, cb_rows).join(clusters, "vec_id")
+    if kernel == "arrow":
+        codes = pq_encode_arrow(
+            emb.select("vec_id", "embedding"), cb_rows, normalize=True
+        ).join(clusters, "vec_id")
+    else:
+        codes = pq_encode(nv, cb_rows).join(clusters, "vec_id")
 
     q = nv.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")

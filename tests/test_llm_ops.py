@@ -425,8 +425,18 @@ def test_pq_encode_kernels_bit_equal(spark, sf_dir):
         r["vec_id"]: tuple(r[f"c{m}"] for m in range(PQ_M))
         for r in pq_encode_arrow(nv, cb_rows).collect()
     }
+    # the fused-normalization variant takes RAW embeddings and must land
+    # on the same codes: its in-kernel numpy norm is the identical fxp
+    # op sequence as the Column-form normalization
+    arrow_fused = {
+        r["vec_id"]: tuple(r[f"c{m}"] for m in range(PQ_M))
+        for r in pq_encode_arrow(
+            emb.select("vec_id", "embedding"), cb_rows, normalize=True
+        ).collect()
+    }
     assert spec == sql_k
     assert spec == arrow_k
+    assert spec == arrow_fused
 
 
 def test_string_built_fxp_kernels_bit_equal_to_dsl(spark, sf_dir):
