@@ -255,7 +255,16 @@ def plane_matrix(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[int]]:
 
 def lsh_buckets(emb: DataFrame, planes: list[list[int]] | None = None) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector: bit j = sign of the
-    fixed-point projection onto plane j."""
+    fixed-point projection onto plane j.
+
+    KERNEL NOTE (measured round 6): unlike :func:`fxp_dot_expr`, the
+    unrolled-inline-SQL form LOSES here — 6 planes x 64 terms = 384
+    inline terms blow janino's method-size limit, so codegen fails
+    (one-time compile attempt ~1.7s) and execution falls back to
+    interpreted anyway: 0.5-0.7s warm vs 0.35s for this
+    ``aggregate(zip_with(...))`` form, whose per-element work (one
+    multiply by a +-1 literal) is too cheap for lambda-dispatch
+    overhead to dominate.  The higher-order form stays."""
     planes = planes or plane_matrix()
     bucket = None
     for j, m in enumerate(planes):
