@@ -269,6 +269,26 @@ def test_pq_adc_minimal_plan_shape(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_pq_corpus_pass_has_no_interpreted_normalization(spark):
+    """The fused Arrow encode contract: the corpus pass is ONE
+    MapInPandas stage fed raw embeddings — the interpreted JVM
+    ``transform()`` normalization lambda (measured costlier than the
+    whole encode) must not appear upstream of it.  The query/LUT side
+    (3 rows) may still normalize JVM-side."""
+    import re
+
+    p = _plan(spark, "vec_pq_adc")
+    maps = re.findall(r"^\(\d+\) MapInPandas", p, flags=re.M)
+    assert len(maps) == 1, f"expected 1 Arrow encode stage, got {len(maps)}"
+    # locate the MapInPandas node's input subtree: raw scan -> project ->
+    # MapInPandas with no transform(...) in between.  formatted explain
+    # lists node details after the tree; assert the encode input columns
+    # are the raw ones, not a computed nv
+    m = re.search(r"\(\d+\) MapInPandas[^\n]*\n(?:.*\n)*?Input \[2\]: \[(.*?)\]", p)
+    assert m, "MapInPandas node details not found"
+    assert "embedding" in m.group(1) and "nv" not in m.group(1), m.group(1)
+
+
 def test_market_basket_no_self_join(spark):
     """Pair generation is basket-local (explode of in-array combinations)
     — no order-key self-join, no cartesian; the only non-equi join is
