@@ -107,3 +107,45 @@ def test_bloom_manifest_prunes_and_never_false_negatives(spark, sf_dir, tmp_path
     # absent key: zero rows regardless of bloom false positives
     absent = key + 10_000_019
     assert bloom_pruned_read(spark, m, "l_orderkey", absent).count() == 0
+
+
+def test_scan_split_parallelism_scales_with_max_partition_bytes(spark, tmp_path):
+    """Scan-task sizing certification: at 100 TB the number of scan tasks
+    per file is governed by ``spark.sql.files.maxPartitionBytes`` (with
+    ``openCostInBytes`` packing) — one large parquet file must split into
+    proportionally more input partitions as the split size shrinks, or a
+    1000-executor cluster would serialize behind single-task files.
+    Pins the mechanism on the engine's own session config."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "bigfile")
+    spark.range(400_000).select(
+        "id", F.expr("repeat(uuid(), 2) AS pad")
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    n_bytes = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    assert n_bytes > 4 * 1024 * 1024  # big enough to split meaningfully
+
+    conf = spark.conf
+    old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = conf.get("spark.sql.files.openCostInBytes", "4194304")
+    try:
+        conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        n_default = spark.read.parquet(path).rdd.getNumPartitions()
+        conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+        conf.set("spark.sql.files.openCostInBytes", "0")
+        n_small = spark.read.parquet(path).rdd.getNumPartitions()
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        conf.set("spark.sql.files.openCostInBytes", old_open)
+
+    # shrinking the split size must increase scan parallelism roughly
+    # proportionally (exact count depends on openCost packing + row
+    # groups; the monotone mechanism is what's certified)
+    assert n_small > n_default
+    assert n_small >= n_bytes // (2 * 1024 * 1024)
