@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from findb_spark.functions.hashing import hash48_duck
 from findb_spark.ops.text import shingles_duck
 from findb_spark.registry import register
 from findb_spark.session import load_table
@@ -504,11 +505,12 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_shingle_df_profile",
     f"""
-WITH sh AS (
+WITH sh0 AS (
   SELECT doc_id, unnest(list_distinct({shingles_duck('text')})) AS shingle
   FROM documents
 ),
-df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+sh AS (SELECT doc_id, {hash48_duck('shingle')} AS h FROM sh0),
+df AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h),
 b AS (SELECT CAST(length(bin(df)) AS INT) AS df_log2_bucket, df FROM df)
 SELECT df_log2_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_shingles,
@@ -518,21 +520,32 @@ FROM b GROUP BY df_log2_bucket ORDER BY df_log2_bucket
 """,
     category="dedup",
     description=(
-        "Inverted-index skew profile: shingle document-frequency histogram "
-        "in log2 buckets (bit-length bucketing — integer-exact) + posting "
-        "mass per bucket — the diagnostic that says whether the plain "
-        "inverted-index join will blow up on common shingles and the "
-        "PPJoin prefix filter should take over"
+        "Inverted-index skew profile over the index's OWN 48-bit hashed "
+        "shingle keys: document-frequency histogram in log2 buckets "
+        "(bit-length bucketing — integer-exact) + posting mass per bucket "
+        "— the diagnostic that says whether the plain inverted-index join "
+        "will blow up on common shingles and the PPJoin prefix filter "
+        "should take over"
     ),
 )
 def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from findb_spark.ops.text import shingles
+    # the profile keys on hash48(shingle) — the inverted index's own join
+    # key — and hashes INSIDE the array before the explode.  Exploding
+    # the raw string-shingle array straight out of its computing
+    # projection is pathological (measured 7.7s vs 0.9s over the sf0.1
+    # corpus: the generator's unmaterialized wide string-array input is
+    # re-touched per emitted element); mapping to int64 hashes first
+    # keeps the Generate input narrow.  Same fast pattern as
+    # ops/dedup.py's minhash/ngram index builders.
+    from findb_spark.functions.hashing import hash48
+    from findb_spark.ops.dedup import shingle_arrays
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("shingle")
+    sh = shingle_arrays(docs).select(
+        "doc_id",
+        F.explode(F.transform(F.col("sharr"), lambda s: hash48(s))).alias("h"),
     )
-    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    df = sh.groupBy("h").agg(F.count("*").alias("df"))
     b = df.select(
         F.expr("CAST(length(bin(df)) AS INT)").alias("df_log2_bucket"), "df"
     )
