@@ -806,3 +806,81 @@ def graph_bfs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(pairs, seeds, rounds=_BFS_ROUNDS).select(
         F.col("node").alias("doc_id"), F.col("dist").alias("hops")
     )
+
+
+_REC_HOPS = 3
+
+
+def _recursive_bfs_sql(max_hops: int = _REC_HOPS) -> str:
+    # the SAME hop-bounded BFS as graph_bfs_contamination, but through the
+    # engines' NATIVE recursive-CTE machinery on both sides: UNION ALL
+    # frontier expansion bounded by dist < max_hops (cycles terminate via
+    # the bound, path multiplicity collapsed by the final MIN)
+    return f"""
+WITH RECURSIVE {_CLUSTERS_CTES},
+emat AS MATERIALIZED (SELECT DISTINCT a, b FROM edges),
+r(node, dist) AS (
+  SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
+  FROM documents WHERE source = '{_BFS_SEED_SOURCE}'
+  UNION ALL
+  SELECT e.b AS node, r.dist + 1 AS dist
+  FROM r JOIN emat e ON e.a = r.node
+  WHERE r.dist < {max_hops}
+)
+SELECT node AS doc_id, CAST(MIN(dist) AS BIGINT) AS hops
+FROM r GROUP BY node
+"""
+
+
+@register(
+    "sql_recursive_bfs",
+    _recursive_bfs_sql(),
+    category="sql",
+    description=(
+        f"WITH RECURSIVE grammar certification (Spark 4 recursive CTE "
+        f"execution vs DuckDB's native recursion): {_REC_HOPS}-hop-bounded "
+        f"multi-source BFS through the near-dup pair graph from every "
+        f"'{_BFS_SEED_SOURCE}' document — the same answer "
+        "graph_bfs_contamination computes with driver-loop DataFrame "
+        "algebra, here produced by the engine's own fixpoint machinery "
+        "(UNION ALL frontier, cycle-safe via the hop bound, path "
+        "multiplicity collapsed by MIN).  Registered under the "
+        "certification-backlog freeze because it gates a genuinely new "
+        "engine mechanism: no other query exercises Spark's recursive-CTE "
+        "executor"
+    ),
+)
+def sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.4).select("doc1", "doc2")
+    # materialize the edge list before recursion: each recursive step
+    # re-reads the anchor relation, and the unmaterialized minhash
+    # pipeline would re-run per iteration (the same reason every
+    # iterative op here checkpoints); the edge list is the graph ops'
+    # bounded working set
+    edges = (
+        pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges.createOrReplaceTempView("rec_bfs_edges_v")
+    docs.where(F.col("source") == _BFS_SEED_SOURCE).select(
+        "doc_id"
+    ).createOrReplaceTempView("rec_bfs_seeds_v")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE r(node, dist) AS (
+          SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
+          FROM rec_bfs_seeds_v
+          UNION ALL
+          SELECT e.b AS node, r.dist + 1 AS dist
+          FROM r JOIN rec_bfs_edges_v e ON e.a = r.node
+          WHERE r.dist < {_REC_HOPS}
+        )
+        SELECT node AS doc_id, CAST(MIN(dist) AS BIGINT) AS hops
+        FROM r GROUP BY node
+        """
+    )

@@ -86,8 +86,11 @@ _SPECS: dict[str, QuerySpec] = {}
 #: Registry growth is FROZEN until that backlog clears (round-5 verdict).
 #:
 #: ROUND-7 WINDOW PLAN (build _CHECK_FIRST from this when round 6's
-#: correctness lands): exactly 37 queries then remain without a driver
-#: row — orders_seasonal_naive_mae, customer_segment_migration,
+#: correctness lands): 38 queries then remain without a driver row —
+#: sql_recursive_bfs (the one freeze-exempt round-6 addition: Spark 4's
+#: recursive-CTE executor, a genuinely new engine mechanism; green at
+#: sf0.001 AND sf0.01 and cross-checked against the DataFrame BFS by
+#: test), plus the 37 analytics: orders_seasonal_naive_mae, customer_segment_migration,
 #: orders_repeat_purchase_curve, events_attribution_ushape,
 #: text_readability_ari, graph_clustering_coeff, graph_source_modularity,
 #: pii_tcloseness, dq_referential_integrity, ts_cusum_changepoint,

@@ -298,3 +298,33 @@ def test_bfs_isolated_seed_stays_at_zero(spark):
     sd = spark.createDataFrame([(99,), (1,)], "node bigint")
     got = {(r.node, r.dist) for r in bfs_distances(ed, sd, rounds=3).collect()}
     assert got == {(99, 0), (1, 0), (2, 1), (3, 2)}
+
+
+def test_recursive_cte_bfs_matches_dataframe_bfs(spark, sf_dir):
+    """The WITH RECURSIVE grammar cert and the driver-loop DataFrame BFS
+    are two independent implementations of the same hop-bounded BFS over
+    the same pair graph — their outputs must agree exactly at the shared
+    hop bound (cross-mechanism agreement, beyond each one's own oracle)."""
+    from findb_spark.ops.dedup import minhash_lsh_pairs
+    from findb_spark.ops.graph import bfs_distances
+    from findb_spark.queries.graph_quality_queries import (
+        _BFS_SEED_SOURCE,
+        _REC_HOPS,
+        sql_recursive_bfs,
+    )
+    from findb_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.doc_id, r.hops) for r in sql_recursive_bfs(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.4).select("doc1", "doc2")
+    seeds = docs.where(F.col("source") == _BFS_SEED_SOURCE).select(
+        F.col("doc_id").alias("node")
+    )
+    want = {
+        (r.node, r.dist)
+        for r in bfs_distances(pairs, seeds, rounds=_REC_HOPS).collect()
+    }
+    assert got == want and len(got) > 0
