@@ -844,10 +844,12 @@ FROM r GROUP BY node
         "graph_bfs_contamination computes with driver-loop DataFrame "
         "algebra, here produced by the engine's own fixpoint machinery "
         "(UNION ALL frontier, cycle-safe via the hop bound, path "
-        "multiplicity collapsed by MIN).  Registered under the "
-        "certification-backlog freeze because it gates a genuinely new "
-        "engine mechanism: no other query exercises Spark's recursive-CTE "
-        "executor"
+        "multiplicity collapsed by MIN).  Complements sql_recursive_rollup "
+        "(acyclic hierarchy recursion): this is the CYCLIC-graph fixpoint "
+        "mode — termination comes from the explicit hop bound, not the "
+        "data shape — which is the recursion pattern that can diverge or "
+        "blow up; its cross-check against the driver-loop BFS is the "
+        "freeze-exemption rationale"
     ),
 )
 def sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -87,8 +87,9 @@ _SPECS: dict[str, QuerySpec] = {}
 #:
 #: ROUND-7 WINDOW PLAN (build _CHECK_FIRST from this when round 6's
 #: correctness lands): 38 queries then remain without a driver row —
-#: sql_recursive_bfs (the one freeze-exempt round-6 addition: Spark 4's
-#: recursive-CTE executor, a genuinely new engine mechanism; green at
+#: sql_recursive_bfs (the one freeze-exempt round-6 addition: the
+#: CYCLIC-graph fixpoint mode of Spark 4's recursive-CTE executor —
+#: sql_recursive_rollup covers only the acyclic hierarchy mode; green at
 #: sf0.001 AND sf0.01 and cross-checked against the DataFrame BFS by
 #: test), plus the 37 analytics: orders_seasonal_naive_mae, customer_segment_migration,
 #: orders_repeat_purchase_curve, events_attribution_ushape,
