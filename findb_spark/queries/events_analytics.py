@@ -46,7 +46,7 @@ wau AS (SELECT CAST(wday AS DATE) AS day, COUNT(*) AS wau FROM contrib GROUP BY 
 dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
 span AS (SELECT MIN(day) AS d0 FROM ud)
 SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
-       ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+       CAST((dau * 1000000 + wau // 2) // wau AS BIGINT) AS stickiness_ppm
 FROM dau JOIN wau ON dau.day = wau.day CROSS JOIN span
 WHERE dau.day >= d0 + 6
 """,
@@ -88,9 +88,9 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             F.col("dau").cast("bigint").alias("dau"),
             F.col("wau").cast("bigint").alias("wau"),
-            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
-                "stickiness"
-            ),
+            F.expr(
+                "CAST((dau * 1000000 + wau DIV 2) DIV wau AS BIGINT)"
+            ).alias("stickiness_ppm"),
         )
     )
 
@@ -113,7 +113,7 @@ conv AS (
 n AS (SELECT COUNT(*) AS n_conv FROM conv)
 SELECT CAST(delay_hours // 24 AS BIGINT) AS delay_days,
        COUNT(*) AS n_users,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / n_conv, 6) AS share
+       CAST((COUNT(*) * 1000000 + n_conv // 2) // n_conv AS BIGINT) AS share_ppm
 FROM conv CROSS JOIN n
 GROUP BY delay_days, n_conv
 ORDER BY delay_days
@@ -149,9 +149,9 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "delay_days",
             "n_users",
-            F.round(F.col("n_users").cast("double") / F.col("n_conv"), 6).alias(
-                "share"
-            ),
+            F.expr(
+                "CAST((n_users * 1000000 + n_conv DIV 2) DIV n_conv AS BIGINT)"
+            ).alias("share_ppm"),
         )
         .orderBy("delay_days")
     )
@@ -178,7 +178,7 @@ ctx AS (
 )
 SELECT t.prev2, t.prev1, t.next_type,
        CAST(t.cnt AS BIGINT) AS cnt,
-       ROUND(CAST(t.cnt AS DOUBLE) / c.ctx_total, 6) AS prob
+       CAST((t.cnt * 1000000 + c.ctx_total // 2) // c.ctx_total AS BIGINT) AS prob_ppm
 FROM tri t JOIN ctx c ON t.prev2 = c.prev2 AND t.prev1 = c.prev1
 """,
     category="events",
@@ -207,7 +207,9 @@ def events_markov2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev1",
         "next_type",
         F.col("cnt").cast("bigint").alias("cnt"),
-        F.round(F.col("cnt").cast("double") / F.col("ctx_total"), 6).alias("prob"),
+        F.expr(
+            "CAST((cnt * 1000000 + ctx_total DIV 2) DIV ctx_total AS BIGINT)"
+        ).alias("prob_ppm"),
     )
 
 
@@ -297,9 +299,9 @@ SELECT CAST(date_trunc('week', first_day) AS DATE) AS cohort_week,
        COUNT(*) AS n_users,
        CAST(SUM(CASE WHEN last_day < max_day - 7 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_churned,
-       ROUND(CAST(SUM(CASE WHEN last_day < max_day - 7
-                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
-         AS churn_rate
+       CAST((CAST(SUM(CASE WHEN last_day < max_day - 7 THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000000 + COUNT(*) // 2) // COUNT(*)
+            AS BIGINT) AS churn_rate_ppm
 FROM u CROSS JOIN horizon
 GROUP BY cohort_week, max_day
 ORDER BY cohort_week
@@ -326,7 +328,12 @@ def events_churn_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_users"),
             churned.cast("bigint").alias("n_churned"),
-            F.round(churned.cast("double") / F.count("*"), 6).alias("churn_rate"),
+        )
+        .withColumn(
+            "churn_rate_ppm",
+            F.expr(
+                "CAST((n_churned * 1000000 + n_users DIV 2) DIV n_users AS BIGINT)"
+            ),
         )
         .drop("max_day")
         .orderBy("cohort_week")

@@ -595,7 +595,9 @@ ret AS (
   GROUP BY 1, 2
 )
 SELECT CAST(r.cohort_date AS VARCHAR) AS cohort_day, r.day_n, r.n_active,
-       s.n_cohort, ROUND(r.n_active / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+       s.n_cohort,
+       CAST((r.n_active * 1000000 + s.n_cohort // 2) // s.n_cohort AS BIGINT)
+         AS retention_ppm
 FROM ret r JOIN sizes s USING (cohort_date)
 """,
     category="events",
@@ -639,9 +641,9 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_n",
         "n_active",
         "n_cohort",
-        F.round(F.col("n_active") / F.col("n_cohort").cast("double"), 6).alias(
-            "retention"
-        ),
+        F.expr(
+            "CAST((n_active * 1000000 + n_cohort DIV 2) DIV n_cohort AS BIGINT)"
+        ).alias("retention_ppm"),
     )
 
 
@@ -794,10 +796,10 @@ mads AS (
 )
 SELECT d.event_type,
        CAST(COUNT(*) AS BIGINT) AS n_hours,
-       ROUND(ANY_VALUE(d.med), 4) AS median_cnt,
-       ROUND(ANY_VALUE(m.mad), 4) AS mad,
+       CAST(ANY_VALUE(d.med) * 2 AS BIGINT) AS median_cnt_x2,
+       CAST(ANY_VALUE(m.mad) * 4 AS BIGINT) AS mad_x4,
        CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
-       ROUND(MAX(d.adev), 4) AS max_abs_dev
+       CAST(MAX(d.adev) * 2 AS BIGINT) AS max_abs_dev_x2
 FROM dev d JOIN mads m USING (event_type)
 GROUP BY d.event_type
 """,
@@ -839,14 +841,14 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_hours"),
-            F.round(F.first("med"), 4).alias("median_cnt"),
-            F.round(F.first("mad"), 4).alias("mad"),
+            (F.first("med") * 2).cast("bigint").alias("median_cnt_x2"),
+            (F.first("mad") * 4).cast("bigint").alias("mad_x4"),
             F.sum(
                 F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
             )
             .cast("bigint")
             .alias("n_anomalies"),
-            F.round(F.max("adev"), 4).alias("max_abs_dev"),
+            (F.max("adev") * 2).cast("bigint").alias("max_abs_dev_x2"),
         )
     )
 
@@ -881,7 +883,8 @@ per AS (
 SELECT path,
        CAST(COUNT(*) AS BIGINT) AS n_sessions,
        CAST(SUM(has_p) AS BIGINT) AS n_converted,
-       ROUND(SUM(has_p) / CAST(COUNT(*) AS DOUBLE), 6) AS conv_rate
+       CAST((CAST(SUM(has_p) AS BIGINT) * 1000000 + COUNT(*) // 2) // COUNT(*)
+            AS BIGINT) AS conv_rate_ppm
 FROM per GROUP BY path
 ORDER BY n_sessions DESC, path LIMIT 20
 """,
@@ -932,9 +935,10 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_sessions"),
             F.sum("has_p").cast("bigint").alias("n_converted"),
-            F.round(
-                F.sum("has_p") / F.count("*").cast("double"), 6
-            ).alias("conv_rate"),
+            F.expr(
+                "CAST((CAST(SUM(has_p) AS BIGINT) * 1000000"
+                " + COUNT(*) DIV 2) DIV COUNT(*) AS BIGINT)"
+            ).alias("conv_rate_ppm"),
         )
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)

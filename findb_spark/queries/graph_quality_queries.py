@@ -107,9 +107,10 @@ common AS (
 )
 SELECT p.doc1, p.doc2, da.deg AS deg1, db.deg AS deg2,
        COALESCE(c.n_common, 0) AS n_common,
-       ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
-             / (da.deg + db.deg - COALESCE(c.n_common, 0)), 6)
-         AS neighbor_jaccard
+       CAST((COALESCE(c.n_common, 0) * 1000000
+             + (da.deg + db.deg - COALESCE(c.n_common, 0)) // 2)
+            // (da.deg + db.deg - COALESCE(c.n_common, 0)) AS BIGINT)
+         AS neighbor_jaccard_ppm
 FROM pmat p
 JOIN deg da ON da.a = p.doc1
 JOIN deg db ON db.a = p.doc2
@@ -157,11 +158,11 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deg1",
             "deg2",
             F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias("n_common"),
-            F.round(
-                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
-                / (F.col("deg1") + F.col("deg2") - F.coalesce(F.col("n_common"), F.lit(0))),
-                6,
-            ).alias("neighbor_jaccard"),
+            F.expr(
+                "CAST((COALESCE(n_common, 0) * 1000000"
+                " + (deg1 + deg2 - COALESCE(n_common, 0)) DIV 2)"
+                " DIV (deg1 + deg2 - COALESCE(n_common, 0)) AS BIGINT)"
+            ).alias("neighbor_jaccard_ppm"),
         )
     )
 

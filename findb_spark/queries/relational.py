@@ -1328,17 +1328,40 @@ def pareto_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _px100_case_sql(p: int, idiv: str) -> str:
+    """Exact linear-interpolation percentile, scaled x100, as pure int64
+    arithmetic over ranked frequencies: with 0-based rank rk over the
+    sorted multiset and idx = (p*(n-1)) div 100, rem = (p*(n-1)) mod 100,
+    the x100-scaled percentile is v[idx]*(100-rem) + v[idx+1]*rem —
+    bit-equal on any engine (no double positions, no 0.99 representation
+    drift).  `idiv` is the dialect's integer-division operator."""
+    idx = f"(({p} * (n_keys - 1)) {idiv} 100)"
+    rem = f"(({p} * (n_keys - 1)) % 100)"
+    return (
+        f"CAST(SUM(CASE WHEN rk = {idx} THEN freq * (100 - {rem}) ELSE 0 END)"
+        f" + SUM(CASE WHEN rk = {idx} + 1 THEN freq * {rem} ELSE 0 END)"
+        " AS BIGINT)"
+    )
+
+
 def _skew_profile_sql(table: str, key: str) -> str:
     return f"""
-SELECT '{table}.{key}' AS key_col,
-       CAST(COUNT(*) AS BIGINT) AS n_keys,
-       CAST(SUM(freq) AS BIGINT) AS total_rows,
-       CAST(MAX(freq) AS BIGINT) AS max_freq,
-       ROUND(quantile_cont(freq, 0.5), 4) AS p50_freq,
-       ROUND(quantile_cont(freq, 0.99), 4) AS p99_freq,
-       ROUND(MAX(freq) / SUM(freq), 6) AS top_share,
-       ROUND(MAX(freq) / quantile_cont(freq, 0.5), 4) AS skew_max_over_p50
-FROM (SELECT {key}, COUNT(*) AS freq FROM {table} GROUP BY 1)
+SELECT '{table}.{key}' AS key_col, n_keys, total_rows, max_freq,
+       {_px100_case_sql(50, '//')} AS p50_freq_x100,
+       {_px100_case_sql(99, '//')} AS p99_freq_x100,
+       CAST((max_freq * 1000000 + total_rows // 2) // total_rows AS BIGINT)
+         AS top_share_ppm,
+       CAST((max_freq * 1000000 + {_px100_case_sql(50, '//')} // 2)
+            // {_px100_case_sql(50, '//')} AS BIGINT) AS skew_p50_x10k
+FROM (SELECT freq,
+             ROW_NUMBER() OVER (ORDER BY freq) - 1 AS rk
+      FROM (SELECT {key}, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM {table} GROUP BY 1))
+CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(freq2) AS BIGINT) AS total_rows,
+                   CAST(MAX(freq2) AS BIGINT) AS max_freq
+            FROM (SELECT {key}, COUNT(*) AS freq2 FROM {table} GROUP BY 1))
+GROUP BY key_col, n_keys, total_rows, max_freq
 """
 
 
@@ -1356,16 +1379,19 @@ FROM (SELECT {key}, COUNT(*) AS freq FROM {table} GROUP BY 1)
     description=(
         "Join-key skew diagnostic: per candidate join key, the frequency "
         "distribution of the key (cardinality, max frequency, top-key row "
-        "share, p50/p99 frequency, max/p50 skew ratio) — the pre-flight "
-        "profile that decides broadcast vs shuffle vs salting before a "
-        "100 TB join; exact percentiles over the (small) per-key frequency "
-        "relation, never over raw rows"
+        "share ppm, p50/p99 frequency x100, max/p50 skew ratio x10k) — "
+        "the pre-flight profile that decides broadcast vs shuffle vs "
+        "salting before a 100 TB join; percentiles computed as EXACT "
+        "int64 rank-rational interpolation over the (small) per-key "
+        "frequency relation, never over raw rows and never through "
+        "double quantile positions"
     ),
 )
 def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew profiling as two-level aggregation: the wide pass is a
     map-side-combinable COUNT per key (output size = key cardinality, not
-    row count); percentiles/max run on that small frequency relation.
+    row count); percentiles/max run on that small frequency relation as
+    exact x100 fixed-point rank interpolation (see _px100_case_sql).
     This is the measurement half of the skew playbook the engine's AQE
     config + salting tests rely on (tests/test_skew.py)."""
 
@@ -1373,19 +1399,43 @@ def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         freq = (
             load_table(spark, sf_dir, table)
             .groupBy(key)
-            .agg(F.count("*").alias("freq"))
+            .agg(F.count("*").cast("bigint").alias("freq"))
         )
-        return freq.agg(
+        stats = freq.agg(
             F.count("*").cast("bigint").alias("n_keys"),
             F.sum("freq").cast("bigint").alias("total_rows"),
             F.max("freq").cast("bigint").alias("max_freq"),
-            F.round(F.expr("percentile(freq, 0.5)"), 4).alias("p50_freq"),
-            F.round(F.expr("percentile(freq, 0.99)"), 4).alias("p99_freq"),
-            F.round(F.max("freq") / F.sum("freq"), 6).alias("top_share"),
-            F.round(
-                F.max("freq") / F.expr("percentile(freq, 0.5)"), 4
-            ).alias("skew_max_over_p50"),
-        ).select(F.lit(f"{table}.{key}").alias("key_col"), "*")
+        )
+        ranked = freq.select(
+            "freq",
+            (F.row_number().over(Window.orderBy("freq")) - 1).alias("rk"),
+        )
+        p50 = _px100_case_sql(50, "DIV")
+        p99 = _px100_case_sql(99, "DIV")
+        return (
+            ranked.crossJoin(F.broadcast(stats))
+            .groupBy("n_keys", "total_rows", "max_freq")
+            .agg(
+                F.expr(p50).alias("p50_freq_x100"),
+                F.expr(p99).alias("p99_freq_x100"),
+            )
+            .select(
+                F.lit(f"{table}.{key}").alias("key_col"),
+                "n_keys",
+                "total_rows",
+                "max_freq",
+                "p50_freq_x100",
+                "p99_freq_x100",
+                F.expr(
+                    "CAST((max_freq * 1000000 + total_rows DIV 2)"
+                    " DIV total_rows AS BIGINT)"
+                ).alias("top_share_ppm"),
+                F.expr(
+                    "CAST((max_freq * 1000000 + p50_freq_x100 DIV 2)"
+                    " DIV p50_freq_x100 AS BIGINT)"
+                ).alias("skew_p50_x10k"),
+            )
+        )
 
     out = profile("lineitem", "l_suppkey")
     for t, k in [("lineitem", "l_partkey"), ("orders", "o_custkey")]:
@@ -1411,13 +1461,15 @@ pairs AS (
   GROUP BY 1, 2 HAVING COUNT(*) >= 2
 )
 SELECT p.p1, p.p2, p.support,
-       ROUND(p.support / CAST(f1.cnt AS DOUBLE), 6) AS confidence,
-       ROUND(CAST(p.support * n.n_orders AS DOUBLE) / (f1.cnt * f2.cnt), 4) AS lift
+       CAST((p.support * 1000000 + f1.cnt // 2) // f1.cnt AS BIGINT)
+         AS confidence_ppm,
+       CAST((p.support * n.n_orders * 10000 + (f1.cnt * f2.cnt) // 2)
+            // (f1.cnt * f2.cnt) AS BIGINT) AS lift_x10k
 FROM pairs p
 JOIN freq f1 ON p.p1 = f1.l_partkey
 JOIN freq f2 ON p.p2 = f2.l_partkey
 CROSS JOIN n
-ORDER BY lift DESC, p1, p2 LIMIT 20
+ORDER BY lift_x10k DESC, p1, p2 LIMIT 20
 """,
     category="relational",
     description=(
@@ -1485,16 +1537,15 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p1",
             "p2",
             "support",
-            F.round(F.col("support") / F.col("cnt1").cast("double"), 6).alias(
-                "confidence"
-            ),
-            F.round(
-                (F.col("support") * F.col("n_orders")).cast("double")
-                / (F.col("cnt1") * F.col("cnt2")),
-                4,
-            ).alias("lift"),
+            F.expr(
+                "CAST((support * 1000000 + cnt1 DIV 2) DIV cnt1 AS BIGINT)"
+            ).alias("confidence_ppm"),
+            F.expr(
+                "CAST((support * n_orders * 10000 + (cnt1 * cnt2) DIV 2)"
+                " DIV (cnt1 * cnt2) AS BIGINT)"
+            ).alias("lift_x10k"),
         )
-        .orderBy(F.desc("lift"), "p1", "p2")
+        .orderBy(F.desc("lift_x10k"), "p1", "p2")
         .limit(20)
     )
 

@@ -310,7 +310,8 @@ hits AS (
 )
 SELECT g.query_id, CAST(g.k AS INT) AS k,
        CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
-       ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / g.k, 6) AS recall
+       CAST((COALESCE(n_hit, 0) * 1000000 + CAST(g.k AS BIGINT) // 2)
+            // CAST(g.k AS BIGINT) AS BIGINT) AS recall_ppm
 FROM grid g LEFT JOIN hits h ON g.query_id = h.query_id AND g.k = h.k
 """,
     category="vector",
@@ -349,9 +350,9 @@ def vec_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("k").cast("int").alias("k"),
         F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
-        F.round(
-            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("k"), 6
-        ).alias("recall"),
+        F.expr(
+            "CAST((COALESCE(n_hit, 0) * 1000000 + k DIV 2) DIV k AS BIGINT)"
+        ).alias("recall_ppm"),
     )
 
 

@@ -845,7 +845,7 @@ ex AS (
 SELECT ex.query_id,
        CAST(COUNT(*) AS BIGINT) AS n_exact,
        CAST(COUNT(sl.vec_id) AS BIGINT) AS n_hit,
-       ROUND(COUNT(sl.vec_id) / 5.0, 4) AS recall_at_5
+       CAST(COUNT(sl.vec_id) * 200000 AS BIGINT) AS recall_at_5_ppm
 FROM ex LEFT JOIN sl ON ex.query_id = sl.query_id AND ex.vec_id = sl.vec_id
 GROUP BY ex.query_id
 """
@@ -887,7 +887,7 @@ def vec_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_exact"),
             F.count("_hit").cast("bigint").alias("n_hit"),
-            F.round(F.count("_hit") / F.lit(5.0), 4).alias("recall_at_5"),
+            (F.count("_hit") * 200000).cast("bigint").alias("recall_at_5_ppm"),
         )
     )
 

@@ -102,10 +102,10 @@ def test_retention_cohort_matrix_tiny(spark):
         rows = eq.events_retention_cohorts(spark, "unused").collect()
     finally:
         eq.load_table = orig
-    got = {(r.cohort_day, r.day_n): (r.n_active, r.n_cohort, r.retention) for r in rows}
-    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
-    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
-    assert got[("2024-01-02", 0)] == (1, 1, 1.0)
+    got = {(r.cohort_day, r.day_n): (r.n_active, r.n_cohort, r.retention_ppm) for r in rows}
+    assert got[("2024-01-01", 0)] == (2, 2, 1000000)
+    assert got[("2024-01-01", 1)] == (1, 2, 500000)
+    assert got[("2024-01-02", 0)] == (1, 1, 1000000)
     assert len(got) == 3
 
 
@@ -128,9 +128,9 @@ def test_anomaly_mad_flags_spike_not_threshold_drag(spark):
     finally:
         eq.load_table = orig
     assert r.n_hours == 10
-    assert r.median_cnt == 2.0
+    assert r.median_cnt_x2 == 4
     assert r.n_anomalies == 1
-    assert r.max_abs_dev == 28.0
+    assert r.max_abs_dev_x2 == 56
 
 
 def test_market_basket_support_confidence_lift(spark):
@@ -163,8 +163,8 @@ def test_market_basket_support_confidence_lift(spark):
     r = got[0]
     assert (r.p1, r.p2, r.support) == (101, 102, 3)
     # confidence = 3/4 (A appears in 4 orders); lift = 3*4/(4*3) = 1.0
-    assert r.confidence == 0.75
-    assert r.lift == 1.0
+    assert r.confidence_ppm == 750000
+    assert r.lift_x10k == 10000
 
 
 def test_hll_exact_registers_estimator_sanity(spark):
