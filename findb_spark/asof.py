@@ -286,8 +286,11 @@ def asof_join_nearest(
     Equal-time right rows sort before the probe, so the forward frame
     (which starts AT the probe) does not see them — harmless: an
     equal-time row is a distance-0 backward match, which wins every tie
-    by the stated rule.  ``right_time`` must be in ``value_cols`` (the
-    distances need the matched times)."""
+    by the stated rule.  Duplicate right rows sharing (on, right_time)
+    resolve to the MAX value-struct in both directions — the same rule
+    :func:`asof_join` applies, so 'nearest' never silently disagrees
+    with its directional siblings.  ``right_time`` must be in
+    ``value_cols`` (the distances need the matched times)."""
     if right_time not in value_cols:
         raise ValueError("nearest requires right_time in value_cols")
     l_cols = [c for c in left.columns]
@@ -308,15 +311,20 @@ def asof_join_nearest(
         *[F.col(c).alias(f"_l_{c}") for c in l_cols if c != on],
     )
     unioned = tagged_r.unionByName(tagged_l)
-    order = [F.col("_t"), F.col("_is_q"), F.col("_vs").asc_nulls_last()]
+    # Duplicate right rows sharing (on, right_time) tie-break to the MAX
+    # value-struct in BOTH directions (matching asof_join's rule): the
+    # backward frame orders _vs ASC and takes last(); the forward frame
+    # orders _vs DESC and takes first().  The two orderings share the one
+    # hash exchange on `on` — Catalyst plans a second in-partition sort,
+    # never a second shuffle.
     wb = (
         Window.partitionBy(on)
-        .orderBy(*order)
+        .orderBy(F.col("_t"), F.col("_is_q"), F.col("_vs").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wf = (
         Window.partitionBy(on)
-        .orderBy(*order)
+        .orderBy(F.col("_t"), F.col("_is_q"), F.col("_vs").desc_nulls_last())
         .rowsBetween(0, Window.unboundedFollowing)
     )
     j = (

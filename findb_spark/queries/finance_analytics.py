@@ -679,9 +679,11 @@ FROM j
     category="asof",
     description=(
         "Nearest-direction as-of join (merge_asof direction='nearest', "
-        "backward on exact ties): backward + forward union+last_value "
-        "scans joined on the probe key — two one-shuffle passes, the pick "
-        "is pure projection; completes the as-of family"
+        "backward on exact ties): ONE union+window pass — last(ignorenulls) "
+        "over the preceding frame gives the backward match, "
+        "first(ignorenulls) over the following frame the forward match, "
+        "the pick is pure projection; one shuffle, no self-join; "
+        "completes the as-of family"
     ),
 )
 def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:

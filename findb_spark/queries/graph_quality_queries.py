@@ -869,21 +869,23 @@ def sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    edges.createOrReplaceTempView("rec_bfs_edges_v")
-    docs.where(F.col("source") == _BFS_SEED_SOURCE).select(
-        "doc_id"
-    ).createOrReplaceTempView("rec_bfs_seeds_v")
+    seeds = docs.where(F.col("source") == _BFS_SEED_SOURCE).select("doc_id")
+    # DataFrame-parameterized spark.sql (Spark 3.4+ {df} template refs):
+    # no session-global temp views, so two builders sharing one session
+    # cannot overwrite each other's relations mid-plan
     return spark.sql(
         f"""
         WITH RECURSIVE r(node, dist) AS (
           SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
-          FROM rec_bfs_seeds_v
+          FROM {{seeds}}
           UNION ALL
           SELECT e.b AS node, r.dist + 1 AS dist
-          FROM r JOIN rec_bfs_edges_v e ON e.a = r.node
+          FROM r JOIN {{edges}} e ON e.a = r.node
           WHERE r.dist < {_REC_HOPS}
         )
         SELECT node AS doc_id, CAST(MIN(dist) AS BIGINT) AS hops
         FROM r GROUP BY node
-        """
+        """,
+        seeds=seeds,
+        edges=edges,
     )

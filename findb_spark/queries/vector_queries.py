@@ -37,9 +37,13 @@ def _queryset(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: build/search split), so the per-corpus memo is the honest production
 #: shape, not a bench trick: repeated vec_pq_* calls pay the two training
 #: jobs once and are fully lazy (zero eager jobs) afterwards.  The key
-#: fingerprints the parquet payload (every data file's name/mtime/size), so
-#: a rewritten corpus retrains; values are PQ_K plain Rows (~32 KB).
+#: fingerprints the parquet payload (every data file's name/mtime/size)
+#: PLUS the PQ geometry constants, so a rewritten corpus or hot-reloaded
+#: PQ_M/PQ_K retrains; values are PQ_K plain Rows (~32 KB).  Capped to the
+#: most-recent few corpora so a long-lived process sweeping many sf_dirs
+#: cannot grow it unboundedly.
 _PQ_CB_MEMO: dict[tuple, list] = {}
+_PQ_CB_MEMO_MAX = 4
 
 
 def _corpus_key(sf_dir: str) -> tuple:
@@ -63,12 +67,14 @@ def _corpus_key(sf_dir: str) -> tuple:
 
 
 def _trained_pq_codebook(spark: SparkSession, sf_dir: str) -> list:
-    key = _corpus_key(sf_dir)
-    if key not in _PQ_CB_MEMO:
-        from findb_spark.ops.vector import _normalized, pq_codebook, pq_train
+    from findb_spark.ops.vector import PQ_K, PQ_M, _normalized, pq_codebook, pq_train
 
+    key = (_corpus_key(sf_dir), PQ_M, PQ_K)
+    if key not in _PQ_CB_MEMO:
         emb = load_table(spark, sf_dir, "embeddings")
         cb = pq_train(_normalized(emb), pq_codebook(emb).collect()).collect()
+        while len(_PQ_CB_MEMO) >= _PQ_CB_MEMO_MAX:
+            _PQ_CB_MEMO.pop(next(iter(_PQ_CB_MEMO)))
         _PQ_CB_MEMO[key] = cb
     return _PQ_CB_MEMO[key]
 

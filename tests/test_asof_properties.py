@@ -322,11 +322,13 @@ def test_asof_join_nearest_matches_pandas(spark, rows, probes):
 
 
 def test_asof_join_nearest_duplicate_and_null_probes(spark):
-    """Duplicate left rows must each yield exactly ONE output row (joining
-    the backward/forward passes on the full left row would cross-product:
-    2 identical probes -> 4 rows), and a NULL in a non-key left column must
-    not drop its probe (an all-columns equi-join is not null-safe).  Guards
-    the synthetic-row-id join inside asof_join_nearest."""
+    """Duplicate left rows must each yield exactly ONE output row, and a
+    NULL in a non-key left column must not drop its probe.  Both were
+    failure modes of rejected designs (an all-left-columns rejoin
+    cross-products duplicate probes and is not null-safe) — the shipped
+    one-pass union+window formulation carries every left column through
+    the window, so there is no rejoin to get wrong; this test pins the
+    behavior regardless of implementation."""
     from findb_spark.asof import asof_join_nearest
 
     right = spark.createDataFrame(
@@ -351,3 +353,28 @@ def test_asof_join_nearest_duplicate_and_null_probes(spark):
     assert null_tag.tag is None
     assert (null_tag.matched_ts, null_tag.matched_value) == (20, 2.0)
     assert null_tag.matched_direction == "forward"
+
+
+def test_asof_join_nearest_duplicate_right_rows_tie_to_max_both_sides(spark):
+    """Duplicate right rows sharing (on, right_time) must resolve to the
+    MAX value-struct in BOTH directions — the same rule asof_join applies
+    (last() over an ascending sort).  Before round 7 the forward frame
+    ordered _vs ascending, so first() silently picked the MIN — a
+    semantics drift between 'nearest' and direction='forward'."""
+    from findb_spark.asof import asof_join_nearest
+
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 10, 5.0), (1, 30, 2.0), (1, 30, 7.0)],
+        schema="asset_id BIGINT, ts BIGINT, value DOUBLE",
+    )
+    left = spark.createDataFrame(
+        [(1, 12), (1, 29)], schema="asset_id BIGINT, qts BIGINT"
+    )
+    got = {
+        r.qts: (r.matched_ts, r.matched_value, r.matched_direction)
+        for r in asof_join_nearest(left, right).collect()
+    }
+    # backward match at ts=10: max struct -> value 5.0
+    assert got[12] == (10, 5.0, "backward")
+    # forward match at ts=30: max struct -> value 7.0 (was 2.0 pre-fix)
+    assert got[29] == (30, 7.0, "forward")
