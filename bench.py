@@ -33,14 +33,21 @@ def main() -> None:
     except ValueError:
         sf = 0.0
 
-    from findb_spark.registry import all_specs
+    from findb_spark.registry import registration_order_specs
     from findb_spark.session import get_spark
 
     spark = get_spark(app_name="findb_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    specs = [s for s in all_specs().values() if s.bench]
-    specs.sort(key=lambda s: s.name)
+    # REGISTRATION order, not alphabetical: within each module the
+    # pipeline-owning primitive registers before its consumers, so a
+    # shared pipeline's one-time codegen/first-eval lands in its owner's
+    # first run (absorbed by min-of-2) instead of inflating the
+    # amortized_one_time of whichever consumer sorts first — measured:
+    # alphabetical order billed the whole cold MinHash-LSH pipeline
+    # (~7-11 s) to dedup_clusters' eager build because 'c' < 'm'.
+    # Registration order is also round-stable (append-only registry).
+    specs = [s for s in registration_order_specs().values() if s.bench]
 
     # warm-up: JIT/codegen/session init on tiny plans covering the engine's
     # execution paths — aggregate codegen, window codegen, broadcast join,

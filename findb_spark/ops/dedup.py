@@ -424,7 +424,16 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> Da
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return _verify_pairs(cand, arrs, threshold)
+    # the verified pair set itself persists too: it is the smallest
+    # relation in the pipeline (bounded by near-dup density, not corpus
+    # size) and the most re-consumed — clustering, triangle listing,
+    # neighbor stats and the bench all re-derive the IDENTICAL plan, so
+    # Spark's cache manager (which matches canonicalized plans across
+    # calls) serves every later consumer from the first materialization
+    # instead of re-running the shingle/signature DAG per consumer.
+    return _verify_pairs(cand, arrs, threshold).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
 
 SIMHASH_BITS = 48

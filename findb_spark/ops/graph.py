@@ -52,23 +52,41 @@ def connected_components(
     und = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
     adj = und.distinct().persist(StorageLevel.MEMORY_AND_DISK)
 
-    labels = (
-        adj.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("cluster_id", F.col("node"))
-        .localCheckpoint()
-    )
     # decimal(38,0): a bigint sum of 64-bit labels overflows (ANSI mode —
     # the session default — raises rather than wraps; same guard as
     # _fingerprint below)
     _label_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+
+    # Round 1 fused into initialization: with identity starting labels the
+    # neighbor offers ARE the neighbor ids, so labels_1 = min(self, N(self))
+    # is one aggregation over adj ∪ self-pairs — no join and no separate
+    # identity-label materialization (both were pure job constants on
+    # small-diameter graphs, the dominant cost of this loop at bench SF).
+    #
+    # ONE job per round: every label table is a LAZY localCheckpoint —
+    # the logical plan truncates to a LogicalRDD immediately (so no round
+    # re-analyzes the full upstream pair-pipeline tree: with persist()
+    # instead, driver-side plan canonicalization of the nested lineage
+    # cost MORE than the saved barrier — measured 4.6s vs 3.3s first
+    # build at sf0.1), and the RDD materializes+checkpoints inside the
+    # convergence aggregate's job, so the old eager-checkpoint +
+    # separate-aggregate pair of barriers per round collapses to one.
+    labels = (
+        adj.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+        .union(
+            adj.select(F.col("u").alias("node"), F.col("u").alias("cluster_id"))
+        )
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .localCheckpoint(eager=False)
+    )
     prev_sum = labels.agg(_label_sum).first()[0]
 
-    # NOTE on stride: running two propagation steps per checkpoint/
-    # fixpoint-check halves the job-barrier count, but on real near-dup
-    # graphs (diameter 1-2, fixpoint in 2 rounds) the redundant second
-    # step costs more than the saved barrier — measured 2.4s vs 2.2s at
-    # sf0.1.  Single-step stays; diameter-heavy graphs should use
+    # NOTE on stride: running two propagation steps per fixpoint check
+    # halves the barrier count, but on real near-dup graphs (diameter
+    # 1-2, fixpoint in 2 rounds) the redundant second step costs more
+    # than the saved barrier — measured 2.4s vs 2.2s at sf0.1.
+    # Single-step stays; diameter-heavy graphs should use
     # connected_components_star below, which is round-count-optimal.
     for _ in range(max_iter):
         # each node offers its label to every neighbor; a node keeps the
@@ -81,13 +99,14 @@ def connected_components(
             labels.union(offers)
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(_label_sum).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     else:
+        adj.unpersist()
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
     adj.unpersist()

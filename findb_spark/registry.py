@@ -192,3 +192,16 @@ def all_specs() -> dict[str, QuerySpec]:
     out = {n: _SPECS[n] for n in _CHECK_FIRST if n in _SPECS}
     out.update(_SPECS)
     return out
+
+
+def registration_order_specs() -> dict[str, QuerySpec]:
+    """All registered specs in pure REGISTRATION order (no ``_CHECK_FIRST``
+    reordering).  This is the bench-stable ordering: it never shifts when
+    the per-round certification window rotates, and within each module
+    pipeline primitives register before their consumers (e.g.
+    ``dedup_minhash_lsh`` before ``dedup_clusters``), so shared-pipeline
+    first-evaluation costs attribute to the query that owns the pipeline,
+    not to whichever consumer happens to sort first alphabetically."""
+    import findb_spark.queries  # noqa: F401  (registers everything)
+
+    return dict(_SPECS)

@@ -76,31 +76,49 @@ def timed(fn) -> float:
     return round(time.monotonic() - t0, 3)
 
 
+#: optional shape-name filter (--only a,b,c): a 64x run can focus on the
+#: top bench-cost families without paying the full 20-shape sweep
+ONLY: set | None = None
+
+
+def run_shapes(shapes: dict) -> dict[str, float]:
+    return {k: timed(v) for k, v in shapes.items() if ONLY is None or k in ONLY}
+
+
+WORKLOAD_KEYS = frozenset({
+    "asof_range", "asof_batch_200q", "q1_style_agg", "window_sma",
+    "rolling_beta", "sweep_transit_peak", "salted_skew_join",
+    "mannwhitney_rank", "ivm_delta_repair", "pit_feature_join",
+})
+
+
 def workload(spark, sf_dir: str) -> dict[str, float]:
+    if ONLY is not None and not (ONLY & WORKLOAD_KEYS):
+        return {}
     prices = prices_from_lineitem(spark, sf_dir)
     qdf = spark.createDataFrame(
         [(i, i + 1, 19960101, 19981231, ASOF) for i in range(200)],
         "query_id int, asset_id long, start_date int, end_date int, asof_ts long",
     )
     li = load_table(spark, sf_dir, "lineitem")
-    return {
-        "asof_range": timed(
+    return run_shapes({
+        "asof_range": (
             lambda: asof_range(prices, 5, 19960101, 19981231, ASOF).count()
         ),
-        "asof_batch_200q": timed(lambda: asof_batch(prices, qdf).count()),
-        "q1_style_agg": timed(
+        "asof_batch_200q": lambda: asof_batch(prices, qdf).count(),
+        "q1_style_agg": (
             lambda: li.groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*"))
             .collect()
         ),
-        "window_sma": timed(
+        "window_sma": (
             lambda: moving_average(daily_series(prices, ASOF, max_asset=500), 5).count()
         ),
         # rolling beta vs the equal-weight market: one window shuffle on
         # asset_id + a tiny per-date broadcast — must track asset count
         # (uncapped: replication grows the asset axis, so a cap would
         # freeze the work and fake a flat ratio)
-        "rolling_beta": timed(
+        "rolling_beta": (
             lambda: _rolling_beta_shape(
                 daily_series(prices, ASOF, max_asset=None)
             ).count()
@@ -108,23 +126,23 @@ def workload(spark, sf_dir: str) -> dict[str, float]:
         # sweep-line peak concurrency: 2 boundary rows per interval, the
         # cumulative window runs over |groups x distinct days| — must stay
         # ~flat as rows replicate onto the same calendar
-        "sweep_transit_peak": timed(lambda: _sweep_peak_shape(li).count()),
+        "sweep_transit_peak": lambda: _sweep_peak_shape(li).count(),
         # salted skew join: ~75% of rows forced onto one hot key, 8-way
         # salt; wall must track data (the hot key spread over salt tasks)
-        "salted_skew_join": timed(lambda: _salted_skew_shape(spark, li).count()),
+        "salted_skew_join": lambda: _salted_skew_shape(spark, li).count(),
         # value-grouped rank test: one map-side-combinable groupBy + a
         # |distinct values| window — scan-bound by construction
-        "mannwhitney_rank": timed(lambda: _mannwhitney_shape(li).collect()),
+        "mannwhitney_rank": lambda: _mannwhitney_shape(li).collect(),
         # delta-arithmetic IVM: repair cost is O(|delta| + touched groups),
         # measured as delta build + merge + partition overwrite
-        "ivm_delta_repair": timed(lambda: _ivm_shape(spark, li)),
+        "ivm_delta_repair": lambda: _ivm_shape(spark, li),
         # point-in-time feature join: (asset, day-bin) keyed interval probe;
         # interval side tracks asset count, probe side tracks fact rows.
         # Measured sublinear at 4x (1.5x wall); the higher 16x ratio is
         # executor saturation across the four full-width window/join
         # stages, not candidate blowup (the keyed bin join is exact)
-        "pit_feature_join": timed(lambda: _pit_shape(spark, sf_dir).count()),
-    }
+        "pit_feature_join": lambda: _pit_shape(spark, sf_dir).count(),
+    })
 
 
 def _pit_shape(spark, sf_dir):
@@ -309,7 +327,17 @@ def _rolling_beta_shape(daily):
     )
 
 
+DEDUP_KEYS = frozenset({
+    "minhash_lsh", "simhash_banded", "ngram_jaccard", "containment",
+    "text_quality", "chunk_dedup", "substring_runs", "cdc_chunks",
+    "triangles_oriented", "connected_components", "chunk_windows",
+    "bpe_train_3rounds", "label_propagation", "bfs_contamination",
+})
+
+
 def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
+    if ONLY is not None and not (ONLY & DEDUP_KEYS):
+        return {}
     from findb_spark.ops.dedup import (
         cdc_chunk_stats,
         chunk_dup_stats,
@@ -331,29 +359,42 @@ def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
         )
         return triangles_oriented(e).count()
 
-    return {
-        "minhash_lsh": timed(lambda: minhash_lsh_pairs(docs).count()),
-        "simhash_banded": timed(lambda: simhash_banded_pairs(docs).count()),
-        "ngram_jaccard": timed(lambda: jaccard_pairs(docs).count()),
-        "containment": timed(lambda: containment_pairs(docs).count()),
-        "text_quality": timed(lambda: quality_score(docs).count()),
-        "chunk_dedup": timed(lambda: chunk_dup_stats(docs).count()),
+    def cc_count() -> int:
+        from findb_spark.ops.graph import connected_components
+
+        return connected_components(
+            minhash_lsh_pairs(docs).select("doc1", "doc2"),
+            src="doc1",
+            dst="doc2",
+        ).count()
+
+    return run_shapes({
+        "minhash_lsh": lambda: minhash_lsh_pairs(docs).count(),
+        "simhash_banded": lambda: simhash_banded_pairs(docs).count(),
+        "ngram_jaccard": lambda: jaccard_pairs(docs).count(),
+        "containment": lambda: containment_pairs(docs).count(),
+        "text_quality": lambda: quality_score(docs).count(),
+        "chunk_dedup": lambda: chunk_dup_stats(docs).count(),
         # hash-occurrence join + per-doc run window: linear in corpus
         # tokens; the persist means one text scan per evaluation
-        "substring_runs": timed(lambda: substring_run_stats(docs).count()),
+        "substring_runs": lambda: substring_run_stats(docs).count(),
         # explode + running-sum chunk ids + chunk-key df join: linear
-        "cdc_chunks": timed(lambda: cdc_chunk_stats(docs).count()),
+        "cdc_chunks": lambda: cdc_chunk_stats(docs).count(),
         # degree-oriented triangle listing over the near-dup graph: wedge
         # fan-out bounded by oriented out-degree, so the ratio must track
         # the pair-graph growth, not any hub's degree squared
-        "triangles_oriented": timed(tri_count),
+        "triangles_oriented": tri_count,
+        # min-label propagation to fixpoint over the LSH pair graph: per
+        # round one keyed join + min groupBy (the dedup_clusters bench
+        # path); wall tracks the pair graph, rounds track its diameter
+        "connected_components": cc_count,
         # narrow chunking plan (zero shuffles): must scale ~linearly
-        "chunk_windows": timed(
+        "chunk_windows": (
             lambda: all_specs()["text_chunk_windows"].fn(spark, sf_dir).count()
         ),
         # BPE training: corpus scan grows with data, per-round state is
         # O(top-200 dict) — wall should track the scan, not the rounds
-        "bpe_train_3rounds": timed(
+        "bpe_train_3rounds": (
             lambda: __import__(
                 "findb_spark.queries.text_queries", fromlist=["x"]
             ).text_bpe_train_rounds(spark, sf_dir).count()
@@ -361,15 +402,15 @@ def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
         # synchronous LPA: per round one edges x labels join + top-1
         # window, both keyed on node — wall should track the pair-graph
         # size, with the fixed round count amortized
-        "label_propagation": timed(
+        "label_propagation": (
             lambda: all_specs()["graph_label_propagation"].fn(spark, sf_dir).count()
         ),
         # multi-source BFS: frontier relation bounded by |V|; per round
         # one keyed join + min groupBy — same scaling contract as LPA
-        "bfs_contamination": timed(
+        "bfs_contamination": (
             lambda: all_specs()["graph_bfs_contamination"].fn(spark, sf_dir).count()
         ),
-    }
+    })
 
 
 def replicate_embeddings(spark, factor: int) -> str:
@@ -426,29 +467,41 @@ def replicate_events(spark, factor: int) -> str:
     return WORK
 
 
+EVENTS_KEYS = frozenset({"attribution", "session_paths", "dau_wau"})
+
+
 def events_workload(spark, sf_dir: str) -> dict[str, float]:
+    if ONLY is not None and not (ONLY & EVENTS_KEYS):
+        return {}
     from findb_spark.registry import all_specs
 
     specs = all_specs()
-    return {
+    return run_shapes({
         # one user_id sort + reverse-cumsum conversion grouping: must
         # scale with user count, no time-range self-join blowup
-        "attribution": timed(
+        "attribution": (
             lambda: specs["events_attribution"].fn(spark, sf_dir).count()
         ),
         # session assignment + per-session path array algebra
-        "session_paths": timed(
+        "session_paths": (
             lambda: specs["events_session_paths"].fn(spark, sf_dir).count()
         ),
         # exact sliding distinct via interval decomposition: per-user
         # window + bounded explode — linear in active (user, day) pairs
-        "dau_wau": timed(
+        "dau_wau": (
             lambda: specs["events_dau_wau"].fn(spark, sf_dir).count()
         ),
-    }
+    })
+
+
+VECTOR_KEYS = frozenset({
+    "pq_adc_topk", "knn_graph", "power_iteration", "centroid_drift",
+})
 
 
 def vector_workload(spark, sf_dir: str, factor: int = 1) -> dict[str, float]:
+    if ONLY is not None and not (ONLY & VECTOR_KEYS):
+        return {}
     from findb_spark.ops.vector import pq_adc_topk
     from findb_spark.registry import all_specs
 
@@ -459,28 +512,28 @@ def vector_workload(spark, sf_dir: str, factor: int = 1) -> dict[str, float]:
     # constant by adding one hyperplane per corpus doubling — the dial
     # every production LSH deployment turns (planes ~ log2(n/target)).
     extra = max(0, int(round(__import__("math").log2(factor)))) if factor > 1 else 0
-    return {
+    return run_shapes({
         # full pipeline incl. sampled codebook training + corpus encode:
         # work is O(n*K) assignment-shaped, so the ratio should track the
         # replication factor ~linearly
-        "pq_adc_topk": timed(lambda: pq_adc_topk(emb, k=5).count()),
-        "knn_graph": timed(
+        "pq_adc_topk": lambda: pq_adc_topk(emb, k=5).count(),
+        "knn_graph": (
             lambda: _knn_graph_shape(emb, n_planes=6 + extra).count()
         ),
         # matrix-free power iteration: every half-step is one keyed join +
         # one groupBy over the exploded (vec, dim) relation — work is
         # O(n*d) per round, so the ratio must track replication linearly
-        "power_iteration": timed(
+        "power_iteration": (
             lambda: __import__(
                 "findb_spark.ops.vector", fromlist=["x"]
             ).power_iteration_top_dir(emb, rounds=3).count()
         ),
         # per-(label, half, dim) centroid sums + 64-row-per-label join:
         # one exploded-scan aggregation, linear
-        "centroid_drift": timed(
+        "centroid_drift": (
             lambda: all_specs()["vec_centroid_drift"].fn(spark, sf_dir).count()
         ),
-    }
+    })
 
 
 def _knn_graph_shape(emb, n_planes: int = 6):
@@ -509,22 +562,43 @@ def _knn_graph_shape(emb, n_planes: int = 6):
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    global ONLY
+    args = [a for a in sys.argv[1:]]
+    for a in list(args):
+        if a.startswith("--only="):
+            ONLY = set(a.split("=", 1)[1].split(","))
+            args.remove(a)
+    factor = int(args[0]) if args else 8
     spark = get_spark(app_name="scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     workload(spark, BASE_SF)  # warm-up: codegen/broadcast first-run costs
     base = workload(spark, BASE_SF)
     dedup_workload(spark, BASE_SF)  # warm-up
-    base.update(dedup_workload(spark, BASE_SF))
+    dedup_base = dedup_workload(spark, BASE_SF)
+    base.update(dedup_base)
     vector_workload(spark, BASE_SF)  # warm-up
-    base.update(vector_workload(spark, BASE_SF))
+    vector_base = vector_workload(spark, BASE_SF)
+    base.update(vector_base)
     events_workload(spark, BASE_SF)  # warm-up
-    base.update(events_workload(spark, BASE_SF))
-    scaled_dir = replicate_lineitem(spark, factor)
-    replicate_documents(spark, factor)
-    replicate_embeddings(spark, factor)
-    replicate_events(spark, factor)
-    rows = spark.read.parquet(f"{scaled_dir}/lineitem.parquet").count()
+    events_base = events_workload(spark, BASE_SF)
+    base.update(events_base)
+    # replicate only the tables the selected shapes read: a focused 64x
+    # run must not pay a 64x rewrite of every table
+    li_sel = len(base) > len(dedup_base) + len(vector_base) + len(events_base)
+    scaled_dir = WORK
+    if li_sel:
+        scaled_dir = replicate_lineitem(spark, factor)
+    if dedup_base:
+        replicate_documents(spark, factor)
+    if vector_base:
+        replicate_embeddings(spark, factor)
+    if events_base:
+        replicate_events(spark, factor)
+    rows = (
+        spark.read.parquet(f"{scaled_dir}/lineitem.parquet").count()
+        if li_sel
+        else 0
+    )
     workload(spark, scaled_dir)  # warm-up the scaled plans too
     scaled = workload(spark, scaled_dir)
     dedup_workload(spark, scaled_dir)  # warm-up
