@@ -1396,10 +1396,16 @@ def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     config + salting tests rely on (tests/test_skew.py)."""
 
     def profile(table: str, key: str) -> DataFrame:
+        from pyspark.storagelevel import StorageLevel
+
+        # freq feeds two consumers (the count/sum/max aggregate and the
+        # ranked percentile pass): persist the key-cardinality-sized
+        # relation so the wide fact scan runs ONCE per profiled key
         freq = (
             load_table(spark, sf_dir, table)
             .groupBy(key)
             .agg(F.count("*").cast("bigint").alias("freq"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         stats = freq.agg(
             F.count("*").cast("bigint").alias("n_keys"),
