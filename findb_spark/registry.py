@@ -103,6 +103,29 @@ _SPECS: dict[str, QuerySpec] = {}
 #: events_hll_exact_registers.  Registry growth stays FROZEN: new
 #: queries only for genuinely new engine mechanisms, each entering the
 #: next window immediately.
+#: ROUND-8 WINDOW PLAN (build _CHECK_FIRST from this when round 7's
+#: correctness lands green): with the backlog at zero, windows become a
+#: ROLLING RE-CERTIFICATION of the stalest driver rows.  Policy: take the
+#: 50 hash-verifiable queries whose newest driver row is oldest (sort by
+#: (latest-row round, name); exclude ROWS_ONLY), so every row's age is
+#: bounded at ~5 rounds.  Computed against CORRECTNESS_r01..r07, the
+#: round-8 window is the 46 r1-vintage rows (above_group_avg,
+#: agg_filtered_bools, agg_having, asof_batch, asof_point, asof_range,
+#: asof_snapshot_all_assets, case_expr_bands, cube_agg, distinct_agg,
+#: global_topn, grouping_sets_agg, join_anti, join_full_outer,
+#: join_left_outer, join_semi, orders_month_over_month, percentiles,
+#: point_lookup, q14_promo_revenue, q18_big_orders,
+#: q19_disjunctive_predicates, q1_pricing_summary, q3_top_orders,
+#: q5_region_revenue, range_join_quarters, range_scan, regexp_funcs,
+#: revision_stats, rollup_agg, scalar_date_funcs, scalar_string_funcs,
+#: scalar_subquery_above_avg, set_ops_bag, set_ops_nations,
+#: sql_q6_forecast_revenue, topk_per_group, ts_cumulative, ts_first_last,
+#: ts_lag_returns, ts_ntile_pct_rank, ts_range_frame, ts_resample_ffill,
+#: ts_vwap, unnest_top_tokens, window_navigation) + the first 4 r2-vintage
+#: by name (array_agg_orders, dedup_clusters, dedup_clusters_apply,
+#: dedup_exact) — dedup_clusters also re-certifies this round's
+#: connected-components rewrite under the driver hash.  Any query whose
+#: implementation changes in round 8 preempts a slot.
 _CHECK_FIRST: tuple[str, ...] = (
     # ---- the certification backlog: every query without a driver row ----
     "sql_recursive_bfs",
