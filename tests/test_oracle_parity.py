@@ -38,3 +38,48 @@ def test_oracle_parity(spark, con, sf_dir, spec):
         return
     problems = compare_query(spark, con, spec.fn, spec.sql, sf_dir, name=spec.name)
     assert not problems, f"{spec.name}: {problems}"
+
+
+def test_tolerant_compare_no_rounding_boundary_flake():
+    """The SIX_DP fallback used to canonicalize via round(v, 6), whose
+    banker's rounding maps two values 1 ulp apart on either side of an
+    x.xxxxxx5 boundary to DIFFERENT 6dp values — flaking on exactly the
+    drift the relaxed gate exists to tolerate.  The pairwise tolerant
+    compare must accept such pairs and still reject real divergence."""
+    from findb_spark.oracle import compare_rows_tolerant
+
+    cols = ["asset_id", "ts", "ema"]
+    boundary = 2.0000005  # sits on a 6dp half; round() would split ulps
+    up = boundary + 5e-16
+    down = boundary - 5e-16
+    assert round(up, 6) != round(down, 6)  # the old canonicalizer split
+    s_rows = [[1, 10, up], [1, 20, 3.5]]
+    o_rows = [[1, 10, down], [1, 20, 3.5]]
+    assert compare_rows_tolerant(cols, s_rows, o_rows) == []
+    # real divergence (> 1e-6) must still be caught
+    bad = [[1, 10, up + 1e-5], [1, 20, 3.5]]
+    assert compare_rows_tolerant(cols, bad, o_rows) != []
+    # non-float mismatches are exact
+    key = [[2, 10, up], [1, 20, 3.5]]
+    assert compare_rows_tolerant(cols, key, o_rows) != []
+
+
+def test_minhash_pairs_relation_is_persisted():
+    """The verified pair set is the dedup suite's shared build artifact:
+    minhash_lsh_pairs must mark it for caching so Spark's cache manager
+    (which matches canonicalized plans across calls) serves clustering /
+    triangles / neighbor stats from one materialization."""
+    from pyspark.storagelevel import StorageLevel
+
+    from findb_spark.ops.dedup import minhash_lsh_pairs
+
+    from findb_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=4)
+    docs = spark.createDataFrame(
+        [(1, "a", "the quick brown fox jumps over the dog"),
+         (2, "a", "the quick brown fox jumps over the cat")],
+        "doc_id bigint, source string, text string",
+    )
+    pairs = minhash_lsh_pairs(docs)
+    assert pairs.storageLevel != StorageLevel.NONE
