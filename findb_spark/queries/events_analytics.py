@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from findb_spark.queries.parity import fxp_sum, fxp_sum_sql
 from findb_spark.registry import register
 from findb_spark.session import load_table
 
