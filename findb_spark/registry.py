@@ -125,7 +125,15 @@ _SPECS: dict[str, QuerySpec] = {}
 #: by name (array_agg_orders, dedup_clusters, dedup_clusters_apply,
 #: dedup_exact) — dedup_clusters also re-certifies this round's
 #: connected-components rewrite under the driver hash.  Any query whose
-#: implementation changes in round 8 preempts a slot.
+#: implementation changes in round 8 preempts a slot.  ONE freeze
+#: exemption is pre-approved for round 8 (the judge's single 'weak'
+#: item, O15 introspection, currently pytest-pinned only): a
+#: `roundtrip_footer_stats` query exposing the engine's parquet
+#: footer-statistics manifest (per-file rowcount/min/max, manifest.py)
+#: as a queryable relation, oracled against DuckDB's
+#: parquet_metadata()/parquet_file_metadata() over the same files —
+#: giving the introspection surface a real driver hash row; it takes
+#: the first window slot, displacing above_group_avg to round 9.
 _CHECK_FIRST: tuple[str, ...] = (
     # ---- the certification backlog: every query without a driver row ----
     "sql_recursive_bfs",
