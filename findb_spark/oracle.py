@@ -76,39 +76,64 @@ def canon_rows(cols: list[str], rows) -> Counter:
 _TOL = 1e-6
 
 
-def compare_rows_tolerant(cols: list[str], s_rows, o_rows) -> list[str]:
+def compare_rows_tolerant(
+    s_cols: list[str], s_rows, o_rows, o_cols: list[str] | None = None
+) -> list[str]:
     """Pairwise compare with a float tolerance instead of hashing: the
     old ``round(v, 6)`` canonicalization had banker's-rounding boundaries
     where two values 1 ulp apart straddling x.xxxxxx5 canonicalized
     differently — flaking on exactly the drift the relaxed gate exists to
     tolerate.  Rows are matched by sorting on their non-float columns
     (unique (asset_id, ts)-style keys in every allowlisted query), then
-    floats compare with ``abs diff <= _TOL``."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    floats compare with ``abs diff <= _TOL``.
 
-    def sort_key(r):
-        return tuple(
-            "" if isinstance(r[i], float) else str(canon_value(r[i]))
-            for i in order
-        )
+    Each side is indexed by ITS OWN column layout (``o_cols`` defaults to
+    ``s_cols``): the two engines are only guaranteed to agree on the
+    column NAME SET, not the SELECT-list order, so reading oracle rows at
+    Spark positions would compare values cross-column the moment an
+    oracle's projection order drifts from the Spark fn's."""
+    if o_cols is None:
+        o_cols = s_cols
+    s_order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    o_order = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
 
-    s_sorted = sorted(s_rows, key=sort_key)
-    o_sorted = sorted(o_rows, key=sort_key)
+    def sort_key(order):
+        def key(r):
+            return tuple(
+                "" if isinstance(r[i], float) else str(canon_value(r[i]))
+                for i in order
+            )
+
+        return key
+
+    s_sorted = sorted(s_rows, key=sort_key(s_order))
+    o_sorted = sorted(o_rows, key=sort_key(o_order))
     for rn, (sr, orow) in enumerate(zip(s_sorted, o_sorted)):
-        for i in order:
-            sv, ov = sr[i], orow[i]
-            if isinstance(sv, float) and isinstance(ov, float):
+        for si, oi in zip(s_order, o_order):
+            sv, ov = sr[si], orow[oi]
+            # a float on either side compares numerically: the engines
+            # agree on column names but not necessarily on INT vs DOUBLE
+            # affinity for computed columns, and 2 vs 2.0 is not a drift
+            both_num = isinstance(sv, (int, float)) and isinstance(
+                ov, (int, float)
+            ) and not isinstance(sv, bool) and not isinstance(ov, bool)
+            if both_num and (isinstance(sv, float) or isinstance(ov, float)):
                 if math.isnan(sv) and math.isnan(ov):
                     continue
+                if math.isnan(sv) != math.isnan(ov):
+                    return [
+                        f"nan mismatch at sorted row {rn} col "
+                        f"{s_cols[si]}: spark={sv!r} oracle={ov!r}"
+                    ]
                 if abs(sv - ov) <= _TOL:
                     continue
                 return [
                     f"float drift > {_TOL} at sorted row {rn} col "
-                    f"{cols[i]}: spark={sv!r} oracle={ov!r}"
+                    f"{s_cols[si]}: spark={sv!r} oracle={ov!r}"
                 ]
             if canon_value(sv) != canon_value(ov):
                 return [
-                    f"value mismatch at sorted row {rn} col {cols[i]}: "
+                    f"value mismatch at sorted row {rn} col {s_cols[si]}: "
                     f"spark={sv!r} oracle={ov!r}"
                 ]
     return []
@@ -170,7 +195,9 @@ def compare_query(
         problems.append(f"rowcount spark={len(s_rows)} oracle={len(o_rows)}")
     if not problems:
         if six_dp:
-            problems.extend(compare_rows_tolerant(s_cols, s_rows, o_rows))
+            problems.extend(
+                compare_rows_tolerant(s_cols, s_rows, o_rows, o_cols=o_cols)
+            )
         else:
             sc = canon_rows(s_cols, s_rows)
             oc = canon_rows(o_cols, o_rows)

@@ -83,3 +83,22 @@ def test_minhash_pairs_relation_is_persisted():
     )
     pairs = minhash_lsh_pairs(docs)
     assert pairs.storageLevel != StorageLevel.NONE
+
+
+def test_tolerant_compare_respects_each_sides_column_order():
+    """The engines only guarantee the same column NAME SET, not the same
+    SELECT-list order: oracle rows must be read at ORACLE positions.
+    (First version of the tolerant path indexed both sides with Spark
+    positions — latent cross-column comparison.)"""
+    from findb_spark.oracle import compare_rows_tolerant
+
+    s_cols = ["asset_id", "ema", "value"]
+    o_cols = ["asset_id", "value", "ema"]
+    s_rows = [[1, 2.5, 9.0]]
+    o_rows = [[1, 9.0, 2.5]]
+    assert compare_rows_tolerant(s_cols, s_rows, o_rows, o_cols=o_cols) == []
+    # and a genuine mismatch under reordering is still caught
+    o_bad = [[1, 9.0, 2.6]]
+    assert compare_rows_tolerant(s_cols, s_rows, o_bad, o_cols=o_cols) != []
+    # int-vs-float numeric affinity is not a drift
+    assert compare_rows_tolerant(["a", "b"], [[1, 2.0]], [[1, 2]]) == []
