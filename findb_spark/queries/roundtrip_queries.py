@@ -1492,6 +1492,73 @@ def roundtrip_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "roundtrip_footer_stats",
+    f"""
+WITH {PRICES_ORACLE_CTE},
+p AS (SELECT * FROM prices_v WHERE asset_id % 10 = 7)
+SELECT CAST(asset_id % 8 AS INT) AS bucket,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(asset_id) AS BIGINT) AS asset_id_min,
+       CAST(MAX(asset_id) AS BIGINT) AS asset_id_max,
+       CAST(MIN(date) AS BIGINT) AS date_min,
+       CAST(MAX(date) AS BIGINT) AS date_max,
+       MIN(value) AS value_min,
+       MAX(value) AS value_max
+FROM p GROUP BY bucket
+""",
+    category="roundtrip",
+    description=(
+        "O15 introspection hard signal: the engine's footer-statistics "
+        "manifest (per-file rowcount + column min/max, harvested from "
+        "parquet footers only) exposed as a queryable relation over a "
+        "deterministic one-file-per-bucket layout — every stat the "
+        "manifest reports must equal what the oracle computes from the "
+        "data itself, so a green row certifies the introspection surface "
+        "is faithful, not merely populated"
+    ),
+)
+def roundtrip_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's stats/introspection surface (O15) as a RELATION
+    under the driver hash, not only a pytest pin: ``build_manifest``
+    reads parquet footers (no data pages) and the result must agree
+    bit-for-bit with the oracle's full-scan per-bucket COUNT/MIN/MAX —
+    footer min/max of doubles/ints are exact stored values, so exact
+    equality is the correct bar.  The layout is made deterministic by
+    hive-partitioning on ``bucket`` after ``repartition("bucket")``:
+    every bucket's rows land in exactly one task, hence exactly one
+    file per partition directory (``n_files = 1`` is itself part of the
+    certified output).  A pytest twin cross-checks the same harvest
+    against DuckDB's ``parquet_metadata()`` per file
+    (tests/test_manifest_introspection.py)."""
+    import shutil
+
+    from findb_spark.manifest import build_manifest
+
+    src = prices_from_lineitem(spark, sf_dir).where(F.col("asset_id") % 10 == 7)
+    tbl = src.withColumn("bucket", (F.col("asset_id") % 8).cast("int"))
+    path = _scratch(sf_dir, "footer_stats")
+    shutil.rmtree(path, ignore_errors=True)
+    tbl.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+    man = build_manifest(spark, path, ["asset_id", "date", "value"])
+    rel = man.withColumn(
+        "bucket", F.regexp_extract("file", r"bucket=(\d+)", 1).cast("int")
+    )
+    return rel.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("num_rows").cast("bigint").alias("n_rows"),
+        F.min("asset_id_min").cast("bigint").alias("asset_id_min"),
+        F.max("asset_id_max").cast("bigint").alias("asset_id_max"),
+        F.min("date_min").cast("bigint").alias("date_min"),
+        F.max("date_max").cast("bigint").alias("date_max"),
+        F.min("value_min").alias("value_min"),
+        F.max("value_max").alias("value_max"),
+    )
+
+
+@register(
     "roundtrip_dynamic_overwrite",
     """
 WITH src AS (

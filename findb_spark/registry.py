@@ -134,6 +134,14 @@ _SPECS: dict[str, QuerySpec] = {}
 #: parquet_metadata()/parquet_file_metadata() over the same files —
 #: giving the introspection surface a real driver hash row; it takes
 #: the first window slot, displacing above_group_avg to round 9.
+#: STATUS: built and registered late in round 7 under that pre-approval
+#: (roundtrip_queries.py).  The driver oracle recomputes the stats from
+#: the DATA over a deterministic one-file-per-bucket layout — roundtrip
+#: oracles never read scratch state, so the row certifies manifest ==
+#: data — while the literal DuckDB parquet_metadata() footer-bytes
+#: cross-check lives in tests/test_manifest_introspection.py.  Validated
+#: locally at sf0.001 + sf0.01; NOT in the round-7 _CHECK_FIRST below
+#: (that window was pre-declared and stays fixed), MUST lead round 8's.
 _CHECK_FIRST: tuple[str, ...] = (
     # ---- the certification backlog: every query without a driver row ----
     "sql_recursive_bfs",
