@@ -97,12 +97,40 @@ def compare_rows_tolerant(
     s_order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
     o_order = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
 
+    def _key_safe(v) -> bool:
+        """May this value participate in the row-matching sort key?  A
+        numeric participates only when INTEGRAL, rendered type-blind as
+        str(int(v)) — an INT-on-one-engine / DOUBLE-on-the-other key
+        column (the affinity the value-compare below tolerates) must
+        sort identically on both sides, and a per-VALUE float test
+        would misalign the two sorts the moment affinities diverge."""
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return True
+        return not (
+            isinstance(v, float) and (math.isnan(v) or not v.is_integer())
+        )
+
+    # decide key columns JOINTLY over both sides: a column enters the key
+    # iff every value on BOTH engines is key-safe, so the decision (and
+    # hence the sort) can never be asymmetric
+    keyable = [
+        all(_key_safe(r[si]) for r in s_rows)
+        and all(_key_safe(r[oi]) for r in o_rows)
+        for si, oi in zip(s_order, o_order)
+    ]
+
     def sort_key(order):
         def key(r):
-            return tuple(
-                "" if isinstance(r[i], float) else str(canon_value(r[i]))
-                for i in order
-            )
+            out = []
+            for k, i in zip(keyable, order):
+                v = r[i]
+                if not k:
+                    out.append("")
+                elif not isinstance(v, bool) and isinstance(v, (int, float)):
+                    out.append(str(int(v)))
+                else:
+                    out.append(str(canon_value(v)))
+            return tuple(out)
 
         return key
 

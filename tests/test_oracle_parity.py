@@ -102,3 +102,23 @@ def test_tolerant_compare_respects_each_sides_column_order():
     assert compare_rows_tolerant(s_cols, s_rows, o_bad, o_cols=o_cols) != []
     # int-vs-float numeric affinity is not a drift
     assert compare_rows_tolerant(["a", "b"], [[1, 2.0]], [[1, 2]]) == []
+
+
+def test_tolerant_compare_key_alignment_is_type_blind():
+    """A key column that types BIGINT on one engine and DOUBLE on the
+    other must still align rows: key participation is decided JOINTLY
+    (integral on both sides) and rendered via str(int(v)), never by a
+    per-value isinstance(float) test that would sort the two sides
+    differently."""
+    from findb_spark.oracle import compare_rows_tolerant
+
+    cols = ["k", "x"]
+    s_rows = [[1, 1.5], [2, 2.5]]          # int keys
+    o_rows = [[2.0, 2.5], [1.0, 1.5]]      # same keys as doubles, shuffled
+    assert compare_rows_tolerant(cols, s_rows, o_rows) == []
+    # and a genuine per-key mismatch is still caught
+    o_bad = [[2.0, 1.5], [1.0, 2.5]]
+    assert compare_rows_tolerant(cols, s_rows, o_bad) != []
+    # a non-integral (payload) column stays OUT of the key on both sides
+    assert compare_rows_tolerant(cols, [[1, 0.1], [2, 0.2]],
+                                 [[2, 0.2], [1, 0.1]]) == []
