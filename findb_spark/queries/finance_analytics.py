@@ -413,12 +413,13 @@ s AS (
 ),
 z AS (
   SELECT asset_id, cc.date, value,
-         ROUND((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n)
-               / SQRT(CAST(n * sq - s * s AS DOUBLE) / (n * n)), 6) AS z
+         CAST(n * c - s AS DOUBLE) / SQRT(CAST(n * sq - s * s AS DOUBLE)) AS zd
   FROM cc JOIN s ON cc.date = s.date
   WHERE n >= 10 AND n * sq - s * s > 0
 )
-SELECT asset_id, date, value, z FROM z WHERE ABS(z) > 2
+SELECT asset_id, date, value,
+       CAST(FLOOR(zd * 1000000 + 0.5) AS BIGINT) AS z_p6
+FROM z WHERE ABS(zd) > 2
 """,
     category="timeseries",
     description=(
@@ -437,6 +438,14 @@ def ts_zscore_xsection(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = cc.groupBy("date").agg(
         F.count("*").alias("n"), F.sum("c").alias("s"), F.sum(F.col("c") * F.col("c")).alias("sq")
     )
+    # z = (c - s/n) / sqrt((n*sq - s*s)/n^2) rewritten as
+    # (n*c - s) / sqrt(n*sq - s*s): numerator and radicand are EXACT int64
+    # (n<=50 assets, c<=1e7 -> n*sq, s*s <= 2.5e17 < 2^63), so the double
+    # value is two correctly-rounded IEEE ops (sqrt, divide) — bit-equal
+    # cross-engine, unlike ROUND(double, 6) (the r5 stats_benford flake
+    # class: Spark BigDecimal half-up vs DuckDB multiply-round-divide).
+    # Output is fixed-point 1e6 via the FLOOR(x*1e6+0.5) idiom
+    # (stats_kendall_tau pattern).
     z = (
         cc.join(F.broadcast(s), "date")
         .where("n >= 10 AND n * sq - s * s > 0")
@@ -445,12 +454,16 @@ def ts_zscore_xsection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "date",
             "value",
             F.expr(
-                "ROUND((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n)"
-                " / SQRT(CAST(n * sq - s * s AS DOUBLE) / (n * n)), 6)"
-            ).alias("z"),
+                "CAST(n * c - s AS DOUBLE) / SQRT(CAST(n * sq - s * s AS DOUBLE))"
+            ).alias("zd"),
         )
     )
-    return z.where(F.abs(F.col("z")) > 2)
+    return z.where(F.abs(F.col("zd")) > 2).select(
+        "asset_id",
+        "date",
+        "value",
+        F.expr("CAST(FLOOR(zd * 1000000 + 0.5) AS BIGINT)").alias("z_p6"),
+    )
 
 
 # ---------------------------------------------------------------------------
