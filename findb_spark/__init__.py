@@ -20,6 +20,6 @@ analysis, multimodal plumbing) that the reference lacks, all designed for
 sides, AQE-friendly declarative plans.
 """
 
-from findb_spark.session import get_spark  # noqa: F401
+from findb_spark.session import get_spark, release_caches  # noqa: F401
 
 __version__ = "0.1.0"

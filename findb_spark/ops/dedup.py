@@ -27,8 +27,8 @@ before the caller executes — an eager unpersist would reintroduce the
 multi-evaluation the persist exists to prevent. The blocks live until
 session end (or ``spark.catalog.clearCache()``); they are MEMORY_AND_DISK,
 so under pressure Spark's LRU eviction degrades them to disk/recompute
-rather than OOM. Long-lived sessions sweeping many corpora should
-clearCache() between sweeps.
+rather than OOM. Long-lived sessions sweeping many corpora should call
+:func:`findb_spark.session.release_caches` between sweeps.
 """
 
 from __future__ import annotations

@@ -92,6 +92,11 @@ def compare_rows_tolerant(
     column NAME SET, not the SELECT-list order, so reading oracle rows at
     Spark positions would compare values cross-column the moment an
     oracle's projection order drifts from the Spark fn's."""
+    # standalone-safe: compare_query pre-checks rowcount, but a zip over
+    # unequal lengths would silently pass on a prefix match for any other
+    # caller (tests, future gates)
+    if len(s_rows) != len(o_rows):
+        return [f"rowcount mismatch: spark={len(s_rows)} oracle={len(o_rows)}"]
     if o_cols is None:
         o_cols = s_cols
     s_order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])

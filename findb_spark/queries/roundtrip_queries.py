@@ -1531,17 +1531,43 @@ def roundtrip_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     certified output).  A pytest twin cross-checks the same harvest
     against DuckDB's ``parquet_metadata()`` per file
     (tests/test_manifest_introspection.py)."""
-    import shutil
-
     from findb_spark.manifest import build_manifest
+
+    # the certified n_files=1 invariant holds only while nothing splits a
+    # task's output: pin the two configs that could (maxRecordsPerFile
+    # splits by row count; speculative duplicate attempts can leave extra
+    # files) for the duration of the write rather than trusting ambient
+    # session state
+    assert (
+        spark.conf.get("spark.speculation", "false") == "false"
+    ), "roundtrip_footer_stats requires speculative execution off"
+    prev_mrpf = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
 
     src = prices_from_lineitem(spark, sf_dir).where(F.col("asset_id") % 10 == 7)
     tbl = src.withColumn("bucket", (F.col("asset_id") % 8).cast("int"))
-    path = _scratch(sf_dir, "footer_stats")
-    shutil.rmtree(path, ignore_errors=True)
-    tbl.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(path)
+    # uuid leaf: two concurrent gate runs over the same sf_dir must not
+    # race on one scratch path; the layout must outlive this call (the
+    # manifest harvest reads footers lazily at EXECUTION time), so
+    # instead of rmtree-ing a fixed path, garbage-collect stale sibling
+    # runs (>1 h old — far beyond any live gate run)
+    import glob as _glob
+    import shutil
+    import time as _time
+
+    for old in _glob.glob(_scratch(sf_dir, "footer_stats_*")):
+        try:
+            if _time.time() - os.path.getmtime(old) > 3600:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+    path = _scratch(sf_dir, f"footer_stats_{uuid.uuid4().hex[:12]}")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    try:
+        tbl.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", prev_mrpf)
     man = build_manifest(spark, path, ["asset_id", "date", "value"])
     rel = man.withColumn(
         "bucket", F.regexp_extract("file", r"bucket=(\d+)", 1).cast("int")

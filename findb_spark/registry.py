@@ -142,60 +142,82 @@ _SPECS: dict[str, QuerySpec] = {}
 #: cross-check lives in tests/test_manifest_introspection.py.  Validated
 #: locally at sf0.001 + sf0.01; NOT in the round-7 _CHECK_FIRST below
 #: (that window was pre-declared and stays fixed), MUST lead round 8's.
-_CHECK_FIRST: tuple[str, ...] = (
-    # ---- the certification backlog: every query without a driver row ----
-    "sql_recursive_bfs",
-    "orders_seasonal_naive_mae",
-    "customer_segment_migration",
-    "orders_repeat_purchase_curve",
-    "events_attribution_ushape",
-    "text_readability_ari",
-    "graph_clustering_coeff",
-    "graph_source_modularity",
-    "pii_tcloseness",
-    "dq_referential_integrity",
-    "ts_cusum_changepoint",
-    "ts_momentum_backtest",
-    "ts_pairs_spread",
-    "ts_cvar_expected_shortfall",
-    "ts_portfolio_turnover",
-    "ts_amihud_illiquidity",
-    "stats_mannwhitney",
-    "stats_histogram_quantiles",
-    "lineitem_transit_peak",
-    "part_supplier_hhi",
-    "dq_duplicate_orders",
-    "stats_anova_f",
-    "stats_kendall_tau",
-    "stats_spearman",
-    "stats_theil_sen",
-    "stats_cramers_v",
-    "orders_abc_xyz",
-    "text_kneser_ney_bigram",
-    "text_rake_keywords",
-    "orders_open_backlog",
-    "events_rate_weekend_test",
-    "supplier_lead_time",
-    "customer_order_intervals",
-    "events_l28_histogram",
-    "events_time_in_state",
-    "vec_sim_histogram",
-    "vec_cluster_purity",
-    "vec_centroid_drift",
-    # ---- re-certification: ROUND(double,k) -> exact fixed-point int64 ----
-    "stats_key_skew",
-    "orders_market_basket",
-    "events_dau_wau",
-    "events_time_to_convert",
-    "events_markov2",
-    "events_churn_inactive",
-    "events_retention_cohorts",
-    "events_anomaly_mad",
-    "events_session_paths",
-    "vec_lsh_recall_curve",
-    "vec_pq_recall",
-    "graph_neighbor_jaccard",
+
+
+#: Queries whose implementation was MATERIALLY rewritten this round —
+#: they preempt rolling-window slots so the re-certification happens
+#: under the driver hash in the same round as the rewrite (policy in
+#: scripts/rotate_window.py).  Round 8: the fixed-point conversion of the
+#: last live ROUND(double,6) output, plus the five query surfaces of the
+#: shared-shingle-relation rewrite (capped-df broadcast prefix filter,
+#: suite-shared persisted hashed shingles; downstream pair-relation
+#: CONSUMERS are not listed — the relation contents are oracle-verified
+#: unchanged, and the rolling policy re-certifies them on age).
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "ts_zscore_xsection",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
+    "dedup_containment",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
 )
+
+# --- BEGIN AUTO-GENERATED WINDOW (scripts/rotate_window.py) ---
+#: Round-8 window, computed by `python scripts/rotate_window.py --write`
+#: from CORRECTNESS_r01..r07 + CHANGED_THIS_ROUND (policy above).
+_CHECK_FIRST: tuple[str, ...] = (
+    "roundtrip_footer_stats",
+    "ts_zscore_xsection",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
+    "dedup_containment",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "above_group_avg",
+    "agg_filtered_bools",
+    "agg_having",
+    "asof_batch",
+    "asof_point",
+    "asof_range",
+    "asof_snapshot_all_assets",
+    "case_expr_bands",
+    "cube_agg",
+    "distinct_agg",
+    "global_topn",
+    "grouping_sets_agg",
+    "join_anti",
+    "join_full_outer",
+    "join_left_outer",
+    "join_semi",
+    "orders_month_over_month",
+    "percentiles",
+    "point_lookup",
+    "q14_promo_revenue",
+    "q18_big_orders",
+    "q19_disjunctive_predicates",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "range_join_quarters",
+    "range_scan",
+    "regexp_funcs",
+    "revision_stats",
+    "rollup_agg",
+    "scalar_date_funcs",
+    "scalar_string_funcs",
+    "scalar_subquery_above_avg",
+    "set_ops_bag",
+    "set_ops_nations",
+    "sql_q6_forecast_revenue",
+    "topk_per_group",
+    "ts_cumulative",
+    "ts_first_last",
+    "ts_lag_returns",
+    "ts_ntile_pct_rank",
+    "ts_range_frame",
+    "ts_resample_ffill",
+)
+# --- END AUTO-GENERATED WINDOW ---
 
 #: Rows-only by design (no oracle SQL can hash-match): never spend a
 #: certification-window slot on these — the driver records a weaker

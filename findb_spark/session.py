@@ -64,6 +64,22 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def release_caches(spark: SparkSession) -> None:
+    """Drop every deliberately-persisted intermediate relation.
+
+    The engine's operators persist small reused intermediates — hashed
+    shingle arrays and verified pair relations (``ops/dedup.py``), MinHash
+    signatures, per-key frequency profiles (``stats_key_skew``) — and
+    return LAZY DataFrames, so they cannot unpersist before the caller
+    executes (an eager unpersist would reintroduce the multi-evaluation
+    the persist exists to prevent).  In a long-lived driver sweeping many
+    corpora / sf_dirs those MEMORY_AND_DISK blocks accumulate unboundedly
+    (disk blocks are not LRU-evicted): call this between sweeps.  Inside
+    one sweep the persists are bounded by design — each is keyed by the
+    corpus plan, orders of magnitude smaller than its source table."""
+    spark.catalog.clearCache()
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 

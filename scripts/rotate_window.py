@@ -1,81 +1,157 @@
 #!/usr/bin/env python
-"""Compute the next round's correctness-check window.
+"""Mechanical certification-window rotation.
 
-The external harness checks the FIRST 50 names of ``all_specs()`` per
-round (see findb_spark.registry._CHECK_FIRST).  This tool reads every
-CORRECTNESS_r*.json in the repo root, computes which registered queries
-have never carried a driver row (and which carried a red row last
-round), and prints a ready-to-paste ``_CHECK_FIRST`` tuple:
+Since round 8 the driver window (``registry._CHECK_FIRST``) is a ROLLING
+RE-CERTIFICATION computed from repo state, not hand-maintained prose.
+Policy (declared round 7, VERDICT item 4):
 
-    red-last-round confirmations first, then never-checked names in
-    registration order, padded with the longest-unchecked green names.
+1. **Never-rowed** hash-verifiable queries lead (certification debt:
+   a registered query without any driver row), sorted by name.
+2. **Changed-this-round** queries next (``registry.CHANGED_THIS_ROUND``,
+   declared order): their implementation was materially rewritten, so
+   their newest row no longer certifies the shipping code.
+3. The remainder is filled **stalest-first**: every other
+   hash-verifiable query sorted by ``(latest driver-row round, name)``,
+   so every row's age stays bounded at ~(registry size / 50) rounds.
 
-Usage: python scripts/rotate_window.py [window_size]
+``registry.ROWS_ONLY`` queries are excluded — their value hash can never
+match by design, and a window slot on them would be red forever.
+
+Usage::
+
+    python scripts/rotate_window.py            # print the window
+    python scripts/rotate_window.py --write    # rewrite registry._CHECK_FIRST
+                                               # + write WINDOW_r{N}.json
+
+``--write`` rewrites the tuple between the AUTO-GENERATED markers in
+``findb_spark/registry.py`` and records a ``WINDOW_r{N}.json`` manifest
+(window + the exact CORRECTNESS inputs used), which
+``tests/test_rotate_window.py`` uses to pin the committed window to this
+policy — the manifest freezes the inputs, so the pin stays valid after
+the next round's CORRECTNESS file lands.
 """
 
 from __future__ import annotations
 
 import glob
 import json
+import os
+import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WINDOW_SIZE = 50
+
+BEGIN_MARK = "# --- BEGIN AUTO-GENERATED WINDOW (scripts/rotate_window.py) ---"
+END_MARK = "# --- END AUTO-GENERATED WINDOW ---"
 
 
-def main() -> int:
-    window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+def latest_rows(correctness_files: list[str]) -> dict[str, int]:
+    """name -> round of its NEWEST driver row, over the given files."""
+    latest: dict[str, int] = {}
+    for f in correctness_files:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(f))
+        if not m:
+            raise ValueError(f"not a correctness artifact: {f}")
+        rnd = int(m.group(1))
+        with open(f) as fh:
+            for name in json.load(fh):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
-    from findb_spark.registry import all_specs
 
-    names = list(all_specs())
-    rounds = sorted(glob.glob("CORRECTNESS_r*.json"))
-    if not rounds:
-        print("# no CORRECTNESS files found; first round: registration order")
-        checked: dict[str, dict] = {}
-        last: dict[str, dict] = {}
-    else:
-        checked = {}
-        for path in rounds:
-            checked.update(json.load(open(path)))
-        last = json.load(open(rounds[-1]))
+def compute_window(
+    registered: list[str],
+    rows_only: frozenset[str],
+    changed: tuple[str, ...],
+    latest: dict[str, int],
+    size: int = WINDOW_SIZE,
+) -> list[str]:
+    """Apply the policy. Pure function — pinned by tests/test_rotate_window.py."""
+    eligible = [n for n in registered if n not in rows_only]
+    elig_set = set(eligible)
+    never_rowed = sorted(n for n in eligible if n not in latest)
+    changed_known = list(
+        dict.fromkeys(
+            n for n in changed if n in elig_set and n not in never_rowed
+        )
+    )
+    taken = set(never_rowed) | set(changed_known)
+    rest = sorted(
+        (n for n in eligible if n not in taken),
+        key=lambda n: (latest[n], n),
+    )
+    return (never_rowed + changed_known + rest)[:size]
 
-    def is_red(row: dict) -> bool:
-        return row.get("err") is None and (
-            row.get("hash_match") is False
-            or row.get("rows_match") is False
-            or row.get("schema_match") is False
-        ) or row.get("err") not in (None, "no_oracle")
 
-    red_last = [n for n in names if n in last and is_red(last[n])]
-    never = [n for n in names if n not in checked]
-    # pad with green names, least-recently-checked first (earliest round)
-    first_seen: dict[str, int] = {}
-    for i, path in enumerate(rounds):
-        for n in json.load(open(path)):
-            first_seen.setdefault(n, i)
-    green = [
-        n
-        for n in names
-        if n in checked and n not in red_last
+def _load_registry():
+    from findb_spark import registry
+
+    registry.all_specs()  # import query modules -> fill _SPECS
+    return registry
+
+
+def _render_tuple(window: list[str], rnd: int) -> str:
+    lines = [
+        BEGIN_MARK,
+        f"#: Round-{rnd} window, computed by `python scripts/rotate_window.py"
+        " --write`",
+        f"#: from CORRECTNESS_r01..r{rnd - 1:02d} + CHANGED_THIS_ROUND"
+        " (policy above).",
+        "_CHECK_FIRST: tuple[str, ...] = (",
     ]
-    green.sort(key=lambda n: first_seen.get(n, -1))
+    lines += [f'    "{n}",' for n in window]
+    lines += [")", END_MARK]
+    return "\n".join(lines)
 
-    pick: list[str] = []
-    for group in (red_last, never, green):
-        for n in group:
-            if n not in pick and len(pick) < window:
-                pick.append(n)
 
-    print(f"# window={window}: {len(red_last)} red-confirm + "
-          f"{len(never)} never-checked (+ padding)")
-    print("_CHECK_FIRST: tuple[str, ...] = (")
-    for n in pick:
-        tag = "red last round" if n in red_last else (
-            "never checked" if n in never else "recheck (oldest green)")
-        print(f'    "{n}",  # {tag}')
-    print(")")
-    return 0
+def main() -> None:
+    write = "--write" in sys.argv
+    registry = _load_registry()
+    correctness = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    latest = latest_rows(correctness)
+    registered = list(registry.registration_order_specs())
+    window = compute_window(
+        registered, registry.ROWS_ONLY, registry.CHANGED_THIS_ROUND, latest
+    )
+    rnd = (max(latest.values()) if latest else 0) + 1
+
+    unknown = [n for n in registry.CHANGED_THIS_ROUND if n not in registered]
+    if unknown:
+        raise SystemExit(f"CHANGED_THIS_ROUND names not registered: {unknown}")
+
+    for n in window:
+        print(n)
+    print(f"-- {len(window)} slots, round {rnd}", file=sys.stderr)
+
+    if not write:
+        return
+
+    reg_path = os.path.join(REPO, "findb_spark", "registry.py")
+    with open(reg_path) as fh:
+        src = fh.read()
+    if BEGIN_MARK not in src or END_MARK not in src:
+        raise SystemExit(f"markers not found in {reg_path}")
+    pre, rest = src.split(BEGIN_MARK, 1)
+    _, post = rest.split(END_MARK, 1)
+    with open(reg_path, "w") as fh:
+        fh.write(pre + _render_tuple(window, rnd) + post)
+
+    manifest = {
+        "round": rnd,
+        "inputs": [os.path.basename(f) for f in correctness],
+        "changed_this_round": list(registry.CHANGED_THIS_ROUND),
+        "rows_only": sorted(registry.ROWS_ONLY),
+        "window": window,
+    }
+    man_path = os.path.join(REPO, f"WINDOW_r{rnd:02d}.json")
+    with open(man_path, "w") as fh:
+        json.dump(manifest, fh, indent=2)
+        fh.write("\n")
+    print(f"-- wrote {reg_path} + {man_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    main()

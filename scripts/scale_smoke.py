@@ -568,6 +568,17 @@ def main() -> None:
         if a.startswith("--only="):
             ONLY = set(a.split("=", 1)[1].split(","))
             args.remove(a)
+    if ONLY is not None:
+        # a misspelled shape name would silently gate every workload to {}
+        # and produce an empty report that reads as a clean no-regression
+        # run — fail loudly instead
+        known = WORKLOAD_KEYS | DEDUP_KEYS | VECTOR_KEYS | EVENTS_KEYS
+        unknown = ONLY - known
+        if unknown:
+            raise SystemExit(
+                f"--only: unknown shape name(s) {sorted(unknown)}; "
+                f"known: {sorted(known)}"
+            )
     factor = int(args[0]) if args else 8
     spark = get_spark(app_name="scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
