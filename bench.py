@@ -103,6 +103,29 @@ def main() -> None:
     amortized: dict[str, float] = {}
     eager: list[str] = []
     errors: dict[str, str] = {}
+    plans: dict[str, dict[str, int]] = {}
+
+    def _plan_fingerprint(group: str) -> dict[str, int]:
+        """Job/stage/task counts for a job group — a machine-noise-immune
+        plan fingerprint: a wall-clock regression WITH an unchanged
+        fingerprint is environment; a changed fingerprint is a plan
+        change (new shuffle, lost cache hit, AQE re-plan). Public
+        statusTracker API only."""
+        jids = tracker.getJobIdsForGroup(group)
+        seen_stages: set[int] = set()
+        tasks = 0
+        for jid in jids:
+            ji = tracker.getJobInfo(jid)
+            if ji is None:
+                continue
+            for sid in ji.stageIds:
+                if sid in seen_stages:
+                    continue
+                seen_stages.add(sid)
+                si = tracker.getStageInfo(sid)
+                if si is not None:
+                    tasks += si.numTasks
+        return {"jobs": len(jids), "stages": len(seen_stages), "tasks": tasks}
     for spec in specs:
         runs, bts = [], []
         try:
@@ -123,6 +146,9 @@ def main() -> None:
             errors[spec.name] = str(e).splitlines()[0][:200]
             continue
         run, build = min(runs), min(bts)
+        # fingerprint the SECOND run: steady state (caches hot, AQE
+        # re-plans settled), matching what min-of-2 reports
+        plans[spec.name] = _plan_fingerprint(f"bench-run-{spec.name}-1")
         builds[spec.name] = round(build, 3)
         timings[spec.name] = round(run + (build if spec.name in eager else 0.0), 3)
         # one-time costs amortized OUT of the steady-state headline (e.g.
@@ -156,6 +182,7 @@ def main() -> None:
         "build_total": round(sum(builds.values()), 3),
         "eager_build_included": sorted(eager),
         "amortized_one_time": amortized,
+        "plan_fingerprint": plans,
         "machine": machine,
         "sf": sf,
     }

@@ -588,6 +588,15 @@ PQ_M = 8  # subspaces
 PQ_SUBDIM = DIM // PQ_M
 PQ_K = 64  # codewords per subspace (production PQ uses 256; 64 keeps the
 #            oracle's cross join small while the plan shape is identical)
+#: hard cap on the driver-collected PQ training sample: the 20% hash gate
+#: alone scales with the corpus (measured: 51k collected vectors = 70 s of
+#: py4j at a 256k-vector corpus — the whole 128x scale-smoke blowup), while
+#: codebook quality saturates at FAISS-scale 10^4-10^5 training points.
+#: The cap composes as a deterministic hash-order LIMIT (ORDER BY h,
+#: vec_id), mirrored verbatim in the DuckDB oracle; it binds only above
+#: ~82k corpus vectors, so certified outputs at every test SF are
+#: unchanged.
+PQ_TRAIN_CAP = 1 << 14
 
 
 def unit_vector(v: Column) -> Column:
@@ -937,14 +946,23 @@ def pq_train(nv: DataFrame, cbw: DataFrame | list) -> DataFrame:
         [[list(r[f"sw{m}"]) for r in cb_rows] for m in range(PQ_M)],
         dtype=np.float64,
     )  # (M, K, SUBDIM)
-    sample_rows = (
-        nv.where(hash48(F.col("vec_id").cast("string")) % 5 < 1)
+    # 20% hash gate CAPPED by deterministic hash-order LIMIT (the FAISS
+    # contract: training saturates at ~10^4-10^5 points, so the collect is
+    # bounded at any corpus size). toPandas() rides the Arrow channel —
+    # list<double> columns arrive as numpy arrays with exact bits, where
+    # the Row-based collect() built millions of Python float objects
+    # (measured 70 s at a 51k-row sample).
+    hk = hash48(F.col("vec_id").cast("string"))
+    sample_pd = (
+        nv.where(hk % 5 < 1)
+        .orderBy(hk, "vec_id")
+        .limit(PQ_TRAIN_CAP)
         .select("nv")
-        .collect()
+        .toPandas()
     )
     new_cb = cb.copy()
-    if sample_rows:
-        v = np.array([list(r["nv"]) for r in sample_rows], dtype=np.float64)
+    if len(sample_pd):
+        v = np.array([np.asarray(x, dtype=np.float64) for x in sample_pd["nv"]])
         n = len(v)
         sub = v.reshape(n, PQ_M, 1, PQ_SUBDIM)
         d = sub - cb[None, :, :, :]

@@ -520,7 +520,13 @@ def _pq_ctes() -> str:
     codewords) -> encode -> one per-subspace Lloyd refinement (fixed-point
     means, empty codes keep init values) -> re-encode -> per-query ADC
     lookup tables -> integer ADC scores."""
-    from findb_spark.ops.vector import MEAN_SCALE, PQ_K, PQ_M, PQ_SUBDIM
+    from findb_spark.ops.vector import (
+        MEAN_SCALE,
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        PQ_TRAIN_CAP,
+    )
 
     sw_cols = ",\n         ".join(
         f"cw[({m * PQ_SUBDIM + 1}):({(m + 1) * PQ_SUBDIM})] AS sw{m}"
@@ -595,8 +601,11 @@ cb0 AS (
          {sw_cols}
   FROM (SELECT nv AS cw, h, vec_id FROM nv ORDER BY h, vec_id LIMIT {PQ_K})
 ),
--- training sample: deterministic 20 percent hash gate (ops.vector.pq_train)
-tr AS (SELECT * FROM nv WHERE h % 5 < 1),
+-- training sample: deterministic 20 percent hash gate, CAPPED by
+-- hash-order LIMIT (ops.vector.pq_train / PQ_TRAIN_CAP — binds only above
+-- ~82k corpus vectors, so test-SF outputs are unchanged)
+tr AS (SELECT * FROM (SELECT * FROM nv WHERE h % 5 < 1
+                      ORDER BY h, vec_id LIMIT {PQ_TRAIN_CAP})),
 {enc('e.nv', 'tr', 'cb0', 'codes0')},
 {','.join(train_ctes)},
 cb1 AS (

@@ -160,6 +160,13 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dedup_containment",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh",
+    # PQ training-sample cap (hash-order LIMIT, mirrored in the oracle):
+    # binds only above ~82k corpus vectors so test-SF outputs are
+    # unchanged, but fn AND oracle SQL both changed -> re-certify
+    "vec_pq_adc",
+    "vec_pq_search",
+    "vec_ivf_pq",
+    "vec_pq_recall",
 )
 
 # --- BEGIN AUTO-GENERATED WINDOW (scripts/rotate_window.py) ---
@@ -173,6 +180,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "dedup_containment",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh",
+    "vec_pq_adc",
+    "vec_pq_search",
+    "vec_ivf_pq",
+    "vec_pq_recall",
     "above_group_avg",
     "agg_filtered_bools",
     "agg_having",
@@ -212,10 +223,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "topk_per_group",
     "ts_cumulative",
     "ts_first_last",
-    "ts_lag_returns",
-    "ts_ntile_pct_rank",
-    "ts_range_frame",
-    "ts_resample_ffill",
 )
 # --- END AUTO-GENERATED WINDOW ---
 

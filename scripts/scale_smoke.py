@@ -71,6 +71,17 @@ def replicate_documents(spark, factor: int) -> str:
 
 
 def timed(fn) -> float:
+    # the engine's operators deliberately persist reused intermediates
+    # (hashed shingle arrays, verified pair relations — ops/dedup.py);
+    # without clearing, the measured call would be a cache READ of the
+    # warm-up call's materialization and the scaling ratio would measure
+    # nothing. Scaling evidence times the COLD pipeline with WARM
+    # codegen/JIT (which the warm-up still provides).
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        s.catalog.clearCache()
     t0 = time.monotonic()
     fn()
     return round(time.monotonic() - t0, 3)
