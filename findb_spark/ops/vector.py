@@ -952,17 +952,37 @@ def pq_train(nv: DataFrame, cbw: DataFrame | list) -> DataFrame:
     # list<double> columns arrive as numpy arrays with exact bits, where
     # the Row-based collect() built millions of Python float objects
     # (measured 70 s at a 51k-row sample).
+    #
+    # Input may be RAW (column ``embedding``) or pre-normalized (column
+    # ``nv``). Prefer raw: sampling the raw column keeps the 64-term
+    # fixed-point normalize expression out of the sample job entirely
+    # (measured ~2 s of py4j plan construction + ~2 s of codegen for a
+    # 435-row sample) and normalizes the BOUNDED sample driver-side with
+    # the identical numpy sequence :func:`pq_codebook` runs — exact int
+    # self-dot, one IEEE sqrt, one divide per element — so codewords are
+    # bit-equal either way (same contract the encode kernel's
+    # ``normalize=True`` path is pinned under).
+    raw = "nv" not in nv.columns
+    col = "embedding" if raw else "nv"
     hk = hash48(F.col("vec_id").cast("string"))
     sample_pd = (
         nv.where(hk % 5 < 1)
         .orderBy(hk, "vec_id")
         .limit(PQ_TRAIN_CAP)
-        .select("nv")
+        .select(col)
         .toPandas()
     )
     new_cb = cb.copy()
     if len(sample_pd):
-        v = np.array([np.asarray(x, dtype=np.float64) for x in sample_pd["nv"]])
+        v = np.array([np.asarray(x, dtype=np.float64) for x in sample_pd[col]])
+        if raw:
+            sq = (
+                np.floor(v * v * float(FXP_SCALE) + 0.5)
+                .astype(np.int64)
+                .sum(axis=1)
+            )
+            norms = np.sqrt(sq.astype(np.float64) / float(FXP_SCALE))
+            v = v / norms[:, None]
         n = len(v)
         sub = v.reshape(n, PQ_M, 1, PQ_SUBDIM)
         d = sub - cb[None, :, :, :]
@@ -1043,7 +1063,10 @@ def pq_adc_topk(
     else:
         cb_rows = pq_codebook(emb).collect()
         if train:
-            cb_rows = pq_train(nv, cb_rows).collect()
+            # raw input: pq_train normalizes its bounded sample
+            # driver-side (bit-equal), keeping the 64-term normalize
+            # expression out of the training job
+            cb_rows = pq_train(emb, cb_rows).collect()
     cw = _cb_lists(cb_rows)
     cbdf = _cb_onerow(emb.sparkSession, cw)
     if kernel == "arrow":
@@ -1140,7 +1163,8 @@ def ivf_pq_topk(
     nv = _normalized(emb)
     cb_rows = pq_codebook(emb).collect()
     if train:
-        cb_rows = pq_train(nv, cb_rows).collect()
+        # raw input: sample normalized driver-side (bit-equal)
+        cb_rows = pq_train(emb, cb_rows).collect()
     cw = _cb_lists(cb_rows)
     cbdf = _cb_onerow(emb.sparkSession, cw)
     if kernel == "arrow":

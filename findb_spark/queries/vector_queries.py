@@ -67,12 +67,13 @@ def _corpus_key(sf_dir: str) -> tuple:
 
 
 def _trained_pq_codebook(spark: SparkSession, sf_dir: str) -> list:
-    from findb_spark.ops.vector import PQ_K, PQ_M, _normalized, pq_codebook, pq_train
+    from findb_spark.ops.vector import PQ_K, PQ_M, pq_codebook, pq_train
 
     key = (_corpus_key(sf_dir), PQ_M, PQ_K)
     if key not in _PQ_CB_MEMO:
         emb = load_table(spark, sf_dir, "embeddings")
-        cb = pq_train(_normalized(emb), pq_codebook(emb).collect()).collect()
+        # raw input: pq_train normalizes its bounded sample driver-side
+        cb = pq_train(emb, pq_codebook(emb).collect()).collect()
         while len(_PQ_CB_MEMO) >= _PQ_CB_MEMO_MAX:
             _PQ_CB_MEMO.pop(next(iter(_PQ_CB_MEMO)))
         _PQ_CB_MEMO[key] = cb

@@ -374,6 +374,23 @@ def test_chunk_dup_stats_tail_and_exact_dup_edges(spark):
     assert got[3] == (2, 0, 0.0)
 
 
+def test_pq_train_raw_and_normalized_inputs_bit_equal(spark, sf_dir):
+    """pq_train accepts RAW embeddings (sample normalized driver-side in
+    numpy — exact int self-dot, one IEEE sqrt, one divide per element) or
+    a pre-normalized ``nv`` DataFrame (the JVM fixed-point normalize).
+    Both must yield the BIT-identical codebook: the numpy sequence is the
+    same one pq_codebook runs and the encode kernel's normalize=True path
+    is pinned under — any divergence is a normalization-contract bug."""
+    from findb_spark.ops.vector import _normalized, pq_codebook, pq_train
+    from findb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb0 = pq_codebook(emb).collect()
+    via_nv = pq_train(_normalized(emb), cb0).collect()
+    via_raw = pq_train(emb, cb0).collect()
+    assert [r.asDict() for r in via_nv] == [r.asDict() for r in via_raw]
+
+
 def test_pq_encode_kernels_bit_equal(spark, sf_dir):
     """The three PQ encode formulations must agree BIT-FOR-BIT: the
     fxp_l2_sub Column form (the executable spec — crossJoin against the
