@@ -128,8 +128,8 @@ def hashed_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
     magnitude smaller than the text. Sizes come free as ``F.size(harr)``
     (``transform`` preserves length), so no consumer needs the string
     form. Release path for long-lived drivers sweeping many corpora:
-    ``spark.catalog.clearCache()`` between sweeps (module convention,
-    see header note)."""
+    :func:`findb_spark.session.release_caches` between sweeps (module
+    convention, see header note)."""
     from pyspark.storagelevel import StorageLevel
 
     return (
