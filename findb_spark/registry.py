@@ -153,6 +153,10 @@ _SPECS: dict[str, QuerySpec] = {}
 #: suite-shared persisted hashed shingles; downstream pair-relation
 #: CONSUMERS are not listed — the relation contents are oracle-verified
 #: unchanged, and the rolling policy re-certifies them on age).
+#: NEXT-ROUND RITUAL: replace this tuple with the queries rewritten in
+#: THAT round (empty tuple if none), then `python scripts/rotate_window.py
+#: --write` — it regenerates _CHECK_FIRST and WINDOW_r{N}.json from the
+#: latest CORRECTNESS files; tests/test_rotate_window.py re-pins both.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "ts_zscore_xsection",
     "dedup_ngram_jaccard",
