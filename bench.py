@@ -36,7 +36,17 @@ def main() -> None:
     from findb_spark.registry import registration_order_specs
     from findb_spark.session import get_spark
 
-    spark = get_spark(app_name="findb_spark_bench")
+    # retainedJobs/retainedStages default to 1000: a job-heavy bench session
+    # can evict early jobs from the status tracker, making _plan_fingerprint
+    # undercount machine-dependently and read as a spurious plan change
+    # (round-8 advisor finding) — raise both for bench sessions
+    spark = get_spark(
+        app_name="findb_spark_bench",
+        extra_conf={
+            "spark.ui.retainedJobs": "20000",
+            "spark.ui.retainedStages": "20000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # REGISTRATION order, not alphabetical: within each module the
@@ -110,26 +120,48 @@ def main() -> None:
         plan fingerprint: a wall-clock regression WITH an unchanged
         fingerprint is environment; a changed fingerprint is a plan
         change (new shuffle, lost cache hit, AQE re-plan). Public
-        statusTracker API only."""
+        statusTracker API only.  ``truncated=1`` marks any job/stage the
+        tracker had already evicted (bounded by spark.ui.retainedJobs/
+        retainedStages, raised above): a truncated fingerprint's counts
+        are a lower bound, not a plan change."""
         jids = tracker.getJobIdsForGroup(group)
         seen_stages: set[int] = set()
         tasks = 0
+        truncated = False
         for jid in jids:
             ji = tracker.getJobInfo(jid)
             if ji is None:
+                truncated = True
                 continue
             for sid in ji.stageIds:
                 if sid in seen_stages:
                     continue
                 seen_stages.add(sid)
                 si = tracker.getStageInfo(sid)
-                if si is not None:
+                if si is None:
+                    truncated = True
+                else:
                     tasks += si.numTasks
-        return {"jobs": len(jids), "stages": len(seen_stages), "tasks": tasks}
+        fp = {"jobs": len(jids), "stages": len(seen_stages), "tasks": tasks}
+        if truncated:
+            fp["truncated"] = 1
+        return fp
+    # PQ codebook memo state per iteration: vec_pq_* "steady state" depends
+    # on whether the trained-codebook memo was populated by an EARLIER query
+    # in the session (round-8 verdict item 6: 0.5 s vs 2.7 s driver/judge
+    # spread with identical fingerprints).  Recording hit/miss at the start
+    # of each timed iteration makes round-over-round PQ numbers comparable
+    # without a judge re-run.
+    from findb_spark.queries.vector_queries import _PQ_CB_MEMO
+
+    pq_memo: dict[str, list[bool]] = {}
+
     for spec in specs:
         runs, bts = [], []
         try:
             for i in range(2):
+                if "pq" in spec.name:
+                    pq_memo.setdefault(spec.name, []).append(bool(_PQ_CB_MEMO))
                 group = f"bench-build-{spec.name}-{i}"
                 sc.setJobGroup(group, f"build {spec.name}")
                 t0 = time.perf_counter()
@@ -182,13 +214,25 @@ def main() -> None:
         "build_total": round(sum(builds.values()), 3),
         "eager_build_included": sorted(eager),
         "amortized_one_time": amortized,
+        # per PQ query: was the trained-codebook memo already populated at
+        # the start of iteration [0, 1]?  [false, true] = this query paid
+        # training in iter 0, min-of-2 reports the memo-hit steady state;
+        # [true, true] = an earlier query trained, both iters are hits.
+        "pq_memo_hit_at_iter_start": pq_memo,
         "plan_fingerprint": plans,
         "machine": machine,
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # ALSO persist to a file: the driver captures stdout, whose tail has
+    # been observed truncated (BENCH_r08's headline total was unrecoverable
+    # from the artifact) — the file survives stdout truncation
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_out.json"), "w") as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -962,6 +962,18 @@ def pq_train(nv: DataFrame, cbw: DataFrame | list) -> DataFrame:
     # self-dot, one IEEE sqrt, one divide per element — so codewords are
     # bit-equal either way (same contract the encode kernel's
     # ``normalize=True`` path is pinned under).
+    # Bit-equality bound for the raw branch below (round-8 advisor note):
+    # the numpy path sums per-element FLOOR terms in int64, while
+    # norm_expr sums them as float64 and casts the total to BIGINT once.
+    # The two agree exactly while every partial sum stays below 2^53
+    # (where float64 addition is exact and order-free): terms are
+    # x_i^2 * FXP_SCALE, so the self-dot bound is |x|^2 * DIM * 1e12 <
+    # 2^53, i.e. per-element |x| <= ~11.8 at DIM=64.  The embeddings
+    # table stores O(1)-magnitude components (|x| < 2), three orders
+    # inside the bound — and no summation-order fix could extend it:
+    # beyond 2^53 numpy's pairwise float64 sum and the JVM's
+    # left-associated chain diverge from EACH OTHER, so int64 (exact,
+    # order-free) is the more defensible side to keep.
     raw = "nv" not in nv.columns
     col = "embedding" if raw else "nv"
     hk = hash48(F.col("vec_id").cast("string"))

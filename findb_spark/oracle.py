@@ -47,6 +47,30 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 #: Everything else must be bit-exact.
 SIX_DP_QUERIES = frozenset({"ts_ewma", "ts_macd"})
 
+#: EXPECT_ROWS enforcement (round-9 verdict item 2): a hash match over an
+#: EMPTY result certifies only the schema and the filter's emptiness —
+#: round 8 found 8 queries whose driver rows were exactly that (one, the
+#: z-order layout roundtrip, had a structurally dead predicate for 8
+#: rounds).  ``compare_query`` therefore FAILS any query whose result is
+#: 0-row on both engines at the gate's scale factor, unless the query is
+#: listed here with the smallest SF at which it is expected non-empty
+#: (empty stays acceptable strictly BELOW that SF — tail-threshold
+#: queries legitimately have empty tails on very small samples).  A
+#: query empty at EVERY available SF can never be certified non-vacuously
+#: and must be recalibrated, not listed.
+EMPTY_OK_BELOW_SF: dict[str, float] = {
+    "q22_idle_customers": 0.01,  # 0 / 3 / 30 rows at sf0.001/0.01/0.1
+}
+
+
+def _sf_of(sf_dir: str) -> float | None:
+    """Parse the scale factor from a testdata dir name (``.../sf0.01``);
+    None for synthetic/fixture dirs, which skip the non-empty check."""
+    import re
+
+    m = re.search(r"sf(\d+(?:\.\d+)?)/?$", sf_dir)
+    return float(m.group(1)) if m else None
+
 
 def canon_value(v):
     if v is None:
@@ -226,6 +250,14 @@ def compare_query(
         problems.append(f"columns spark={sorted(s_cols)} oracle={sorted(o_cols)}")
     if len(s_rows) != len(o_rows):
         problems.append(f"rowcount spark={len(s_rows)} oracle={len(o_rows)}")
+    if not problems and not s_rows and name is not None:
+        sf = _sf_of(sf_dir)
+        if sf is not None and sf >= EMPTY_OK_BELOW_SF.get(name, 0.0):
+            problems.append(
+                f"EMPTY result at sf={sf}: empty-vs-empty certifies nothing "
+                "(recalibrate the predicate, or list in EMPTY_OK_BELOW_SF "
+                "with the smallest SF at which rows are expected)"
+            )
     if not problems:
         if six_dp:
             problems.extend(

@@ -229,7 +229,10 @@ def text_trigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_cross_source",
     """
-WITH h AS (SELECT doc_id, source, md5(text) AS th FROM documents),
+WITH h AS (
+  SELECT doc_id, source,
+         md5(array_to_string(string_split(text, ' ')[1:30], ' ')) AS th
+  FROM documents),
 g AS (
   SELECT th,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -242,14 +245,24 @@ FROM g WHERE n_sources > 1
 """,
     category="dedup",
     description=(
-        "Cross-source exact duplicates: documents whose identical text "
-        "appears under more than one source — the contamination shape "
-        "(benchmark text inside crawl data) exact dedup alone won't surface"
+        "Cross-source contamination: documents whose 30-token PREFIX "
+        "fingerprint appears under more than one source — the "
+        "contamination shape (benchmark text inside crawl data) exact "
+        "dedup alone won't surface.  Prefix fingerprint, not whole-text "
+        "md5: full-text exact twins never span sources below sf0.1 in "
+        "the driver data, so the md5(text) form certified empty-vs-empty "
+        "at the gate SF (round-8 vacuous-certification finding); shared "
+        "30-token prefixes across sources exist at every SF (15 / 17 / "
+        "173 groups)"
     ),
 )
 def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    h = docs.select("doc_id", "source", F.md5("text").alias("th"))
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 30))).alias("th"),
+    )
     g = h.groupBy("th").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),

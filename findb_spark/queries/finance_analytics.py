@@ -402,40 +402,61 @@ def ts_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_zscore_xsection",
     f"""
 WITH {_DAILY_CTE},
+mo AS (
+  SELECT asset_id, month, value FROM (
+    SELECT asset_id, date // 100 AS month, value,
+           ROW_NUMBER() OVER (PARTITION BY asset_id, date // 100
+                              ORDER BY date DESC) AS rn
+    FROM daily)
+  WHERE rn = 1
+),
 cc AS (
-  SELECT asset_id, date, value,
+  SELECT asset_id, month, value,
          CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
-  FROM daily
+  FROM mo
 ),
 s AS (
-  SELECT date, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS sq
-  FROM cc GROUP BY date
+  SELECT month, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS sq
+  FROM cc GROUP BY month
 ),
 z AS (
-  SELECT asset_id, cc.date, value,
+  SELECT asset_id, cc.month, value,
          CAST(n * c - s AS DOUBLE) / SQRT(CAST(n * sq - s * s AS DOUBLE)) AS zd
-  FROM cc JOIN s ON cc.date = s.date
+  FROM cc JOIN s ON cc.month = s.month
   WHERE n >= 10 AND n * sq - s * s > 0
 )
-SELECT asset_id, date, value,
+SELECT asset_id, month, value,
        CAST(FLOOR(zd * 1000000 + 0.5) AS BIGINT) AS z_p6
 FROM z WHERE ABS(zd) > 2
 """,
     category="timeseries",
     description=(
-        "Cross-sectional z-score outliers: per-date mean/std across assets "
-        "from exact integer sums; |z|>2 flags (the surveillance screen)"
+        "Cross-sectional z-score outliers: per-MONTH mean/std across assets "
+        "(month-end value per asset) from exact integer sums; |z|>2 flags "
+        "(the surveillance screen).  Monthly, not daily: the driver data "
+        "has <10 of the 50 tracked assets trading on any single date, so a "
+        "per-date cross-section under the n>=10 floor is empty at every SF "
+        "(the round-8 vacuous-certification finding); per-month it is "
+        "10-50 assets wide and the |z|>2 tail is non-empty at every SF"
     ),
 )
 def ts_zscore_xsection(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily(spark, sf_dir)
-    cc = daily.select(
+    wmo = Window.partitionBy("asset_id", F.expr("date DIV 100")).orderBy(
+        F.col("date").desc()
+    )
+    mo = (
+        daily.withColumn("rn", F.row_number().over(wmo))
+        .where("rn = 1")
+        .select("asset_id", F.expr("date DIV 100").alias("month"), "value")
+    )
+    cc = mo.select(
         "asset_id",
-        "date",
+        "month",
         "value",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
     )
-    s = cc.groupBy("date").agg(
+    s = cc.groupBy("month").agg(
         F.count("*").alias("n"), F.sum("c").alias("s"), F.sum(F.col("c") * F.col("c")).alias("sq")
     )
     # z = (c - s/n) / sqrt((n*sq - s*s)/n^2) rewritten as
@@ -447,11 +468,11 @@ def ts_zscore_xsection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Output is fixed-point 1e6 via the FLOOR(x*1e6+0.5) idiom
     # (stats_kendall_tau pattern).
     z = (
-        cc.join(F.broadcast(s), "date")
+        cc.join(F.broadcast(s), "month")
         .where("n >= 10 AND n * sq - s * s > 0")
         .select(
             "asset_id",
-            "date",
+            "month",
             "value",
             F.expr(
                 "CAST(n * c - s AS DOUBLE) / SQRT(CAST(n * sq - s * s AS DOUBLE))"
@@ -460,7 +481,7 @@ def ts_zscore_xsection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return z.where(F.abs(F.col("zd")) > 2).select(
         "asset_id",
-        "date",
+        "month",
         "value",
         F.expr("CAST(FLOOR(zd * 1000000 + 0.5) AS BIGINT)").alias("z_p6"),
     )
@@ -1157,13 +1178,20 @@ def ts_momentum_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_pairs_spread",
     f"""
-WITH {_DAILY_CTE},
+WITH {PRICES_ORACLE_CTE},
+b AS (
+  SELECT date,
+         CAST(SUM(CASE WHEN asset_id % 2 = 0
+                       THEN CAST(FLOOR(value + 0.5) AS BIGINT) END) AS BIGINT) AS s_e,
+         CAST(COUNT(*) FILTER (asset_id % 2 = 0) AS BIGINT) AS n_e,
+         CAST(SUM(CASE WHEN asset_id % 2 = 1
+                       THEN CAST(FLOOR(value + 0.5) AS BIGINT) END) AS BIGINT) AS s_o,
+         CAST(COUNT(*) FILTER (asset_id % 2 = 1) AS BIGINT) AS n_o
+  FROM prices_v WHERE ts <= {ASOF_2000} GROUP BY date
+),
 j AS (
-  SELECT a.date,
-         CAST(FLOOR(a.value * 100 + 0.5) AS BIGINT) AS p1,
-         CAST(FLOOR(b.value * 100 + 0.5) AS BIGINT) AS p2
-  FROM daily a JOIN daily b ON a.date = b.date
-  WHERE a.asset_id = 1 AND b.asset_id = 2
+  SELECT date, s_e // n_e AS p1, s_o // n_o AS p2
+  FROM b WHERE n_e > 0 AND n_o > 0
 ),
 g AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -1193,32 +1221,51 @@ r AS (
   FROM sq
 )
 SELECT CAST(date AS BIGINT) AS date, beta,
-       CAST(s AS DOUBLE) / 100 AS spread,
+       CAST(s AS DOUBLE) AS spread,
        CAST(30 * s - m AS DOUBLE)
          / SQRT(CAST(30 * ss - m * m AS DOUBLE) * 30 / 29) AS spread_z
 FROM r WHERE rn >= 30 AND 30 * ss - m * m > 0
 """,
     category="timeseries",
     description=(
-        "Pairs-trading spread monitor for assets 1 and 2: full-sample "
-        "OLS hedge ratio from exact integer moments, cents-quantized "
-        "spread p1 - beta*p2, and its trailing-30-day z-score — the "
-        "mean-reversion entry/exit signal, all moments exact int64 "
-        "window sums"
+        "Pairs-trading spread monitor for the even- vs odd-asset basket "
+        "indices (per-date integer-mean dollars of each half of the "
+        "universe): full-sample OLS hedge ratio from exact integer "
+        "moments, dollar-quantized spread p1 - beta*p2, and its "
+        "trailing-30-day z-score — the mean-reversion entry/exit signal, "
+        "all moments exact int64 window sums.  Basket legs, not two "
+        "single assets: any two individual assets trade on (near-)"
+        "disjoint date sets in the driver data, so a single-pair date "
+        "equi-join is empty at every SF (the round-8 vacuous-"
+        "certification finding); the baskets co-occur on 880+ dates at "
+        "sf0.001 and every date at sf0.01+"
     ),
 )
 def ts_pairs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two-asset join is a date equi-join of two filtered scans of the
-    same daily relation (each side one asset's rows); the hedge ratio is
-    a 1-row broadcast aggregate; the z-score windows run ordered by date
-    over one series.  Every moment is an exact integer, the only doubles
-    are the final beta divide and z normalization (single IEEE op
-    sequences, bit-deterministic cross-engine)."""
-    daily = _daily(spark, sf_dir)
-    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
-    a = daily.where("asset_id = 1").select("date", cents("value").alias("p1"))
-    b = daily.where("asset_id = 2").select("date", cents("value").alias("p2"))
-    j = a.join(b, "date")
+    """Each leg is a per-date conditional aggregate of ONE scan of
+    prices_v (no self-join): whole-dollar sum and count per basket,
+    integer floor-division mean (exact int64, <= ~1e5 dollars, so every
+    downstream moment is overflow-safe: n <= ~2500 calendar dates
+    regardless of SF, n*s12 <= 2500 * 2500*1e10 << 2^63).  The hedge
+    ratio is a 1-row broadcast aggregate; the z-score windows run
+    ordered by date over one bounded series.  Every moment is an exact
+    integer, the only doubles are the final beta divide and z
+    normalization (single IEEE op sequences, bit-deterministic
+    cross-engine)."""
+    pv = prices_from_lineitem(spark, sf_dir).where(F.col("ts") <= ASOF_2000)
+    dollars = F.floor(F.col("value") + F.lit(0.5)).cast("bigint")
+    even = F.col("asset_id") % 2 == 0
+    b = pv.groupBy("date").agg(
+        F.sum(F.when(even, dollars)).cast("bigint").alias("s_e"),
+        F.count(F.when(even, 1)).cast("bigint").alias("n_e"),
+        F.sum(F.when(~even, dollars)).cast("bigint").alias("s_o"),
+        F.count(F.when(~even, 1)).cast("bigint").alias("n_o"),
+    )
+    j = b.where("n_e > 0 AND n_o > 0").select(
+        "date",
+        F.expr("s_e DIV n_e").alias("p1"),
+        F.expr("s_o DIV n_o").alias("p2"),
+    )
     g = j.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("p1").cast("bigint").alias("s1"),
@@ -1259,7 +1306,7 @@ def ts_pairs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.where("rn >= 30 AND 30 * ss - m * m > 0").select(
         F.col("date").cast("bigint").alias("date"),
         "beta",
-        F.expr("CAST(s AS DOUBLE) / 100").alias("spread"),
+        F.col("s").cast("double").alias("spread"),
         F.expr(
             "CAST(30 * s - m AS DOUBLE)"
             " / SQRT(CAST(30 * ss - m * m AS DOUBLE) * 30 / 29)"

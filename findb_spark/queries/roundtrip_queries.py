@@ -29,6 +29,12 @@ from findb_spark.session import load_table
 
 _SCRATCH = "/tmp/findb_spark_roundtrip"
 
+#: sf_dirs whose crashed-process footer_stats scratch has been GC'd by
+#: THIS process (roundtrip_footer_stats cleanup tier 2 runs once per
+#: process per sf_dir, never mid-session where a sibling run's lazy
+#: manifest could still reference a >1 h-old layout)
+_FOOTER_GC_DONE: set[str] = set()
+
 
 def _scratch(sf_dir: str, leaf: str) -> str:
     d = os.path.join(_SCRATCH, os.path.basename(sf_dir.rstrip("/")))
@@ -223,7 +229,7 @@ SELECT asset_id % 10 AS bucket,
        COUNT(*) AS n,
        {fxp_sum_sql('value')} AS sum_value
 FROM prices_v
-WHERE asset_id % 4 = 0 AND date BETWEEN 19940101 AND 19941231
+WHERE asset_id % 4 = 0 AND date BETWEEN 19960101 AND 19961231
 GROUP BY bucket
 """,
     category="roundtrip",
@@ -244,8 +250,11 @@ def roundtrip_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = prices_from_lineitem(spark, sf_dir).where(F.col("asset_id") % 4 == 0)
     path = _scratch(sf_dir, "prices_zorder")
     write_zorder(src, path, num_partitions=8)
+    # 1996 slice: the driver data's shipdates span 1995-01-02 .. 2001-11-04,
+    # so this read-back is non-empty at every SF (a 1994 slice certified
+    # empty-vs-empty for 8 rounds — the round-8 verdict's vacuous class).
     back = read_prices(spark, path).where(
-        F.col("date").between(19940101, 19941231)
+        F.col("date").between(19960101, 19961231)
     )
     return back.groupBy((F.col("asset_id") % 10).alias("bucket")).agg(
         F.count("*").alias("n"),
@@ -1547,20 +1556,31 @@ def roundtrip_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = src.withColumn("bucket", (F.col("asset_id") % 8).cast("int"))
     # uuid leaf: two concurrent gate runs over the same sf_dir must not
     # race on one scratch path; the layout must outlive this call (the
-    # manifest harvest reads footers lazily at EXECUTION time), so
-    # instead of rmtree-ing a fixed path, garbage-collect stale sibling
-    # runs (>1 h old — far beyond any live gate run)
+    # manifest harvest reads footers lazily at EXECUTION time).  Cleanup
+    # is two-tier (round-8 advisor finding — the old per-CALL age GC could
+    # delete a sibling run's still-referenced layout mid-session, and the
+    # session's own last dir leaked):
+    #   1. THIS run's dir is removed at interpreter exit (atexit) — after
+    #      every lazy read this process will ever do, no leak;
+    #   2. stale dirs from CRASHED processes (atexit never ran) are GC'd
+    #      >1 h old — far beyond any live gate run — at most ONCE per
+    #      process per sf_dir, before this process has created any lazy
+    #      manifest of its own.
+    import atexit
     import glob as _glob
     import shutil
     import time as _time
 
-    for old in _glob.glob(_scratch(sf_dir, "footer_stats_*")):
-        try:
-            if _time.time() - os.path.getmtime(old) > 3600:
-                shutil.rmtree(old, ignore_errors=True)
-        except OSError:
-            pass
+    if sf_dir not in _FOOTER_GC_DONE:
+        _FOOTER_GC_DONE.add(sf_dir)
+        for old in _glob.glob(_scratch(sf_dir, "footer_stats_*")):
+            try:
+                if _time.time() - os.path.getmtime(old) > 3600:
+                    shutil.rmtree(old, ignore_errors=True)
+            except OSError:
+                pass
     path = _scratch(sf_dir, f"footer_stats_{uuid.uuid4().hex[:12]}")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
     try:
         tbl.repartition("bucket").write.mode("overwrite").partitionBy(

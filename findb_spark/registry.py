@@ -147,86 +147,84 @@ _SPECS: dict[str, QuerySpec] = {}
 #: Queries whose implementation was MATERIALLY rewritten this round —
 #: they preempt rolling-window slots so the re-certification happens
 #: under the driver hash in the same round as the rewrite (policy in
-#: scripts/rotate_window.py).  Round 8: the fixed-point conversion of the
-#: last live ROUND(double,6) output, plus the five query surfaces of the
-#: shared-shingle-relation rewrite (capped-df broadcast prefix filter,
-#: suite-shared persisted hashed shingles; downstream pair-relation
-#: CONSUMERS are not listed — the relation contents are oracle-verified
-#: unchanged, and the rolling policy re-certifies them on age).
+#: scripts/rotate_window.py).  Round 9: the vacuous-certification fixes
+#: (round-8 verdict item 1) — every query whose latest driver row
+#: certified an EMPTY result was recalibrated to emit rows at the gate
+#: SF (predicates/keys changed, so fn AND oracle SQL both changed;
+#: non-emptiness now enforced by oracle.EMPTY_OK_BELOW_SF in the local
+#: gate).  q22_idle_customers stays empty at sf0.001 by design (tail
+#: threshold on 150 customers) and is flagged there.
 #: NEXT-ROUND RITUAL: replace this tuple with the queries rewritten in
 #: THAT round (empty tuple if none), then `python scripts/rotate_window.py
 #: --write` — it regenerates _CHECK_FIRST and WINDOW_r{N}.json from the
 #: latest CORRECTNESS files; tests/test_rotate_window.py re-pins both.
+#: (--write refuses stale entries: a CHANGED name whose latest driver row
+#: is already from the round being built aborts the rotation.)
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "ts_zscore_xsection",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_prefix",
-    "dedup_containment",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    # PQ training-sample cap (hash-order LIMIT, mirrored in the oracle):
-    # binds only above ~82k corpus vectors so test-SF outputs are
-    # unchanged, but fn AND oracle SQL both changed -> re-certify
-    "vec_pq_adc",
-    "vec_pq_search",
-    "vec_ivf_pq",
-    "vec_pq_recall",
+    "roundtrip_zorder_layout",   # dead 1994 date slice -> 1996 (non-empty)
+    "ts_zscore_xsection",        # per-date cross-section -> per-month
+    "ts_pairs_spread",           # single-asset legs -> even/odd baskets
+    "dq_duplicate_orders",       # exact-cents dup key -> (cust, orderdate)
+    "q11_important_parts",       # total/1000 threshold -> 1.5x avg, int64
+    "q20_excess_shippers",       # qty>60 -> qty>30 (nation filter survives)
+    "q22_idle_customers",        # never-ordered -> no orders since 1998
+    "dedup_cross_source",        # md5(text) -> 30-token prefix fingerprint
 )
 
 # --- BEGIN AUTO-GENERATED WINDOW (scripts/rotate_window.py) ---
-#: Round-8 window, computed by `python scripts/rotate_window.py --write`
-#: from CORRECTNESS_r01..r07 + CHANGED_THIS_ROUND (policy above).
+#: Round-9 window, computed by `python scripts/rotate_window.py --write`
+#: from CORRECTNESS_r01..r08 + CHANGED_THIS_ROUND (policy above).
 _CHECK_FIRST: tuple[str, ...] = (
-    "roundtrip_footer_stats",
+    "roundtrip_zorder_layout",
     "ts_zscore_xsection",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_prefix",
-    "dedup_containment",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    "vec_pq_adc",
-    "vec_pq_search",
-    "vec_ivf_pq",
-    "vec_pq_recall",
-    "above_group_avg",
-    "agg_filtered_bools",
-    "agg_having",
-    "asof_batch",
-    "asof_point",
-    "asof_range",
-    "asof_snapshot_all_assets",
-    "case_expr_bands",
-    "cube_agg",
-    "distinct_agg",
-    "global_topn",
-    "grouping_sets_agg",
-    "join_anti",
-    "join_full_outer",
-    "join_left_outer",
-    "join_semi",
-    "orders_month_over_month",
-    "percentiles",
-    "point_lookup",
-    "q14_promo_revenue",
-    "q18_big_orders",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "range_join_quarters",
-    "range_scan",
-    "regexp_funcs",
-    "revision_stats",
-    "rollup_agg",
-    "scalar_date_funcs",
-    "scalar_string_funcs",
-    "scalar_subquery_above_avg",
-    "set_ops_bag",
-    "set_ops_nations",
-    "sql_q6_forecast_revenue",
-    "topk_per_group",
-    "ts_cumulative",
-    "ts_first_last",
+    "ts_pairs_spread",
+    "dq_duplicate_orders",
+    "q11_important_parts",
+    "q20_excess_shippers",
+    "q22_idle_customers",
+    "dedup_cross_source",
+    "ts_lag_returns",
+    "ts_ntile_pct_rank",
+    "ts_range_frame",
+    "ts_resample_ffill",
+    "ts_vwap",
+    "unnest_top_tokens",
+    "window_navigation",
+    "array_agg_orders",
+    "dedup_clusters",
+    "dedup_clusters_apply",
+    "dedup_exact",
+    "dedup_exact_apply",
+    "dedup_simhash_signatures",
+    "events_hourly_anomaly",
+    "events_retention",
+    "grouped_map_demean",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_payload_stats",
+    "pivot_status",
+    "q2_best_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "sample_stratified",
+    "stats_corr",
+    "text_fingerprint",
+    "text_hash_split",
+    "text_language_id",
+    "text_levenshtein",
+    "text_quality",
+    "text_repetition",
+    "text_subtoken_count",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_udtf_sentences",
+    "ts_cross_rank",
+    "ts_linreg_slope",
+    "ts_ohlc_bars",
+    "udaf_rms_quantity",
+    "udf_scalar_acct_band",
+    "vec_ann_ivf",
 )
 # --- END AUTO-GENERATED WINDOW ---
 

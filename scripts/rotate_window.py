@@ -48,18 +48,24 @@ BEGIN_MARK = "# --- BEGIN AUTO-GENERATED WINDOW (scripts/rotate_window.py) ---"
 END_MARK = "# --- END AUTO-GENERATED WINDOW ---"
 
 
-def latest_rows(correctness_files: list[str]) -> dict[str, int]:
-    """name -> round of its NEWEST driver row, over the given files."""
+def latest_rows(correctness_files: list[str]) -> tuple[dict[str, int], int]:
+    """(name -> round of its NEWEST driver row, max round seen) over the
+    given files.  The max round comes from the FILENAMES, not the file
+    contents: an empty or partially-written CORRECTNESS_rNN.json must
+    still advance the round counter, or the next manifest/window would be
+    misnumbered and overwrite a committed one (round-8 advisor finding)."""
     latest: dict[str, int] = {}
+    max_round = 0
     for f in correctness_files:
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(f))
         if not m:
             raise ValueError(f"not a correctness artifact: {f}")
         rnd = int(m.group(1))
+        max_round = max(max_round, rnd)
         with open(f) as fh:
             for name in json.load(fh):
                 latest[name] = max(latest.get(name, 0), rnd)
-    return latest
+    return latest, max_round
 
 
 def compute_window(
@@ -111,16 +117,40 @@ def main() -> None:
     write = "--write" in sys.argv
     registry = _load_registry()
     correctness = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    latest = latest_rows(correctness)
+    latest, max_round = latest_rows(correctness)
     registered = list(registry.registration_order_specs())
     window = compute_window(
         registered, registry.ROWS_ONLY, registry.CHANGED_THIS_ROUND, latest
     )
-    rnd = (max(latest.values()) if latest else 0) + 1
+    rnd = max_round + 1
 
     unknown = [n for n in registry.CHANGED_THIS_ROUND if n not in registered]
     if unknown:
         raise SystemExit(f"CHANGED_THIS_ROUND names not registered: {unknown}")
+    # Stale-ritual guard (round-8 verdict item 3): a CHANGED name whose
+    # newest driver row already comes from the round this window is being
+    # built FOR was certified in the previous round and not reset — burning
+    # a slot on it re-certifies a fresh row.  Refuse rather than waste.
+    stale = [n for n in registry.CHANGED_THIS_ROUND if latest.get(n) == rnd]
+    if stale:
+        raise SystemExit(
+            f"CHANGED_THIS_ROUND holds round-{rnd}-certified names {stale}: "
+            "reset the tuple to THIS round's rewrites before rotating "
+            "(registry.py NEXT-ROUND RITUAL)"
+        )
+    # Forgotten-reset detector: an identical non-empty tuple to the one the
+    # PREVIOUS round's manifest froze means the ritual was skipped — those
+    # queries were already re-certified last round under this tuple.
+    prev_manifest = os.path.join(REPO, f"WINDOW_r{max_round:02d}.json")
+    if registry.CHANGED_THIS_ROUND and os.path.exists(prev_manifest):
+        with open(prev_manifest) as fh:
+            prev_changed = json.load(fh).get("changed_this_round", [])
+        if list(registry.CHANGED_THIS_ROUND) == prev_changed:
+            raise SystemExit(
+                f"CHANGED_THIS_ROUND is byte-identical to {prev_manifest}'s: "
+                "reset it to THIS round's rewrites (empty tuple if none) "
+                "before rotating (registry.py NEXT-ROUND RITUAL)"
+            )
 
     for n in window:
         print(n)

@@ -40,6 +40,43 @@ def test_oracle_parity(spark, con, sf_dir, spec):
     assert not problems, f"{spec.name}: {problems}"
 
 
+def test_empty_result_fails_gate_unless_flagged(spark):
+    """Round-8 found 8 queries whose driver rows certified EMPTY results
+    (one predicate structurally dead for 8 rounds).  The gate must fail
+    an empty-vs-empty match at the gate SF unless the query is flagged
+    with the smallest SF at which rows are expected."""
+    import duckdb
+
+    from findb_spark import oracle
+
+    con = duckdb.connect()
+    fn = lambda sp, _d: sp.range(1).where("id < 0").selectExpr("id AS x")  # noqa: E731
+    sql = "SELECT CAST(1 AS BIGINT) AS x WHERE 1 = 0"
+    # unflagged: empty-vs-empty is a problem at any parseable SF
+    probs = compare_query(spark, con, fn, sql, "/any/sf0.01", name="q_test")
+    assert probs and "EMPTY" in probs[0]
+    # flagged empty below sf0.01: passes at sf0.001, fails at sf0.01
+    oracle.EMPTY_OK_BELOW_SF["q_test"] = 0.01
+    try:
+        assert compare_query(spark, con, fn, sql, "/any/sf0.001", name="q_test") == []
+        probs = compare_query(spark, con, fn, sql, "/any/sf0.01", name="q_test")
+        assert probs and "EMPTY" in probs[0]
+    finally:
+        del oracle.EMPTY_OK_BELOW_SF["q_test"]
+    # synthetic fixture dirs (no sfN.NN suffix) skip the check
+    assert compare_query(spark, con, fn, sql, "/tmp/fixture", name="q_test") == []
+    con.close()
+
+
+def test_sf_of_parses_testdata_dirs():
+    from findb_spark.oracle import _sf_of
+
+    assert _sf_of("/root/testdata/sf0.01") == 0.01
+    assert _sf_of("/root/testdata/sf0.001/") == 0.001
+    assert _sf_of("/root/testdata/sf1") == 1.0
+    assert _sf_of("/tmp/scratch") is None
+
+
 def test_tolerant_compare_no_rounding_boundary_flake():
     """The SIX_DP fallback used to canonicalize via round(v, 6), whose
     banker's rounding maps two values 1 ulp apart on either side of an

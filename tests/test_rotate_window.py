@@ -3,8 +3,12 @@
 The driver window (``registry._CHECK_FIRST``) is generated, not
 hand-maintained; these tests pin (a) the pure policy function and (b) that
 the COMMITTED window equals the policy applied to the committed manifest's
-frozen inputs — so the tuple cannot drift from the declared policy, and
-the pin survives future rounds' CORRECTNESS files landing."""
+CORRECTNESS inputs.  The manifest freezes the correctness-file set; the
+registry side (registration order, live ROWS_ONLY, WINDOW_SIZE) is read
+LIVE by design — registering, removing, or re-flagging any query mid-round
+intentionally breaks this pin until ``--write`` is rerun, forcing the
+committed window to be regenerated whenever its policy inputs move
+(round-8 advisor note: this is a deliberate ratchet, not frozen state)."""
 
 import glob
 import json
@@ -85,8 +89,19 @@ class TestPolicy:
     def test_latest_rows_takes_newest_round(self, tmp_path):
         (tmp_path / "CORRECTNESS_r01.json").write_text('{"a": {}, "b": {}}')
         (tmp_path / "CORRECTNESS_r03.json").write_text('{"a": {}}')
-        latest = latest_rows(sorted(glob.glob(str(tmp_path / "*.json"))))
+        latest, max_round = latest_rows(sorted(glob.glob(str(tmp_path / "*.json"))))
         assert latest == {"a": 3, "b": 1}
+        assert max_round == 3
+
+    def test_max_round_comes_from_filenames_not_contents(self, tmp_path):
+        # an EMPTY newest artifact must still advance the round counter
+        # (round-8 advisor finding: content-derived rounds would renumber
+        # the next manifest and overwrite a committed window)
+        (tmp_path / "CORRECTNESS_r01.json").write_text('{"a": {}}')
+        (tmp_path / "CORRECTNESS_r04.json").write_text("{}")
+        latest, max_round = latest_rows(sorted(glob.glob(str(tmp_path / "*.json"))))
+        assert latest == {"a": 1}
+        assert max_round == 4
 
 
 class TestCommittedWindowMatchesPolicy:
@@ -99,7 +114,7 @@ class TestCommittedWindowMatchesPolicy:
         from findb_spark import registry
 
         registry.all_specs()
-        latest = latest_rows(
+        latest, _ = latest_rows(
             [os.path.join(REPO, f) for f in m["inputs"]]
         )
         recomputed = compute_window(
