@@ -456,6 +456,10 @@ def ts_zscore_xsection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
     )
+    # cc feeds BOTH the per-month moment aggregate and the z-score join;
+    # truncate so the daily-series window scan runs once (cc is bounded:
+    # <= 50 assets x calendar months at any SF)
+    cc = cc.localCheckpoint(eager=False)
     s = cc.groupBy("month").agg(
         F.count("*").alias("n"), F.sum("c").alias("s"), F.sum(F.col("c") * F.col("c")).alias("sq")
     )
@@ -1251,8 +1255,19 @@ def ts_pairs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered by date over one bounded series.  Every moment is an exact
     integer, the only doubles are the final beta divide and z
     normalization (single IEEE op sequences, bit-deterministic
-    cross-engine)."""
-    pv = prices_from_lineitem(spark, sf_dir).where(F.col("ts") <= ASOF_2000)
+    cross-engine).
+
+    ``end_date=19991231`` is the pushdown twin of ``ts <= ASOF_2000``:
+    ts = epoch(l_shipdate) + l_linenumber with l_linenumber >= 1, so
+    ts <= epoch(2000-01-01) EXACTLY implies l_shipdate < 2000-01-01 —
+    a source-column bound Catalyst lands in PushedFilters (the derived
+    ts predicate cannot prune the scan; at 100 TB the bound is the
+    difference between scanning the as-of range and the whole table).
+    The ts filter stays as the semantic contract; the oracle needs no
+    twin because the predicate is implied, not additional."""
+    pv = prices_from_lineitem(spark, sf_dir, end_date=19991231).where(
+        F.col("ts") <= ASOF_2000
+    )
     dollars = F.floor(F.col("value") + F.lit(0.5)).cast("bigint")
     even = F.col("asset_id") % 2 == 0
     b = pv.groupBy("date").agg(
@@ -1266,6 +1281,12 @@ def ts_pairs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("s_e DIV n_e").alias("p1"),
         F.expr("s_o DIV n_o").alias("p2"),
     )
+    # j feeds BOTH the 1-row hedge-ratio aggregate and the spread join;
+    # without truncation each consumer re-runs the full-table scan+agg.
+    # localCheckpoint pins the calendar-bounded result (<= ~2500 rows at
+    # ANY scale factor) so the big scan runs exactly once (lazy: it
+    # materializes inside the first consumer's job, no eager build jobs).
+    j = j.localCheckpoint(eager=False)
     g = j.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("p1").cast("bigint").alias("s1"),

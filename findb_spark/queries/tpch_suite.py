@@ -389,6 +389,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     partval = li.groupBy("l_partkey").agg(
         F.sum(F.floor(value * 100 + F.lit(0.5))).cast("bigint").alias("pc")
     )
+    # partval feeds BOTH the 1-row total aggregate and the threshold
+    # join; truncate so the lineitem scan + per-part shuffle run once
+    # (partval is |parts|-bounded — orders of magnitude under lineitem)
+    partval = partval.localCheckpoint(eager=False)
     g = partval.agg(
         F.sum("pc").cast("bigint").alias("total_c"),
         F.count("*").cast("bigint").alias("n_parts"),

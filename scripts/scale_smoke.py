@@ -100,6 +100,7 @@ WORKLOAD_KEYS = frozenset({
     "asof_range", "asof_batch_200q", "q1_style_agg", "window_sma",
     "rolling_beta", "sweep_transit_peak", "salted_skew_join",
     "mannwhitney_rank", "ivm_delta_repair", "pit_feature_join",
+    "pairs_spread_baskets", "zscore_monthly",
 })
 
 
@@ -153,7 +154,23 @@ def workload(spark, sf_dir: str) -> dict[str, float]:
         # executor saturation across the four full-width window/join
         # stages, not candidate blowup (the keyed bin join is exact)
         "pit_feature_join": lambda: _pit_shape(spark, sf_dir).count(),
+        # round-9 rewrites (vacuous-certification fixes), new plan shapes:
+        # pairs_spread scans the FULL prices relation into a per-date
+        # conditional aggregate (calendar-bounded output: ~1825 dates at
+        # any SF) + one bounded single-series window — wall must track the
+        # scan, the window stays constant; zscore_monthly is the pruned
+        # twin (asset_id <= 50 pushes to the parquet scan, so work is
+        # ~flat under key-shifted replication — the sublinear regime)
+        "pairs_spread_baskets": lambda: _q("ts_pairs_spread")(spark, sf_dir).count(),
+        "zscore_monthly": lambda: _q("ts_zscore_xsection")(spark, sf_dir).count(),
     })
+
+
+def _q(name: str):
+    """Resolve a registered query fn lazily (imports the query modules)."""
+    from findb_spark.registry import all_specs
+
+    return all_specs()[name].fn
 
 
 def _pit_shape(spark, sf_dir):
