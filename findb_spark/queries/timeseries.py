@@ -33,7 +33,35 @@ daily AS (
 
 
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return daily_series(prices_from_lineitem(spark, sf_dir), ASOF_2000, max_asset=50)
+    """The shared PIT daily series every ts_* analytics query consumes.
+
+    ``end_date=19991231`` is the pushdown twin of ``daily_series``'s
+    ``ts <= ASOF_2000`` filter: ts = epoch(l_shipdate) + l_linenumber
+    with l_linenumber >= 1, so ts <= epoch(2000-01-01) EXACTLY implies
+    l_shipdate < 2000-01-01 — a source-column bound that lands in the
+    parquet scan's PushedFilters, where the derived-ts predicate cannot.
+    The driver data spans 1995–2001, so the bound skips the ~2/7 of the
+    table after the as-of point for all ~29 consumers of this relation
+    (at 100 TB: the difference between scanning the as-of range and the
+    whole history).  Implied, not additional — every consumer's output
+    is bit-identical (whole-registry oracle sweep re-verified).
+
+    PERSISTED (the ``hashed_shingle_arrays`` suite-shared-relation
+    convention, round-8): all ~29 ts_* consumers build the identical
+    scan→derive→window-dedup plan prefix, and Spark's CacheManager
+    substitutes cached relations by CANONICALIZED plan equality across
+    separate calls — whichever query runs first materializes the daily
+    series once (bounded: <= 50 assets x calendar days at any SF) and
+    every later consumer reads the cached rows instead of re-running
+    the full scan + window.  Release path for long-lived drivers:
+    :func:`findb_spark.session.release_caches` between sweeps."""
+    from pyspark.storagelevel import StorageLevel
+
+    return daily_series(
+        prices_from_lineitem(spark, sf_dir, end_date=19991231),
+        ASOF_2000,
+        max_asset=50,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 @register(

@@ -69,7 +69,8 @@ def release_caches(spark: SparkSession) -> None:
 
     The engine's operators persist small reused intermediates — hashed
     shingle arrays and verified pair relations (``ops/dedup.py``), MinHash
-    signatures, per-key frequency profiles (``stats_key_skew``) — and
+    signatures, per-key frequency profiles (``stats_key_skew``), the
+    shared PIT daily price series (``queries/timeseries.py:_daily``) — and
     return LAZY DataFrames, so they cannot unpersist before the caller
     executes (an eager unpersist would reintroduce the multi-evaluation
     the persist exists to prevent).  In a long-lived driver sweeping many

@@ -68,6 +68,18 @@ def test_empty_result_fails_gate_unless_flagged(spark):
     con.close()
 
 
+def test_empty_ok_flags_name_registered_queries():
+    """A stale EMPTY_OK_BELOW_SF entry (query renamed/removed) would
+    silently re-open the vacuous-certification hole for a name that can
+    never be checked — every flag must point at a live registered query."""
+    from findb_spark.oracle import EMPTY_OK_BELOW_SF
+    from findb_spark.registry import all_specs
+
+    registered = set(all_specs())
+    stale = sorted(set(EMPTY_OK_BELOW_SF) - registered)
+    assert not stale, f"EMPTY_OK_BELOW_SF names unregistered queries: {stale}"
+
+
 def test_sf_of_parses_testdata_dirs():
     from findb_spark.oracle import _sf_of
 
