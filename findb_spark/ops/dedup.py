@@ -479,7 +479,17 @@ SIMHASH_BITS = 48
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """48-bit SimHash per document from token hashes (frequency-weighted)."""
+    """48-bit SimHash per document from token hashes (frequency-weighted).
+
+    PERSISTED (the ``hashed_shingle_arrays`` convention): every consumer
+    self-joins this relation (x/y sides of the pair generators) and the
+    exact + banded pair queries share it, so without a persist the
+    explode + 48-conditional-sum aggregation over the corpus text runs
+    once PER SIDE PER CONSUMER.  The relation is one int64 per document
+    — orders of magnitude smaller than the text.  Release:
+    :func:`findb_spark.session.release_caches`."""
+    from pyspark.storagelevel import StorageLevel
+
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).select("doc_id", hash48(F.col("tok")).alias("h"))
@@ -494,7 +504,9 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return sums.select("doc_id", sig.cast("bigint").alias("simhash"))
+    return sums.select("doc_id", sig.cast("bigint").alias("simhash")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -724,6 +736,12 @@ def cdc_chunk_stats(docs: DataFrame, gear_mod: int = 16) -> DataFrame:
         ).alias("chunk"),
         F.count("*").alias("n_toks"),
     )
+    # agg feeds BOTH the chunk document-frequency aggregate and the join
+    # back; without truncation the explode + per-token window + rebuild
+    # groupBy (the expensive 3-stage pipeline above) runs twice.  The
+    # chunk relation is ~|tokens|/gear_mod rows — a 16x reduction over
+    # the exploded tokens it is built from.
+    agg = agg.localCheckpoint(eager=False)
     dfreq = agg.groupBy("chunk").agg(F.countDistinct("doc_id").alias("nd"))
     dup = F.sum((F.col("nd") >= 2).cast("long"))
     return (

@@ -61,6 +61,11 @@ WHERE dau.day >= d0 + 6
 def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    # ud feeds the interval decomposition (WAU), the DAU aggregate AND
+    # the span aggregate; without truncation the events scan + distinct
+    # shuffle runs three times.  ud is |users x active days| — bounded
+    # far under the event count.
+    ud = ud.localCheckpoint(eager=False)
     w = Window.partitionBy("user_id").orderBy("day")
     nxt = ud.select("user_id", "day", F.lead("day").over(w).alias("next_day"))
     contrib = nxt.select(

@@ -377,6 +377,11 @@ def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
         ).alias("gate_h"),
     )
+    # tok feeds the per-source totals (twice, via s -> t and s -> w) AND
+    # the keep-gate join; without truncation the text-splitting token
+    # count runs three times.  tok is 4 fixed-width columns per doc — no
+    # text payload — so pinning it is far cheaper than one rescan.
+    tok = tok.localCheckpoint(eager=False)
     s = tok.groupBy("source").agg(F.sum("tokens").cast("bigint").alias("n_tokens"))
     t = s.agg(
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),

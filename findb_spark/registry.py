@@ -154,6 +154,12 @@ _SPECS: dict[str, QuerySpec] = {}
 #: non-emptiness now enforced by oracle.EMPTY_OK_BELOW_SF in the local
 #: gate).  q22_idle_customers stays empty at sf0.001 by design (tail
 #: threshold on 150 customers) and is flagged there.
+#: NOT listed (r8 shared-relation precedent): round-9's PHYSICAL-only
+#: plan truncations — the _daily pushdown+persist, the simhash-signature
+#: persist, and the cdc/pretrain_mix/dau_wau/pairs/zscore/q11
+#: localCheckpoints — change no logical result: every directly-touched
+#: query surface re-gated bit-exact at sf0.001+sf0.01+sf0.1, and the
+#: whole registry swept 324/324 at both gate SFs on the round-end tree.
 #: NEXT-ROUND RITUAL: replace this tuple with the queries rewritten in
 #: THAT round (empty tuple if none), then `python scripts/rotate_window.py
 #: --write` — it regenerates _CHECK_FIRST and WINDOW_r{N}.json from the
