@@ -737,6 +737,10 @@ def dedup_select_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg = dedup_cluster_assignment(docs, pairs).join(
         docs.select("doc_id", "n_chars"), "doc_id"
     )
+    # asg (|docs| fixed-width rows) feeds the per-cluster argmax AND the
+    # accounting join; without truncation the iterative cluster
+    # assignment re-derives per consumer
+    asg = asg.localCheckpoint(eager=False)
     best = asg.groupBy("cluster_id").agg(
         F.max_by(
             F.col("doc_id"),
@@ -1241,6 +1245,11 @@ def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(src.withColumnRenamed("doc_id", "doc1").withColumnRenamed("source", "sa"), "doc1")
         .join(src.withColumnRenamed("doc_id", "doc2").withColumnRenamed("source", "sb"), "doc2")
     )
+    # e (the source-labeled pair relation, |pairs| rows) feeds the edge
+    # count, the intra-edge aggregate AND both halves of the degree
+    # union; without truncation each consumer re-joins the source map
+    # (a fresh documents scan per reference — the plan audit counted 15)
+    e = e.localCheckpoint(eager=False)
     m = e.agg(F.count("*").cast("bigint").alias("m"))
     intra = (
         e.where("sa = sb")
@@ -1258,6 +1267,8 @@ def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("intra_edges"), F.lit(0)).cast("bigint").alias("intra_edges"),
         "degree_sum",
     )
+    # per (|sources| rows) feeds the Q numerator and the final select
+    per = per.localCheckpoint(eager=False)
     q = per.crossJoin(F.broadcast(m)).agg(
         F.sum(
             4 * F.col("m") * F.col("intra_edges")

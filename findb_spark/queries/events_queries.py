@@ -379,11 +379,14 @@ SELECT (SELECT COUNT(*) FROM v) AS n_view,
 )
 def events_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # each funnel stage feeds BOTH the next stage's join and its own
+    # count; truncate so every events slice is scanned exactly once
+    # (the per-user firsts are |users|-bounded)
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
-    )
+    ).localCheckpoint(eager=False)
     c = (
         ev.where(F.col("event_type") == "click")
         .join(v, "user_id")
@@ -393,7 +396,7 @@ def events_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
-    )
+    ).localCheckpoint(eager=False)
     p = (
         ev.where(F.col("event_type") == "purchase")
         .join(c, "user_id")
@@ -823,6 +826,10 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count("*").alias("cnt"))
+    # hourly (|types| x |hours|) feeds the median pass and the deviation
+    # join; dev likewise feeds the MAD pass and the final rollup — pin
+    # both so the wide events scan runs exactly once
+    hourly = hourly.localCheckpoint(eager=False)
     stats = hourly.groupBy("event_type").agg(
         F.expr("percentile(cnt, 0.5)").alias("med")
     )
@@ -833,6 +840,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med",
         F.abs(F.col("cnt") - F.col("med")).alias("adev"),
     )
+    dev = dev.localCheckpoint(eager=False)
     mads = dev.groupBy("event_type").agg(
         F.expr("percentile(adev, 0.5)").alias("mad")
     )
@@ -1130,6 +1138,10 @@ def events_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.select(
         "event_type", hash48(F.col("user_id").cast("string")).alias("h")
     ).distinct()
+    # d (the deduped (set, hash) relation the sketch description is
+    # about) feeds both the per-type sets and the union set — pin it so
+    # the events scan + distinct shuffle run once
+    d = d.localCheckpoint(eager=False)
     u = (
         d.where(F.col("event_type").isin("view", "click"))
         .select(F.lit("view_click_union").alias("set_name"), "h")

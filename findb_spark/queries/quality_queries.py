@@ -171,16 +171,25 @@ def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from findb_spark.ops.text import bigram_novelty
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
-    )
-    h = docs.select("doc_id", hash48(F.col("text")).alias("th"))
-    dupc = h.groupBy("th").agg(F.count("*").alias("c"))
-    dupflag = h.join(dupc, "th").select(
-        "doc_id", F.when(F.col("c") > 1, 1).otherwise(0).alias("is_dup")
+    # ONE projection carries token count + text hash (they were two
+    # separate scans joined back on doc_id); truncate it because it
+    # feeds both the dup-count aggregate and the flag join — the corpus
+    # text is scanned once here plus once in the bigram pass below
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        hash48(F.col("text")).alias("th"),
+    ).localCheckpoint(eager=False)
+    dupc = base.groupBy("th").agg(F.count("*").alias("c"))
+    dupflag = base.join(dupc, "th").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.when(F.col("c") > 1, 1).otherwise(0).alias("is_dup"),
     )
     nov = bigram_novelty(docs).select("doc_id", "unique_share")
-    per_doc = toks.join(dupflag, "doc_id").join(nov, "doc_id", "left")
+    per_doc = dupflag.join(nov, "doc_id", "left")
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
@@ -381,6 +390,10 @@ def pii_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = qi.groupBy("nat", "seg", "band").agg(
         F.count("*").cast("bigint").alias("cnt")
     )
+    # cells (the bounded grid) feeds classes/bands/gl/tot/grid — the
+    # truncation is what MAKES the single-scan claim above true (without
+    # it each consumer re-scans the fact table; plan audit: 6 scans)
+    cells = cells.localCheckpoint(eager=False)
     classes = cells.groupBy("nat", "seg").agg(
         F.sum("cnt").cast("bigint").alias("nc")
     )

@@ -1674,6 +1674,9 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = b.select(
         (F.col("lo") + (F.col("hi") - F.col("lo")) / 2).alias("mid")
     )
+    # the 1-row midpoint is broadcast into BOTH period scans; pin it so
+    # the min/max aggregate's full scan runs once, not once per period
+    split = split.localCheckpoint(eager=False)
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     w = Window.orderBy(F.desc("spend_cents"), "ck")
 

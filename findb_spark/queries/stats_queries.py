@@ -131,6 +131,10 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", (F.dayofweek("ts") - 1).alias("dow")
     )
     cells = d.groupBy("event_type", "dow").agg(F.count("*").alias("o"))
+    # cells (the r x c contingency table, <= |event_types| x 7 rows)
+    # feeds the row/column/grand totals AND the term join; without
+    # truncation each consumer re-scans events (plan audit: 8 scans)
+    cells = cells.localCheckpoint(eager=False)
     rt = cells.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
     ct = cells.groupBy("dow").agg(F.sum("o").alias("col_tot"))
     g = cells.agg(F.sum("o").alias("grand"))
@@ -150,6 +154,7 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow",
         )
     )
+    terms = terms.localCheckpoint(eager=False)  # feeds dims + final agg
     dims = terms.agg(
         F.countDistinct("event_type").alias("r"), F.countDistinct("dow").alias("c")
     )
@@ -464,10 +469,19 @@ GROUP BY l_returnflag
 def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    keys = o.where(F.col("o_totalprice") > 400000).select("o_orderkey")
+    # keys feeds the hash projection AND the final verification semi-join;
+    # kh feeds both bloom hash positions (the union below).  Both are the
+    # SMALL side by construction (the selective key set the bloom exists
+    # for) — truncate so orders is scanned once, not once per reference
+    # (plan audit: 9 scans untruncated).
+    keys = (
+        o.where(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+        .localCheckpoint(eager=False)
+    )
     kh = keys.select(
         "o_orderkey", hash48(F.col("o_orderkey").cast("string")).alias("hv")
-    )
+    ).localCheckpoint(eager=False)
     pos = kh.select((F.col("hv") % _BLOOM_BITS).alias("p")).unionAll(
         kh.select(
             (F.expr("hv div 65536") % _BLOOM_BITS).alias("p")
@@ -508,18 +522,57 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_returnflag", "l_extendedprice")
     )
-    nc = cand.agg(F.count("*").alias("n_candidates"))
-    verified = cand.join(
-        F.broadcast(keys), cand.l_orderkey == keys.o_orderkey, "semi"
+    # cand (bloom survivors — small by the bloom's purpose) feeds the
+    # candidate count AND the verification join
+    # ONE pass over cand serves both the candidate count and the
+    # verification: the semi join becomes a broadcast LEFT join + match
+    # flag, so n_candidates (pre-verify) and the verified aggregates
+    # come out of the same scan — no second probe pipeline and no
+    # checkpoint that would hide the probe joins from .explain (a
+    # whitebox test pins the bitmap broadcasts).
+    flagged = cand.join(
+        F.broadcast(keys.select(F.col("o_orderkey").alias("_vk"))),
+        cand.l_orderkey == F.col("_vk"),
+        "left",
+    )
+    ver = F.col("_vk").isNotNull()
+    agg = flagged.agg(
+        F.count("*").alias("n_candidates"),
+        *[
+            F.count(F.when(ver & (F.col("l_returnflag") == flag), 1)).alias(
+                f"n_{flag}"
+            )
+            for flag in ("A", "N", "R")
+        ],
+        *[
+            F.sum(
+                F.when(
+                    ver & (F.col("l_returnflag") == flag),
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)),
+                )
+            )
+            .cast("double")
+            .alias(f"rev_{flag}")
+            for flag in ("A", "N", "R")
+        ],
+    )
+    flags = spark.range(1).select(
+        F.explode(F.array(F.lit("A"), F.lit("N"), F.lit("R"))).alias("l_returnflag")
     )
     return (
-        verified.crossJoin(F.broadcast(nc))
-        .groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n_lines"),
-            fxp_sum(F.col("l_extendedprice"), "revenue"),
-            F.max("n_candidates").alias("n_candidates"),
+        flags.crossJoin(F.broadcast(agg))
+        .select(
+            "l_returnflag",
+            F.expr(
+                "CASE l_returnflag WHEN 'A' THEN n_A WHEN 'N' THEN n_N ELSE n_R END"
+            ).alias("n_lines"),
+            F.expr(
+                "CASE l_returnflag WHEN 'A' THEN rev_A WHEN 'N' THEN rev_N"
+                " ELSE rev_R END / 100"
+            ).alias("revenue"),
+            "n_candidates",
         )
+        .where(F.col("n_lines") > 0)
     )
 
 
@@ -692,6 +745,8 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = d.groupBy("v").agg(
         F.sum("g").alias("c1"), F.sum(F.lit(1) - F.col("g")).alias("c2")
     )
+    # pv (|distinct prices| rows) feeds the totals AND the ECDF window
+    pv = pv.localCheckpoint(eager=False)
     tot = pv.agg(
         F.sum("c1").cast("bigint").alias("n1"),
         F.sum("c2").cast("bigint").alias("n2"),
@@ -1574,6 +1629,9 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     d = o.select(F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st"))
     cells = d.groupBy("pri", "st").agg(F.count("*").alias("o"))
+    # the r x c contingency table feeds row/column/grand totals and the
+    # term join — same truncation as stats_chi2_independence
+    cells = cells.localCheckpoint(eager=False)
     rt = cells.groupBy("pri").agg(F.sum("o").alias("row_tot"))
     ct = cells.groupBy("st").agg(F.sum("o").alias("col_tot"))
     g = cells.agg(F.sum("o").alias("grand"))

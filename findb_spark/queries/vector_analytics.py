@@ -188,6 +188,11 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cosine_topk(emb, q, k=10).select(
         "query_id", "vec_id", F.col("cos_sim").alias("simq")
     )
+    # cand (k x |queries| rows) is referenced by every greedy step's
+    # residual/anti-join chain — without truncation each step re-runs
+    # the full-corpus cosine top-k (the plan audit counted ~50 embedding
+    # scans in the un-truncated cascade)
+    cand = cand.localCheckpoint(eager=False)
     ce = cand.join(emb, "vec_id").select(
         "query_id", "vec_id", "simq", "embedding"
     )
@@ -206,6 +211,9 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("d") != F.col("s"))
         .select("query_id", "d", "s", cosine_expr("aemb", "bemb").alias("simab"))
     )
+    # the pairwise similarity matrix (k^2 x |queries| rows) likewise
+    # feeds every step's scoring join
+    pr = pr.localCheckpoint(eager=False)
     wq = Window.partitionBy("query_id")
 
     def argmax(df: DataFrame, score_col: str) -> DataFrame:
@@ -327,6 +335,9 @@ def vec_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = _queryset(spark, sf_dir)
     exact = cosine_topk(emb, q, k=5).select("query_id", "vec_id", F.col("rank").alias("rn"))
+    # exact (k x |queries| rows) feeds the query grid AND the hit join;
+    # without truncation the full-corpus exact top-k runs twice
+    exact = exact.localCheckpoint(eager=False)
     approx = ann_lsh_topk(emb, q, k=5).select(
         "query_id", "vec_id", F.col("rank").alias("rn")
     )
@@ -549,6 +560,9 @@ def vec_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(cosine_expr("aemb", "bemb").alias("cos_sim"))
     )
     d = p.select(F.expr("CAST(FLOOR(cos_sim * 10) AS INT)").alias("sim_decile"))
+    # d (one int per bucket-pair) feeds the total AND the decile rollup;
+    # pin it so the bucket self-join + cosine kernel run once
+    d = d.localCheckpoint(eager=False)
     n = d.agg(F.count("*").cast("bigint").alias("tot"))
     return (
         d.crossJoin(F.broadcast(n))
