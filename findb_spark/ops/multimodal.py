@@ -3,11 +3,14 @@ payloads as opaque ``binary`` columns with typed metadata, decoded /
 feature-extracted through Arrow-batched ``mapInPandas``.
 
 The real media libraries (PIL/ffmpeg/torchaudio) are not in this
-container, so the *decode* step is a deterministic fake over the payload
-bytes (clearly marked), while everything Spark-side — schema, binary
-handling, Arrow batch shape, partitioning — is real and tested. Swap
-`_decode_image_bytes` for a PIL call and the pipeline is production
-shaped.
+container, so the *decode* step in the first operators below is a
+deterministic fake over the payload bytes (clearly marked), while
+everything Spark-side — schema, binary handling, Arrow batch shape,
+partitioning — is real and tested. Swap `_decode_image_bytes` for a PIL
+call and the pipeline is production shaped. The operators further down
+are REAL codecs end-to-end: P6 PPM + RIFF/WAV (uncompressed), RFC 2083
+PNG (chunked, CRC-32, zlib DEFLATE, all five scanline filters) and ITU-T
+G.711 mu-law (lossy integer companding) — see functions/media_codec.py.
 
 Scale: payloads at 100 TB dominate row size — the layout rule is to keep
 metadata and payloads in the same row but rely on Parquet column pruning
@@ -429,3 +432,118 @@ def image_boxblur_cells(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(
         batches, schema="doc_id BIGINT, r INT, c INT, red INT, green INT, blue INT"
     )
+
+
+# --- REAL compressed / companded codecs: PNG images, G.711 mu-law audio ----
+#
+# These close the "compressed-format decode" gap the PPM/WAV codecs leave
+# open: PNG is a real chunked+CRC'd+DEFLATE format (stdlib zlib), mu-law a
+# real ITU-T telephony codec. Same Arrow mapInPandas plumbing as above.
+
+PNG_DECODED_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, sum_pixels BIGINT, sum_sq BIGINT"
+)
+
+
+def attach_png_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a valid RFC 2083 PNG per doc — IHDR/IDAT/IEND
+    chunks, CRC-32, zlib-DEFLATE scanlines filtered with type r % 5 —
+    content a closed-form function of doc_id (media_codec.png_pixels)."""
+    from findb_spark.functions.media_codec import encode_png, png_pixels
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        encode_png(png_pixels(int(d))) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id BIGINT, payload BINARY"
+    )
+
+
+def decode_png_metadata(with_payload: DataFrame) -> DataFrame:
+    """REAL compressed-image decode: CRC-verified chunk walk, zlib inflate,
+    all-five-filter scanline reconstruction; emits dimensions plus exact
+    integer pixel sum and sum of squares (no float drift)."""
+    from findb_spark.functions.media_codec import decode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_png(bytes(payload)).astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        px.shape[1],
+                        px.shape[0],
+                        int(px.sum()),
+                        int((px * px).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "sum_pixels", "sum_sq"],
+            )
+
+    return with_payload.mapInPandas(batches, schema=PNG_DECODED_SCHEMA)
+
+
+MULAW_FEATURES_SCHEMA = (
+    "doc_id BIGINT, n_samples INT, sum_decoded BIGINT, sum_abs_err BIGINT"
+)
+
+
+def attach_mulaw_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): one G.711 mu-law byte per sample of the doc's
+    synthetic PCM clip (media_codec.audio_samples)."""
+    from findb_spark.functions.media_codec import audio_samples, encode_mulaw
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        encode_mulaw(audio_samples(int(d))) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id BIGINT, payload BINARY"
+    )
+
+
+def mulaw_roundtrip_features(with_payload: DataFrame) -> DataFrame:
+    """REAL lossy-codec roundtrip metrics: decode the mu-law bytes through
+    the 256-entry inverse companding table and emit the exact integer sum
+    of reconstructed samples plus the total absolute quantization error
+    against the original PCM (the codec-quality signal, all int64)."""
+    from findb_spark.functions.media_codec import audio_samples, decode_mulaw
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                y = decode_mulaw(bytes(payload)).astype(np.int64)
+                x = audio_samples(int(doc_id)).astype(np.int64)
+                rows.append(
+                    (doc_id, len(y), int(y.sum()), int(np.abs(y - x).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sum_decoded", "sum_abs_err"],
+            )
+
+    return with_payload.mapInPandas(batches, schema=MULAW_FEATURES_SCHEMA)

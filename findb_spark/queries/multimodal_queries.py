@@ -138,6 +138,95 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_decode",
+    """
+WITH d AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 9 AS BIGINT) AS w,
+         CAST(12 + doc_id % 7 AS BIGINT) AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.doc_id * 37 + r.r * 19 + c.c * 11 + ch.ch * 5) % 256 AS v
+  FROM d, range(0, 18) r(r), range(0, 24) c(c), range(0, 3) ch(ch)
+  WHERE r.r < d.h AND c.c < d.w
+)
+SELECT doc_id, CAST(MIN(w) AS INT) AS width, CAST(MIN(h) AS INT) AS height,
+       CAST(SUM(v) AS BIGINT) AS sum_pixels,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq
+FROM px GROUP BY doc_id
+""",
+    category="multimodal",
+    description=(
+        "REAL compressed-image decode: RFC 2083 PNG payloads (chunked, "
+        "CRC-32-verified, zlib-DEFLATE, scanline r filtered with type "
+        "r % 5 so the decoder must implement all five filter specs) "
+        "inflated and unfiltered in Arrow batches; PNG is lossless, so "
+        "the oracle recomputes exact pixel sums from the closed-form "
+        "formula — certifying the whole encode -> DEFLATE bytes -> "
+        "decode -> feature path with exact integers"
+    ),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.multimodal import attach_png_payload, decode_png_metadata
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_png_metadata(attach_png_payload(docs))
+
+
+@register(
+    "multimodal_mulaw_roundtrip",
+    """
+WITH s AS (
+  SELECT doc_id, i.i AS i,
+         (doc_id * 7349 + i.i * 4799) % 65536 - 32768 AS x
+  FROM documents, range(0, 256) i(i)
+),
+seg AS (
+  SELECT doc_id, i, x, LEAST(ABS(x), 32635) + 132 AS v
+  FROM s
+),
+exps AS (
+  SELECT doc_id, x, v,
+         CASE WHEN v < 256 THEN 0 WHEN v < 512 THEN 1 WHEN v < 1024 THEN 2
+              WHEN v < 2048 THEN 3 WHEN v < 4096 THEN 4 WHEN v < 8192 THEN 5
+              WHEN v < 16384 THEN 6 ELSE 7 END AS e
+  FROM seg
+),
+dec AS (
+  SELECT doc_id, x,
+         (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+         * (132 * ((1 << e) - 1)
+            + ((v // (1 << (e + 3))) % 16) * (1 << (e + 3))) AS y
+  FROM exps
+)
+SELECT doc_id, 256 AS n_samples,
+       CAST(SUM(y) AS BIGINT) AS sum_decoded,
+       CAST(SUM(ABS(y - x)) AS BIGINT) AS sum_abs_err
+FROM dec GROUP BY doc_id
+""",
+    category="multimodal",
+    description=(
+        "REAL lossy telephony codec roundtrip: ITU-T G.711 mu-law bytes "
+        "(Sun/CCITT integer companding) decoded through the 256-entry "
+        "inverse table, with exact integer reconstruction sum and total "
+        "quantization error vs the source PCM; mu-law is memoryless, so "
+        "the oracle expresses decode(encode(x)) in closed-form SQL — two "
+        "genuinely independent implementations of the companding law"
+    ),
+)
+def multimodal_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.multimodal import (
+        attach_mulaw_payload,
+        mulaw_roundtrip_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mulaw_roundtrip_features(attach_mulaw_payload(docs))
+
+
+@register(
     "multimodal_image_ahash",
     """
 WITH d AS (

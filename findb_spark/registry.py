@@ -181,6 +181,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: Round-9 window, computed by `python scripts/rotate_window.py --write`
 #: from CORRECTNESS_r01..r08 + CHANGED_THIS_ROUND (policy above).
 _CHECK_FIRST: tuple[str, ...] = (
+    "multimodal_mulaw_roundtrip",
+    "multimodal_png_decode",
     "roundtrip_zorder_layout",
     "ts_zscore_xsection",
     "ts_pairs_spread",
@@ -229,8 +231,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "ts_linreg_slope",
     "ts_ohlc_bars",
     "udaf_rms_quantity",
-    "udf_scalar_acct_band",
-    "vec_ann_ivf",
 )
 # --- END AUTO-GENERATED WINDOW ---
 

@@ -376,6 +376,7 @@ def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
         substring_run_stats,
     )
     from findb_spark.ops.graph import triangles_oriented
+    from findb_spark.ops.multimodal import attach_png_payload, decode_png_metadata
     from findb_spark.ops.text import quality_score
     from findb_spark.registry import all_specs
 
@@ -403,6 +404,12 @@ def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
         "containment": lambda: containment_pairs(docs).count(),
         "text_quality": lambda: quality_score(docs).count(),
         "chunk_dedup": lambda: chunk_dup_stats(docs).count(),
+        # real PNG encode -> DEFLATE -> decode in Arrow batches: no
+        # shuffle, embarrassingly parallel — ratio should track raw
+        # Python-worker throughput (linear, flat per-doc cost)
+        "png_decode": lambda: decode_png_metadata(
+            attach_png_payload(docs)
+        ).count(),
         # hash-occurrence join + per-doc run window: linear in corpus
         # tokens; the persist means one text scan per evaluation
         "substring_runs": lambda: substring_run_stats(docs).count(),

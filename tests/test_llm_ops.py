@@ -643,3 +643,74 @@ def test_image_boxblur_matches_naive_stencil(spark):
                 assert got[(doc_id, r, c)] == want
     # interior-only: no border coordinates emitted
     assert all(r >= 1 and c >= 1 for (_, r, c) in got)
+
+
+def test_png_codec_lossless_all_filters():
+    """decode(encode(px)) == px; the r % 5 filter schedule means every
+    image with h >= 5 exercises all five RFC 2083 filter types."""
+    import numpy as np
+
+    from findb_spark.functions.media_codec import decode_png, encode_png, png_pixels
+
+    for doc_id in (0, 1, 7, 62, 123, 5000):
+        px = png_pixels(doc_id)
+        assert px.shape[0] >= 5  # all filters appear
+        assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_png_decode_rejects_corruption():
+    """A CRC-verified decoder must reject a tampered IDAT byte and a bad
+    signature — the failure modes a real ingest pipeline sees."""
+    import numpy as np
+    import pytest as _pytest
+
+    from findb_spark.functions.media_codec import decode_png, encode_png, png_pixels
+
+    good = encode_png(png_pixels(3))
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # inside IHDR/IDAT region -> CRC mismatch
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError, match="PNG"):
+        decode_png(b"P6\n1 1\n255\n" + bytes(3))
+    # truncated stream (no IHDR parsed) also refuses
+    with _pytest.raises(ValueError):
+        decode_png(good[:8])
+    assert np.array_equal(decode_png(good), png_pixels(3))
+
+
+def test_png_spark_decode_matches_formula(spark, sf_dir):
+    """REAL compressed-image path through Spark: mapInPandas decode of the
+    DEFLATE payloads reproduces the closed-form pixel features."""
+    from findb_spark.functions.media_codec import png_pixels
+    from findb_spark.ops.multimodal import attach_png_payload, decode_png_metadata
+
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    for r in decode_png_metadata(attach_png_payload(docs)).collect():
+        px = png_pixels(r.doc_id).astype("int64")
+        assert (r.width, r.height) == (px.shape[1], px.shape[0])
+        assert r.sum_pixels == int(px.sum())
+        assert r.sum_sq == int((px * px).sum())
+
+
+def test_mulaw_g711_standard_vectors_and_bound():
+    """G.711 mu-law pins: canonical code points, midpoint decode, the
+    half-step error bound, and decode monotonicity over all 65536 inputs."""
+    import numpy as np
+
+    from findb_spark.functions.media_codec import decode_mulaw, encode_mulaw
+
+    # canonical extremes (Sun/CCITT formulation): 0 -> 0xFF, +max -> 0x80,
+    # -max -> 0x00; zero decodes back to exactly 0
+    assert encode_mulaw(np.array([0], np.int16)) == b"\xff"
+    assert encode_mulaw(np.array([32635], np.int16)) == b"\x80"
+    assert encode_mulaw(np.array([-32635], np.int16)) == b"\x00"
+    assert decode_mulaw(b"\xff")[0] == 0
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    y = decode_mulaw(encode_mulaw(x)).astype(np.int64)
+    err = np.abs(y - x.astype(np.int64))
+    in_range = np.abs(x.astype(np.int64)) <= 32635
+    # segment e has step 2^(e+3); midpoint decode keeps |err| <= 4 * 2^e,
+    # which tops out at 512 in segment 7
+    assert err[in_range].max() <= 512
+    assert np.all(np.diff(y) >= 0)  # companding law is monotone
