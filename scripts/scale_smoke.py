@@ -360,6 +360,7 @@ DEDUP_KEYS = frozenset({
     "text_quality", "chunk_dedup", "substring_runs", "cdc_chunks",
     "triangles_oriented", "connected_components", "chunk_windows",
     "bpe_train_3rounds", "label_propagation", "bfs_contamination",
+    "png_decode",
 })
 
 
