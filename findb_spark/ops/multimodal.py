@@ -547,3 +547,62 @@ def mulaw_roundtrip_features(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.mapInPandas(batches, schema=MULAW_FEATURES_SCHEMA)
+
+
+JPEG_FEATURES_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, sum_decoded BIGINT, sum_abs_err BIGINT"
+)
+
+
+def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a real baseline JFIF stream per doc —
+    SOI/APP0/DQT/SOF0/DHT/SOS/EOI, canonical Huffman entropy coding with
+    byte stuffing — content a closed-form function of doc_id
+    (jpeg_codec.jpeg_pixels)."""
+    from findb_spark.functions.jpeg_codec import encode_jpeg, jpeg_pixels
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        encode_jpeg(jpeg_pixels(int(d))) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="doc_id BIGINT, payload BINARY"
+    )
+
+
+def jpeg_roundtrip_features(with_payload: DataFrame) -> DataFrame:
+    """REAL lossy image codec roundtrip: Huffman-decode the JFIF entropy
+    scan, dequantize, inverse integer DCT, and emit exact integer decoded
+    sum plus total absolute reconstruction error vs the source pixels."""
+    from findb_spark.functions.jpeg_codec import decode_jpeg, jpeg_pixels
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = decode_jpeg(bytes(payload)).astype(np.int64)
+                src = jpeg_pixels(int(doc_id)).astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        dec.shape[1],
+                        dec.shape[0],
+                        int(dec.sum()),
+                        int(np.abs(dec - src).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "sum_decoded", "sum_abs_err"],
+            )
+
+    return with_payload.mapInPandas(batches, schema=JPEG_FEATURES_SCHEMA)

@@ -226,6 +226,118 @@ def multimodal_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mulaw_roundtrip_features(attach_mulaw_payload(docs))
 
 
+def _jpeg_oracle_sql() -> str:
+    """Closed-form SQL twin of the JPEG pipeline: formula pixels ->
+    integer fDCT -> quantize -> dequantize -> inverse integer DCT ->
+    round/clamp — the exact math the numpy codec performs on either side
+    of the real JFIF entropy layer. The DCT matrix and quant table are
+    rendered from the SAME hardcoded constants the codec uses (one source
+    of truth), and every division is sign-magnitude (non-negative
+    operands), where DuckDB's truncating `//` and numpy's flooring `//`
+    agree."""
+    from findb_spark.functions.jpeg_codec import DCT_SCALE, M_INT, Q_LUM
+
+    m_vals = ", ".join(
+        f"({u}, {x}, {int(M_INT[u, x])})" for u in range(8) for x in range(8)
+    )
+    q_vals = ", ".join(
+        f"({u}, {v}, {int(Q_LUM[u, v])})" for u in range(8) for v in range(8)
+    )
+    return f"""
+WITH m(u, i, w) AS (VALUES {m_vals}),
+q(u, v, qv) AS (VALUES {q_vals}),
+d AS (SELECT doc_id, CAST(2 + doc_id % 2 AS BIGINT) AS wb FROM documents),
+px AS (
+  SELECT d.doc_id, d.wb, br.br, bc.bc, y.y, x.x,
+         CAST(CASE d.doc_id % 3
+              WHEN 0 THEN (d.doc_id * 41 + (br.br * 8 + y.y) * 23
+                           + (bc.bc * 8 + x.x) * 29) % 256
+              WHEN 1 THEN ((d.doc_id * 5 + (br.br * 8 + y.y)
+                            + (bc.bc * 8 + x.x)) % 32) * 4 + 64
+              ELSE ((br.br * 8 + y.y + bc.bc * 8 + x.x) % 2) * 16 + 120
+                   + d.doc_id % 64
+              END - 128 AS BIGINT) AS xv
+  FROM d, range(0, 2) br(br), range(0, 3) bc(bc),
+       range(0, 8) y(y), range(0, 8) x(x)
+  WHERE bc.bc < d.wb
+),
+g AS (  -- first 1-D pass: g[u, x] = sum_y M[u, y] * X[y, x]
+  SELECT px.doc_id, px.br, px.bc, m.u AS u, px.x AS x,
+         SUM(CAST(m.w AS BIGINT) * px.xv) AS gv
+  FROM px JOIN m ON m.i = px.y
+  GROUP BY 1, 2, 3, 4, 5
+),
+f AS (  -- second 1-D pass: f[u, v] = sum_x M[v, x] * g[u, x]
+  SELECT g.doc_id, g.br, g.bc, g.u, m.u AS v,
+         SUM(CAST(m.w AS BIGINT) * g.gv) AS fv
+  FROM g JOIN m ON m.i = g.x
+  GROUP BY 1, 2, 3, 4, 5
+),
+c2 AS (  -- quantize (sign-magnitude round-half-away) then dequantize
+  SELECT f.doc_id, f.br, f.bc, f.u, f.v,
+         (CASE WHEN f.fv < 0 THEN -1 ELSE 1 END)
+         * ((2 * ABS(f.fv) + {DCT_SCALE} * q.qv)
+            // (2 * {DCT_SCALE} * q.qv)) * q.qv AS cv
+  FROM f JOIN q ON q.u = f.u AND q.v = f.v
+),
+i1 AS (  -- inverse first pass: i1[y, v] = sum_u M[u, y] * C2[u, v]
+  SELECT c2.doc_id, c2.br, c2.bc, m.i AS y, c2.v,
+         SUM(CAST(m.w AS BIGINT) * c2.cv) AS iv
+  FROM c2 JOIN m ON m.u = c2.u
+  GROUP BY 1, 2, 3, 4, 5
+),
+x2 AS (  -- inverse second pass: x2[y, x] = sum_v M[v, x] * i1[y, v]
+  SELECT i1.doc_id, i1.br, i1.bc, i1.y, m.i AS x,
+         SUM(CAST(m.w AS BIGINT) * i1.iv) AS xv2
+  FROM i1 JOIN m ON m.u = i1.v
+  GROUP BY 1, 2, 3, 4, 5
+),
+rec AS (
+  SELECT x2.doc_id, x2.br, x2.bc, x2.y, x2.x,
+         LEAST(GREATEST((CASE WHEN x2.xv2 < 0 THEN -1 ELSE 1 END)
+               * ((2 * ABS(x2.xv2) + {DCT_SCALE}) // (2 * {DCT_SCALE})),
+               -128), 127) + 128 AS xhat
+  FROM x2
+)
+SELECT px.doc_id,
+       CAST(MIN(px.wb) * 8 AS INT) AS width,
+       16 AS height,
+       CAST(SUM(rec.xhat) AS BIGINT) AS sum_decoded,
+       CAST(SUM(ABS(rec.xhat - (px.xv + 128))) AS BIGINT) AS sum_abs_err
+FROM rec
+JOIN px ON px.doc_id = rec.doc_id AND px.br = rec.br AND px.bc = rec.bc
+       AND px.y = rec.y AND px.x = rec.x
+GROUP BY px.doc_id
+"""
+
+
+@register(
+    "multimodal_jpeg_roundtrip",
+    _jpeg_oracle_sql(),
+    category="multimodal",
+    description=(
+        "REAL baseline JPEG (ITU-T T.81 structure, grayscale): a real "
+        "JFIF byte stream — SOI/APP0/DQT/SOF0/DHT/SOS/EOI markers, "
+        "canonical Huffman entropy coding declared in DHT, zigzag, "
+        "differential DC prediction, 0xFF00 byte stuffing — over a fixed "
+        "integer 8x8 DCT, so the whole lossy pipeline is exact integer "
+        "math; the oracle reimplements fDCT->quant->dequant->iDCT in "
+        "closed-form SQL from the same hardcoded constants, certifying "
+        "the entropy layer bit-exactly (any Huffman/stuffing/zigzag/DC "
+        "bug changes decoded levels and breaks parity), including the "
+        "total reconstruction error of the lossy transform"
+    ),
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from findb_spark.ops.multimodal import (
+        attach_jpeg_payload,
+        jpeg_roundtrip_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_roundtrip_features(attach_jpeg_payload(docs))
+
+
 @register(
     "multimodal_image_ahash",
     """

@@ -181,6 +181,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: Round-9 window, computed by `python scripts/rotate_window.py --write`
 #: from CORRECTNESS_r01..r08 + CHANGED_THIS_ROUND (policy above).
 _CHECK_FIRST: tuple[str, ...] = (
+    "multimodal_jpeg_roundtrip",
     "multimodal_mulaw_roundtrip",
     "multimodal_png_decode",
     "roundtrip_zorder_layout",
@@ -230,7 +231,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "ts_cross_rank",
     "ts_linreg_slope",
     "ts_ohlc_bars",
-    "udaf_rms_quantity",
 )
 # --- END AUTO-GENERATED WINDOW ---
 

@@ -360,7 +360,7 @@ DEDUP_KEYS = frozenset({
     "text_quality", "chunk_dedup", "substring_runs", "cdc_chunks",
     "triangles_oriented", "connected_components", "chunk_windows",
     "bpe_train_3rounds", "label_propagation", "bfs_contamination",
-    "png_decode",
+    "png_decode", "jpeg_roundtrip",
 })
 
 
@@ -377,7 +377,12 @@ def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
         substring_run_stats,
     )
     from findb_spark.ops.graph import triangles_oriented
-    from findb_spark.ops.multimodal import attach_png_payload, decode_png_metadata
+    from findb_spark.ops.multimodal import (
+        attach_jpeg_payload,
+        attach_png_payload,
+        decode_png_metadata,
+        jpeg_roundtrip_features,
+    )
     from findb_spark.ops.text import quality_score
     from findb_spark.registry import all_specs
 
@@ -410,6 +415,12 @@ def dedup_workload(spark, sf_dir: str) -> dict[str, float]:
         # Python-worker throughput (linear, flat per-doc cost)
         "png_decode": lambda: decode_png_metadata(
             attach_png_payload(docs)
+        ).count(),
+        # real JFIF encode -> Huffman entropy scan -> decode: the
+        # heaviest per-doc codec (Python-loop entropy coding) — per-unit
+        # cost must stay flat as the corpus grows
+        "jpeg_roundtrip": lambda: jpeg_roundtrip_features(
+            attach_jpeg_payload(docs)
         ).count(),
         # hash-occurrence join + per-doc run window: linear in corpus
         # tokens; the persist means one text scan per evaluation

@@ -714,3 +714,87 @@ def test_mulaw_g711_standard_vectors_and_bound():
     # which tops out at 512 in segment 7
     assert err[in_range].max() <= 512
     assert np.all(np.diff(y) >= 0)  # companding law is monotone
+
+
+def test_jpeg_codec_roundtrip_matches_integer_pipeline():
+    """The real JFIF entropy layer (Huffman + zigzag + DC prediction +
+    byte stuffing) is lossless around the quantized levels: decoding the
+    byte stream must reproduce the pure integer-pipeline prediction
+    bit-exactly, for all three content modes."""
+    import numpy as np
+
+    from findb_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_forward_levels,
+        jpeg_pixels,
+        jpeg_reconstruct,
+    )
+
+    for doc_id in (0, 1, 2, 3, 4, 5, 62, 123, 5001):
+        px = jpeg_pixels(doc_id)
+        payload = encode_jpeg(px)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        want = jpeg_reconstruct(jpeg_forward_levels(px))
+        assert np.array_equal(decode_jpeg(payload), want), doc_id
+
+
+def test_jpeg_entropy_paths_all_exercised():
+    """The 3-mode corpus must hit every structural entropy path: EOB,
+    ZRL (16-zero runs) and nonzero-run (run,size) codes — otherwise the
+    oracle certifies only the easy half of the Huffman layer."""
+    from findb_spark.functions.jpeg_codec import ZIGZAG, jpeg_forward_levels, jpeg_pixels
+
+    eob = zrl = run_codes = 0
+    for doc_id in range(30):
+        lv = jpeg_forward_levels(jpeg_pixels(doc_id))
+        for br in range(lv.shape[0]):
+            for bc in range(lv.shape[1]):
+                zz = lv[br, bc].reshape(64)[ZIGZAG]
+                run = 0
+                for k in range(1, 64):
+                    if int(zz[k]) == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        zrl += 1
+                        run -= 16
+                    if run:
+                        run_codes += 1
+                    run = 0
+                if run:
+                    eob += 1
+    assert eob > 0 and zrl > 0 and run_codes > 0
+
+
+def test_jpeg_decode_rejects_corruption():
+    import pytest as _pytest
+
+    from findb_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg, jpeg_pixels
+
+    good = encode_jpeg(jpeg_pixels(7))
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00" + good)
+    with _pytest.raises(ValueError, match="EOI"):
+        decode_jpeg(good[:-2])
+    # an unstuffed 0xFF inside entropy data must be rejected, not decoded
+    scan = good.rfind(b"\xff\xda")
+    bad = bytearray(good)
+    bad[scan + 10 : scan + 12] = b"\xff\xc0"
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+
+
+def test_jpeg_spark_features_match_codec(spark, sf_dir):
+    import numpy as np
+
+    from findb_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg, jpeg_pixels
+    from findb_spark.ops.multimodal import attach_jpeg_payload, jpeg_roundtrip_features
+
+    docs = load_table(spark, sf_dir, "documents").limit(6)
+    for r in jpeg_roundtrip_features(attach_jpeg_payload(docs)).collect():
+        src = jpeg_pixels(r.doc_id).astype(np.int64)
+        dec = decode_jpeg(encode_jpeg(jpeg_pixels(r.doc_id))).astype(np.int64)
+        assert (r.width, r.height) == (src.shape[1], src.shape[0])
+        assert r.sum_decoded == int(dec.sum())
+        assert r.sum_abs_err == int(np.abs(dec - src).sum())
