@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from findb_spark.plans.broadcast import never_broadcast
+
 from findb_spark.functions.hashing import hash48, perm_hash, permutation_params
 from findb_spark.ops.text import shingles_of
 
@@ -92,8 +94,11 @@ def chunk_dup_stats(docs: DataFrame, chunk_tokens: int = 16) -> DataFrame:
     )
     dfreq = chunks.groupBy("chunk").agg(F.countDistinct("doc_id").alias("nd"))
     dup = F.sum((F.col("nd") >= 2).cast("int")).cast("bigint")
+    # shuffle_hash pin: dfreq is distinct-chunk-proportional (near-linear
+    # in corpus for unique text) and chunks is explode-derived — never
+    # broadcast either side (the 256x Generate-mis-estimate class)
     return (
-        chunks.join(dfreq, "chunk")
+        chunks.join(dfreq.transform(never_broadcast), "chunk")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_chunks"),
@@ -184,8 +189,19 @@ def _verify_pairs(cand: DataFrame, arrs: DataFrame, threshold: float) -> DataFra
     4-stage join-through-the-inverted-index + groupBy + two size joins it
     replaces). ``arrs``: (doc_id, harr). Shared by every banded/prefix
     candidate generator so the formula lives in one place."""
-    a1 = arrs.select(F.col("doc_id").alias("doc1"), F.col("harr").alias("_a1"))
-    a2 = arrs.select(F.col("doc_id").alias("doc2"), F.col("harr").alias("_a2"))
+    # shuffle_hash pin: the arrays side is corpus-proportional (~150
+    # int64s per doc) while Catalyst's estimate for the persisted arrs
+    # relation tracks the column-pruned parquet bytes — at mid scales the
+    # estimate sits under autoBroadcastJoinThreshold while the actual
+    # broadcast build would be GiB-sized (the same Generate/explode
+    # mis-estimate class the 256x smoke caught in jaccard_pairs). A
+    # doc_id-partitioned shuffle holds at any corpus size.
+    a1 = arrs.transform(never_broadcast).select(
+        F.col("doc_id").alias("doc1"), F.col("harr").alias("_a1")
+    )
+    a2 = arrs.transform(never_broadcast).select(
+        F.col("doc_id").alias("doc2"), F.col("harr").alias("_a2")
+    )
     scored = (
         cand.join(a1, "doc1")
         .join(a2, "doc2")
@@ -222,7 +238,14 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> DataFr
     arrs = hashed_shingle_arrays(docs, n)
     sh = arrs.select("doc_id", F.explode(F.col("harr")).alias("shingle"))
     sizes = arrs.select("doc_id", F.size("harr").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # PIN the inverted-index self-join to a shuffled hash join: both sides
+    # are corpus-proportional (exploded shingles), but the optimizer's
+    # pre-materialization estimate for the persisted arrs relation can
+    # land under autoBroadcastJoinThreshold and pick a broadcast — which
+    # OOMs the moment the corpus outgrows driver memory (caught by the
+    # 256x scale smoke: a ~1 GiB broadcast build at 1.28M docs). The
+    # shingle-partitioned shuffle is the strategy that holds at any scale.
+    a, b = sh.transform(never_broadcast).alias("a"), sh.transform(never_broadcast).alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
@@ -318,7 +341,12 @@ def jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4, n: int = 3) ->
         )
         .select("doc_id", "shingle", (F.col("_pos") + 1).alias("_rnk"), "_sz")
     )
-    x, y = pref.alias("x"), pref.alias("y")
+    # shuffle_hash pin: pref is posexplode-derived (fan-out ~0.6x the
+    # per-doc shingle count), and Catalyst does not model Generate
+    # fan-out in sizeInBytes — a mid-scale corpus can sit in the window
+    # where the estimate is under the broadcast threshold while the
+    # actual exploded relation is GiB-sized (256x-smoke finding class)
+    x, y = pref.transform(never_broadcast).alias("x"), pref.transform(never_broadcast).alias("y")
     # Lossless candidate filters from the PPJoin family:
     # - length filter: J >= t forces t*|A| <= |B| <= |A|/t, so wildly
     #   different-sized docs never pair (the doc_id< ordering is arbitrary,
@@ -377,7 +405,9 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3) -> Da
     arrs = hashed_shingle_arrays(docs, n)
     sh = arrs.select("doc_id", F.explode(F.col("harr")).alias("shingle"))
     sizes = arrs.select("doc_id", F.size("harr").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # same shuffle-hash pin as jaccard_pairs: never broadcast the
+    # corpus-proportional exploded-shingle side (256x-smoke finding)
+    a, b = sh.transform(never_broadcast).alias("a"), sh.transform(never_broadcast).alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
@@ -451,7 +481,13 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> Da
 
     sigs = minhash_signatures(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     bands = _band_keys(sigs)
-    x, y = bands.alias("x"), bands.alias("y")
+    # shuffle_hash pin: the band relation is corpus-proportional (4 rows
+    # per doc) and Generate fan-out is invisible to Catalyst's size
+    # estimate — never let the band self-join broadcast a side (the
+    # 256x-smoke mis-estimate class; a band-key-partitioned shuffle
+    # holds at any corpus size)
+    x = bands.transform(never_broadcast).alias("x")
+    y = bands.transform(never_broadcast).alias("y")
     cand = (
         x.join(
             y,
@@ -560,7 +596,10 @@ def simhash_banded_pairs(docs: DataFrame, max_hamming: int = 3, n_bands: int = 4
     bdf = sigs.select(
         "doc_id", "simhash", F.explode(F.array(*bands)).alias("band")
     ).select("doc_id", "simhash", "band.band_id", "band.bk")
-    x, y = bdf.alias("x"), bdf.alias("y")
+    # shuffle_hash pin: same corpus-proportional band-side rationale as
+    # minhash_lsh_pairs (Generate fan-out unmodeled in stats)
+    x = bdf.transform(never_broadcast).alias("x")
+    y = bdf.transform(never_broadcast).alias("y")
     ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
     # hamming predicate inside the join: prunes non-near pairs before the
     # dedup-across-bands distinct instead of after it
@@ -606,7 +645,11 @@ def minhash_lsh_pairs_incremental(
         flagged.select("doc_id", "_new"), "doc_id"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     nb = bands.where(F.col("_new"))
-    x, y = nb.alias("x"), bands.alias("y")
+    # shuffle_hash pin on the NEW side: builds the (usually small)
+    # increment per shuffle partition — scale-safe even when new_pred
+    # marks a large fraction, and never lets a mis-estimate broadcast
+    # the corpus-proportional full-bands side (256x-smoke class)
+    x, y = nb.transform(never_broadcast).alias("x"), bands.alias("y")
     cand = (
         x.join(
             y,
@@ -660,9 +703,13 @@ def substring_run_stats(docs: DataFrame, n: int = 5) -> DataFrame:
     )
     occ = pos.groupBy("h").agg(F.count("*").alias("occ"))
     # doc_id + pos + bool: tiny; reused by the per-doc count and the run
-    # chain below.
+    # chain below.  shuffle_hash pin: BOTH sides are corpus-token-
+    # proportional (pos is posexplode-derived — fan-out invisible to
+    # Catalyst's estimate — and occ is its per-hash aggregate), so a
+    # broadcast is wrong at any non-trivial scale; caught OOMing at 256x
+    # by the scale smoke, same class as the jaccard_pairs finding.
     flagged = (
-        pos.join(occ, "h")
+        pos.join(occ.transform(never_broadcast), "h")
         .select("doc_id", "pos", (F.col("occ") >= 2).alias("dup"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -679,7 +726,8 @@ def substring_run_stats(docs: DataFrame, n: int = 5) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("run_len").alias("max_run"))
     )
-    return per_doc.join(runs, "doc_id", "left").select(
+    # doc-proportional aggregate sides: shuffle pin for the same reason
+    return per_doc.join(runs.transform(never_broadcast), "doc_id", "left").select(
         "doc_id",
         "n_windows",
         "n_dup_windows",
@@ -744,8 +792,10 @@ def cdc_chunk_stats(docs: DataFrame, gear_mod: int = 16) -> DataFrame:
     agg = agg.localCheckpoint(eager=False)
     dfreq = agg.groupBy("chunk").agg(F.countDistinct("doc_id").alias("nd"))
     dup = F.sum((F.col("nd") >= 2).cast("long"))
+    # shuffle_hash pin: dfreq is distinct-chunk-proportional — same
+    # never-broadcast rationale as chunk_dup_stats (256x-smoke class)
     return (
-        agg.join(dfreq, "chunk")
+        agg.join(dfreq.transform(never_broadcast), "chunk")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_chunks"),

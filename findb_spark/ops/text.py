@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from findb_spark.plans.broadcast import never_broadcast
+
 from findb_spark.functions.hashing import hash48
 
 #: tokens treated as stopwords for quality metrics (domain-tuned; the
@@ -215,8 +217,12 @@ def bigram_novelty(docs: DataFrame) -> DataFrame:
     )
     bg = arrs.select("doc_id", F.explode("_bh").alias("bh"))
     dfreq = bg.groupBy("bh").agg(F.count("*").alias("_df"))
+    # shuffle_hash pin: both sides are corpus-bigram-proportional (bg is
+    # explode-derived — fan-out invisible to Catalyst's size estimate —
+    # and dfreq is its distinct aggregate); a mis-estimated broadcast here
+    # is the scale-smoke-caught OOM class (see ops/dedup.py jaccard_pairs)
     return (
-        bg.join(dfreq, "bh")
+        bg.join(dfreq.transform(never_broadcast), "bh")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),

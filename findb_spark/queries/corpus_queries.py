@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from findb_spark.functions.hashing import hash48_duck
 from findb_spark.ops.text import shingles_duck
+from findb_spark.plans.broadcast import never_broadcast
 from findb_spark.registry import register
 from findb_spark.session import load_table
 
@@ -67,7 +68,7 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sbits"),
     )
     return (
-        toks.join(surp, "tok")
+        toks.join(never_broadcast(surp), "tok")  # vocab-proportional side
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
@@ -640,8 +641,8 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = bg.agg(F.count("*").alias("ntot"))
     d = F.lit(_KN_D)
     return (
-        bg.join(lft, "w1")
-        .join(rgt, "w2")
+        bg.join(never_broadcast(lft), "w1")  # vocab-proportional sides
+        .join(never_broadcast(rgt), "w2")
         .crossJoin(F.broadcast(tot))
         .select(
             "w1",
@@ -743,7 +744,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = ptoks.where(~F.col("tok").isin(*_RAKE_STOP))
     plen = members.groupBy("doc_id", "pid").agg(F.count("*").alias("plen"))
     wstat = (
-        members.join(plen, ["doc_id", "pid"])
+        members.join(never_broadcast(plen), ["doc_id", "pid"])  # doc-proportional
         .groupBy("tok")
         .agg(
             F.count("*").alias("freq"),
@@ -761,7 +762,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ws_q"),
     )
     phrases = (
-        members.join(wscore, "tok")
+        members.join(never_broadcast(wscore), "tok")  # vocab-proportional
         .groupBy("doc_id", "pid")
         .agg(
             F.array_join(

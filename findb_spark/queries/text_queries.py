@@ -16,6 +16,7 @@ from findb_spark.ops.text import (
     shingles_duck,
     token_stats,
 )
+from findb_spark.plans.broadcast import never_broadcast
 from findb_spark.registry import register
 from findb_spark.session import load_table
 
@@ -248,7 +249,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager docs.count() here would run a separate full-scan job at
     # plan-build time — mirrors the oracle's CROSS JOIN n)
     n = docs.agg(F.count("*").alias("_n_docs"))
-    scored = tf.join(df, "tok").crossJoin(F.broadcast(n)).select(
+    # df is vocabulary-proportional over an explode-derived child -> pin
+    scored = tf.join(never_broadcast(df), "tok").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "tok",
         "tf",
@@ -445,7 +447,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         docs.where(F.col("source") != "src0")
-        .join(hits, "doc_id", "left")
+        .join(never_broadcast(hits), "doc_id", "left")  # doc-proportional side
         .select(
             "source", F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared")
         )
@@ -529,7 +531,7 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1000000.0) * F.col("n_docs") / F.col("df") + F.lit(0.5)
     ).cast("bigint")
     return (
-        tok.join(dfreq, "tok")
+        tok.join(never_broadcast(dfreq), "tok")  # vocab-proportional side
         .crossJoin(F.broadcast(nd))
         .groupBy("doc_id")
         .agg(
