@@ -94,7 +94,12 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # cust/supp/part are SF-growing dims: no forced F.broadcast —
+        # Catalyst's honest parquet estimate broadcasts them at test scale
+        # and degrades to shuffle at 100 TB, where a forced broadcast of a
+        # billions-row dimension would OOM every executor. Fixed-size
+        # sides (nation/region, 1-row aggregates) keep the explicit hint.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(fxp_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select(
@@ -138,9 +143,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -770,7 +775,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))).cast("double")
@@ -801,7 +806,7 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
