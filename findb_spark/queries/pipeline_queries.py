@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from findb_spark.functions.hashing import hash48, hash48_duck
 from findb_spark.ops.text import shingles_duck, shingles_of
+from findb_spark.plans.broadcast import never_broadcast
 from findb_spark.registry import register
 from findb_spark.session import load_table
 
@@ -55,11 +56,15 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design (100 TB): the span explode is a pure map (no shuffle);
     the doc-frequency count is ONE hash aggregation with map-side combine
-    on 48-bit hashes (16 B/key, not the span text); the boilerplate set —
-    spans with df >= threshold — is tiny by Zipf (heavy spans are rare
-    distinct values), so it is explicitly broadcast back, making the
-    second pass shuffle-free. Only per-doc stats (3 numbers/doc) reach
-    the final (doc-keyed, perfectly parallel) aggregation.
+    on 48-bit hashes (16 B/key, not the span text). The boilerplate set —
+    spans with df >= threshold — is USUALLY tiny by Zipf, but that is a
+    heuristic, not a bound: a mass-duplicated corpus (exactly what a
+    dedup pipeline ingests) can make it corpus-proportional, so it joins
+    back via the never_broadcast merge pin rather than a forced
+    broadcast (the 256x Generate-mis-estimate class — an aggregate over
+    an explode carries no honest size estimate). Only per-doc stats
+    (3 numbers/doc) reach the final (doc-keyed, perfectly parallel)
+    aggregation.
     """
     docs = load_table(spark, sf_dir, "documents")
     spans = (
@@ -73,7 +78,7 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = spans.groupBy("h").agg(F.count("*").alias("df"))
     boiler = dfreq.where(F.col("df") >= _BOILER_DF).select("h", F.lit(1).alias("_b"))
     per = (
-        spans.join(F.broadcast(boiler), "h", "left")
+        spans.join(never_broadcast(boiler), "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
