@@ -169,11 +169,14 @@ def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
 
 
 def enriched_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
-    """Stream-static join: enrich the event stream with a small static
-    dimension (broadcast — the static side is re-read per microbatch, never
-    shuffled with the stream). The standard pattern for attaching slowly
-    changing reference data to a live stream."""
-    return events.join(F.broadcast(dim), "user_id", "left")
+    """Stream-static join: enrich the event stream with a static
+    dimension. The standard pattern for attaching slowly changing
+    reference data to a live stream. No forced broadcast: the optimizer
+    broadcasts a small static side on its honest estimate (re-read per
+    microbatch, never shuffled with the stream), while a user dimension
+    that has grown past the threshold degrades to a shuffled
+    stream-static join instead of a forced broadcast OOM."""
+    return events.join(dim, "user_id", "left")
 
 
 def view_click_join_stream(
