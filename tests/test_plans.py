@@ -460,3 +460,21 @@ def test_kn_bigram_single_doc_shuffle_then_pair_aggs(spark):
     assert "CartesianProduct" not in p
     # the 1-row bigram-total side joins as broadcast
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_real_codec_queries_single_scan_no_shuffle(spark):
+    """The codec roundtrips (PNG / mu-law / JPEG) are pure Arrow-batch
+    maps: exactly one parquet scan, zero exchanges — the plan property
+    that makes them embarrassingly parallel at any corpus size (work
+    scales with input splits, no shuffle to bottleneck)."""
+    import re
+
+    for name in (
+        "multimodal_png_decode",
+        "multimodal_mulaw_roundtrip",
+        "multimodal_jpeg_roundtrip",
+    ):
+        p = _plan(spark, name)
+        scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)
+        assert len(scans) == 1, (name, len(scans))
+        assert "Exchange" not in p, name
