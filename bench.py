@@ -21,6 +21,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+#: Headline accounting is FROZEN (round-9 verdict item 4): these queries'
+#: build phase executes real cluster compute (iterative label propagation,
+#: batch-key collection, content-defined chunking's pass + join-back,
+#: checkpoint materialization, PQ training), so their build seconds belong
+#: in the headline.  Membership is DECLARED, not discovered per run — the
+#: detection-based list grew 3 -> 5 names between rounds 8 and 9, which
+#: made headline totals exclude different first-pass costs each round.
+#: Detection still runs; any drift from this constant is reported in
+#: ``eager_build_detected`` (and a second total, ``total_with_builds``,
+#: is membership-independent by construction).
+EAGER_BUILD_INCLUDED: tuple[str, ...] = (
+    "asof_batch",
+    "dedup_cdc_chunks",
+    "dedup_clusters",
+    "events_dau_wau",
+    "vec_pq_search",
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # parse 'sfN.N' basenames; any other directory naming reports sf=0.0
@@ -182,7 +201,9 @@ def main() -> None:
         # re-plans settled), matching what min-of-2 reports
         plans[spec.name] = _plan_fingerprint(f"bench-run-{spec.name}-1")
         builds[spec.name] = round(build, 3)
-        timings[spec.name] = round(run + (build if spec.name in eager else 0.0), 3)
+        timings[spec.name] = round(
+            run + (build if spec.name in EAGER_BUILD_INCLUDED else 0.0), 3
+        )
         # one-time costs amortized OUT of the steady-state headline (e.g.
         # the PQ codebook training memo: iteration 0 trains, iteration 1
         # hits the cache, min() keeps the steady state) are reported
@@ -212,7 +233,20 @@ def main() -> None:
         "queries": timings,
         "build": builds,
         "build_total": round(sum(builds.values()), 3),
-        "eager_build_included": sorted(eager),
+        # FROZEN headline membership + the per-run detection signal; a
+        # detected name missing from the constant is accounting drift to
+        # review, not a silent headline change
+        "eager_build_included": sorted(EAGER_BUILD_INCLUDED),
+        "eager_build_detected": sorted(eager),
+        # membership-independent cross-round invariant: every query's run
+        # AND build seconds, no per-round inclusion judgement involved
+        "total_with_builds": round(
+            sum(
+                (0.0 if n in EAGER_BUILD_INCLUDED else builds[n]) + timings[n]
+                for n in timings
+            ),
+            3,
+        ),
         "amortized_one_time": amortized,
         # per PQ query: was the trained-codebook memo already populated at
         # the start of iteration [0, 1]?  [false, true] = this query paid

@@ -198,6 +198,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos, w, h, idat = 8, None, None, bytearray()
     while pos + 12 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        if pos + 12 + ln > len(payload):
+            raise ValueError("truncated chunk")
         typ = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])

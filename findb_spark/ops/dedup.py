@@ -94,7 +94,7 @@ def chunk_dup_stats(docs: DataFrame, chunk_tokens: int = 16) -> DataFrame:
     )
     dfreq = chunks.groupBy("chunk").agg(F.countDistinct("doc_id").alias("nd"))
     dup = F.sum((F.col("nd") >= 2).cast("int")).cast("bigint")
-    # shuffle_hash pin: dfreq is distinct-chunk-proportional (near-linear
+    # sort-merge (never_broadcast) pin: dfreq is distinct-chunk-proportional (near-linear
     # in corpus for unique text) and chunks is explode-derived — never
     # broadcast either side (the 256x Generate-mis-estimate class)
     return (
@@ -189,7 +189,7 @@ def _verify_pairs(cand: DataFrame, arrs: DataFrame, threshold: float) -> DataFra
     4-stage join-through-the-inverted-index + groupBy + two size joins it
     replaces). ``arrs``: (doc_id, harr). Shared by every banded/prefix
     candidate generator so the formula lives in one place."""
-    # shuffle_hash pin: the arrays side is corpus-proportional (~150
+    # sort-merge (never_broadcast) pin: the arrays side is corpus-proportional (~150
     # int64s per doc) while Catalyst's estimate for the persisted arrs
     # relation tracks the column-pruned parquet bytes — at mid scales the
     # estimate sits under autoBroadcastJoinThreshold while the actual
@@ -238,13 +238,13 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> DataFr
     arrs = hashed_shingle_arrays(docs, n)
     sh = arrs.select("doc_id", F.explode(F.col("harr")).alias("shingle"))
     sizes = arrs.select("doc_id", F.size("harr").alias("sz"))
-    # PIN the inverted-index self-join to a shuffled hash join: both sides
+    # PIN the inverted-index self-join to a sort-merge join: both sides
     # are corpus-proportional (exploded shingles), but the optimizer's
     # pre-materialization estimate for the persisted arrs relation can
     # land under autoBroadcastJoinThreshold and pick a broadcast — which
     # OOMs the moment the corpus outgrows driver memory (caught by the
     # 256x scale smoke: a ~1 GiB broadcast build at 1.28M docs). The
-    # shingle-partitioned shuffle is the strategy that holds at any scale.
+    # spillable shingle-partitioned sort-merge holds at any scale.
     a, b = sh.transform(never_broadcast).alias("a"), sh.transform(never_broadcast).alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -341,7 +341,7 @@ def jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.4, n: int = 3) ->
         )
         .select("doc_id", "shingle", (F.col("_pos") + 1).alias("_rnk"), "_sz")
     )
-    # shuffle_hash pin: pref is posexplode-derived (fan-out ~0.6x the
+    # sort-merge (never_broadcast) pin: pref is posexplode-derived (fan-out ~0.6x the
     # per-doc shingle count), and Catalyst does not model Generate
     # fan-out in sizeInBytes — a mid-scale corpus can sit in the window
     # where the estimate is under the broadcast threshold while the
@@ -481,7 +481,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> Da
 
     sigs = minhash_signatures(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     bands = _band_keys(sigs)
-    # shuffle_hash pin: the band relation is corpus-proportional (4 rows
+    # sort-merge (never_broadcast) pin: the band relation is corpus-proportional (4 rows
     # per doc) and Generate fan-out is invisible to Catalyst's size
     # estimate — never let the band self-join broadcast a side (the
     # 256x-smoke mis-estimate class; a band-key-partitioned shuffle
@@ -596,7 +596,7 @@ def simhash_banded_pairs(docs: DataFrame, max_hamming: int = 3, n_bands: int = 4
     bdf = sigs.select(
         "doc_id", "simhash", F.explode(F.array(*bands)).alias("band")
     ).select("doc_id", "simhash", "band.band_id", "band.bk")
-    # shuffle_hash pin: same corpus-proportional band-side rationale as
+    # sort-merge (never_broadcast) pin: same corpus-proportional band-side rationale as
     # minhash_lsh_pairs (Generate fan-out unmodeled in stats)
     x = bdf.transform(never_broadcast).alias("x")
     y = bdf.transform(never_broadcast).alias("y")
@@ -645,10 +645,10 @@ def minhash_lsh_pairs_incremental(
         flagged.select("doc_id", "_new"), "doc_id"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     nb = bands.where(F.col("_new"))
-    # shuffle_hash pin on the NEW side: builds the (usually small)
-    # increment per shuffle partition — scale-safe even when new_pred
-    # marks a large fraction, and never lets a mis-estimate broadcast
-    # the corpus-proportional full-bands side (256x-smoke class)
+    # sort-merge (never_broadcast) pin on the NEW side: spillable shuffle
+    # join — scale-safe even when new_pred marks a large fraction, and
+    # never lets a mis-estimate broadcast the corpus-proportional
+    # full-bands side (256x-smoke class)
     x, y = nb.transform(never_broadcast).alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -703,7 +703,7 @@ def substring_run_stats(docs: DataFrame, n: int = 5) -> DataFrame:
     )
     occ = pos.groupBy("h").agg(F.count("*").alias("occ"))
     # doc_id + pos + bool: tiny; reused by the per-doc count and the run
-    # chain below.  shuffle_hash pin: BOTH sides are corpus-token-
+    # chain below.  sort-merge (never_broadcast) pin: BOTH sides are corpus-token-
     # proportional (pos is posexplode-derived — fan-out invisible to
     # Catalyst's estimate — and occ is its per-hash aggregate), so a
     # broadcast is wrong at any non-trivial scale; caught OOMing at 256x
@@ -792,7 +792,7 @@ def cdc_chunk_stats(docs: DataFrame, gear_mod: int = 16) -> DataFrame:
     agg = agg.localCheckpoint(eager=False)
     dfreq = agg.groupBy("chunk").agg(F.countDistinct("doc_id").alias("nd"))
     dup = F.sum((F.col("nd") >= 2).cast("long"))
-    # shuffle_hash pin: dfreq is distinct-chunk-proportional — same
+    # sort-merge (never_broadcast) pin: dfreq is distinct-chunk-proportional — same
     # never-broadcast rationale as chunk_dup_stats (256x-smoke class)
     return (
         agg.join(dfreq.transform(never_broadcast), "chunk")

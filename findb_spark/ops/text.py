@@ -217,7 +217,7 @@ def bigram_novelty(docs: DataFrame) -> DataFrame:
     )
     bg = arrs.select("doc_id", F.explode("_bh").alias("bh"))
     dfreq = bg.groupBy("bh").agg(F.count("*").alias("_df"))
-    # shuffle_hash pin: both sides are corpus-bigram-proportional (bg is
+    # sort-merge (never_broadcast) pin: both sides are corpus-bigram-proportional (bg is
     # explode-derived — fan-out invisible to Catalyst's size estimate —
     # and dfreq is its distinct aggregate); a mis-estimated broadcast here
     # is the scale-smoke-caught OOM class (see ops/dedup.py jaccard_pairs)

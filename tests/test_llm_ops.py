@@ -676,6 +676,10 @@ def test_png_decode_rejects_corruption():
     # truncated stream (no IHDR parsed) also refuses
     with _pytest.raises(ValueError):
         decode_png(good[:8])
+    # stream cut mid-chunk: declared length runs past the payload end
+    idat = good.find(b"IDAT")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_png(good[: idat + 8])
     assert np.array_equal(decode_png(good), png_pixels(3))
 
 
@@ -783,6 +787,12 @@ def test_jpeg_decode_rejects_corruption():
     bad[scan + 10 : scan + 12] = b"\xff\xc0"
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
+    # SOS referencing a DHT table id that was never declared: ValueError
+    # with a message, not a bare KeyError (SOS body: Ns, comp id, Td/Ta)
+    undecl = bytearray(good)
+    undecl[scan + 6] = 0x33
+    with _pytest.raises(ValueError, match="undeclared Huffman"):
+        decode_jpeg(bytes(undecl))
 
 
 def test_jpeg_spark_features_match_codec(spark, sf_dir):

@@ -171,3 +171,47 @@ def test_tolerant_compare_key_alignment_is_type_blind():
     # a non-integral (payload) column stays OUT of the key on both sides
     assert compare_rows_tolerant(cols, [[1, 0.1], [2, 0.2]],
                                  [[2, 0.2], [1, 0.1]]) == []
+
+
+def test_empty_ok_below_sf_entries_are_honest():
+    """Round-9 verdict item 5: nothing pinned that an EMPTY_OK_BELOW_SF
+    entry lists the TRUE smallest non-empty SF — a stale entry would
+    quietly re-weaken the gate for that query.  For every whitelisted
+    query, run its ORACLE (driver-certified equal to the Spark side) at
+    each locally available SF and assert: empty strictly below the listed
+    SF, non-empty at and above it.  DuckDB-only, so the pin costs no
+    Spark time."""
+    import os
+
+    from findb_spark.oracle import EMPTY_OK_BELOW_SF, duck_connection
+
+    specs = all_specs()
+    local_sfs = [
+        (float(d[2:]), os.path.join("/root/testdata", d))
+        for d in sorted(os.listdir("/root/testdata"))
+        if d.startswith("sf")
+    ]
+    assert local_sfs, "no local testdata scale factors found"
+    for name, listed_sf in EMPTY_OK_BELOW_SF.items():
+        assert name in specs and specs[name].sql is not None, (
+            f"{name}: whitelisted but not a registered oracle-backed query"
+        )
+        assert any(sf >= listed_sf for sf, _ in local_sfs), (
+            f"{name}: listed SF {listed_sf} not locally checkable"
+        )
+        for sf, sf_dir in local_sfs:
+            con = duck_connection(sf_dir)
+            try:
+                nrows = len(con.execute(specs[name].sql).fetchall())
+            finally:
+                con.close()
+            if sf < listed_sf:
+                assert nrows == 0, (
+                    f"{name}: {nrows} rows at sf{sf} < listed {listed_sf} — "
+                    "stale whitelist entry (lower the listed SF)"
+                )
+            else:
+                assert nrows > 0, (
+                    f"{name}: EMPTY at sf{sf} >= listed {listed_sf} — "
+                    "the whitelist no longer reflects reality"
+                )

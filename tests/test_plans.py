@@ -478,3 +478,75 @@ def test_real_codec_queries_single_scan_no_shuffle(spark):
         scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)
         assert len(scans) == 1, (name, len(scans))
         assert "Exchange" not in p, name
+
+
+# --- never_broadcast merge-pin ratchet (round-9 verdict item 1) -------------
+#
+# The round-9 256x scale campaign found Catalyst broadcasting corpus-
+# proportional join sides (Generate fan-out is un-modeled in sizeInBytes:
+# a ~3 GiB exploded relation estimated at "37 MB"), a mid-scale OOM class
+# fixed by plans/broadcast.py:never_broadcast merge pins at 30 call sites.
+# Nothing previously ASSERTED those hints hold — a refactor dropping one
+# would pass every gate at test scale and silently re-open the OOM window.
+#
+# The ratchet: the merge hint survives in the ANALYZED logical plan as
+# `ResolvedHint (strategy=merge)` (the optimizer consumes it into the Join
+# node afterwards, and caching/persist substitution happens later still,
+# so the analyzed count is deterministic and cache-immune).  Expected
+# counts below were measured by sweeping every registered query at
+# sf0.001; dropping ANY pin site lowers the count of at least one query
+# here.  Iterative builders (pair_triangles, clustering_coeff) inherit
+# the pin once per unrolled round — their counts are large but
+# deterministic on the frozen fixture.
+_MERGE_PIN_EXPECT = {
+    "text_tfidf_top_terms": 1,
+    "text_contamination": 1,
+    "text_bigram_novelty": 1,
+    "text_token_rarity": 1,
+    "text_unigram_surprisal": 1,
+    "text_kneser_ney_bigram": 2,
+    "text_rake_keywords": 2,
+    "text_boilerplate_spans": 1,
+    "pipeline_corpus_curation": 2,
+    "source_quality_profile": 1,
+    "dedup_ngram_jaccard": 2,
+    "dedup_jaccard_prefix": 4,
+    "dedup_containment": 2,
+    "dedup_minhash_lsh": 4,
+    "dedup_simhash_pairs": 2,
+    "dedup_clusters_star": 8,
+    "dedup_lsh_incremental": 3,
+    "dedup_fused": 4,
+    "dedup_chunk_exact": 1,
+    "dedup_minhash_calibration": 4,
+    "dedup_pair_triangles": 244,
+    "dedup_substring_runs": 3,
+    "dedup_cdc_chunks": 1,
+    "dedup_split_leakage": 4,
+    "dedup_threshold_sweep": 4,
+    "dedup_lsh_precision_recall": 12,
+    "graph_clustering_coeff": 188,
+}
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "name", sorted(_MERGE_PIN_EXPECT), ids=lambda n: n
+)
+def test_never_broadcast_merge_pins_hold(spark, name):
+    df = all_specs()[name].fn(spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    hints = qe.analyzed().toString().count("strategy=merge")
+    assert hints >= _MERGE_PIN_EXPECT[name], (
+        f"{name}: {hints} merge hints in the analyzed plan, expected >= "
+        f"{_MERGE_PIN_EXPECT[name]} — a never_broadcast pin was dropped "
+        "(plans/broadcast.py): this re-opens the 256x Generate-fan-out "
+        "broadcast-OOM window"
+    )
+    # physical confirmation: at fixture scale every side is tiny, so the
+    # pinned joins plan as SortMergeJoin ONLY because the hint forces it —
+    # without it Catalyst broadcasts (exactly the mid-scale hazard)
+    phys = qe.executedPlan().toString()
+    assert phys.count("SortMergeJoin") >= 1, name
