@@ -147,19 +147,15 @@ _SPECS: dict[str, QuerySpec] = {}
 #: Queries whose implementation was MATERIALLY rewritten this round —
 #: they preempt rolling-window slots so the re-certification happens
 #: under the driver hash in the same round as the rewrite (policy in
-#: scripts/rotate_window.py).  Round 9: the vacuous-certification fixes
-#: (round-8 verdict item 1) — every query whose latest driver row
-#: certified an EMPTY result was recalibrated to emit rows at the gate
-#: SF (predicates/keys changed, so fn AND oracle SQL both changed;
-#: non-emptiness now enforced by oracle.EMPTY_OK_BELOW_SF in the local
-#: gate).  q22_idle_customers stays empty at sf0.001 by design (tail
-#: threshold on 150 customers) and is flagged there.
-#: NOT listed (r8 shared-relation precedent): round-9's PHYSICAL-only
-#: plan truncations — the _daily pushdown+persist, the simhash-signature
-#: persist, and the cdc/pretrain_mix/dau_wau/pairs/zscore/q11
-#: localCheckpoints — change no logical result: every directly-touched
-#: query surface re-gated bit-exact at sf0.001+sf0.01+sf0.1, and the
-#: whole registry swept 324/324 at both gate SFs on the round-end tree.
+#: scripts/rotate_window.py).  Round 10: the two formerly rows-only HLL
+#: sketches converted to SELF-CERTIFYING form (round-9 verdict item 6) —
+#: each now emits the exact distinct count plus an in-plan boolean
+#: asserting the engine-specific sketch estimate lands within its
+#: theoretical error bound (3x rsd / 3 sigma), so the emitted row hashes
+#: identically cross-engine and both queries gained full DuckDB oracles.
+#: NOT listed (r8/r9 shared-relation precedent): round-10's PHYSICAL-only
+#: changes — the events_dau_wau memoized checkpoint (bench amortization)
+#: changes no logical result.
 #: NEXT-ROUND RITUAL: replace this tuple with the queries rewritten in
 #: THAT round (empty tuple if none), then `python scripts/rotate_window.py
 #: --write` — it regenerates _CHECK_FIRST and WINDOW_r{N}.json from the
@@ -167,79 +163,74 @@ _SPECS: dict[str, QuerySpec] = {}
 #: (--write refuses stale entries: a CHANGED name whose latest driver row
 #: is already from the round being built aborts the rotation.)
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "roundtrip_zorder_layout",   # dead 1994 date slice -> 1996 (non-empty)
-    "ts_zscore_xsection",        # per-date cross-section -> per-month
-    "ts_pairs_spread",           # single-asset legs -> even/odd baskets
-    "dq_duplicate_orders",       # exact-cents dup key -> (cust, orderdate)
-    "q11_important_parts",       # total/1000 threshold -> 1.5x avg, int64
-    "q20_excess_shippers",       # qty>60 -> qty>30 (nation filter survives)
-    "q22_idle_customers",        # never-ordered -> no orders since 1998
-    "dedup_cross_source",        # md5(text) -> 30-token prefix fingerprint
+    "events_approx_distinct",  # rows-only sketch -> exact + bound verdict
+    "events_hll_rollup",       # rows-only sketch -> exact + bound verdict
 )
 
 # --- BEGIN AUTO-GENERATED WINDOW (scripts/rotate_window.py) ---
-#: Round-9 window, computed by `python scripts/rotate_window.py --write`
-#: from CORRECTNESS_r01..r08 + CHANGED_THIS_ROUND (policy above).
+#: Round-10 window, computed by `python scripts/rotate_window.py --write`
+#: from CORRECTNESS_r01..r09 + CHANGED_THIS_ROUND (policy above).
 _CHECK_FIRST: tuple[str, ...] = (
-    "multimodal_jpeg_roundtrip",
-    "multimodal_mulaw_roundtrip",
-    "multimodal_png_decode",
-    "roundtrip_zorder_layout",
-    "ts_zscore_xsection",
-    "ts_pairs_spread",
-    "dq_duplicate_orders",
-    "q11_important_parts",
-    "q20_excess_shippers",
-    "q22_idle_customers",
-    "dedup_cross_source",
-    "ts_lag_returns",
-    "ts_ntile_pct_rank",
-    "ts_range_frame",
-    "ts_resample_ffill",
-    "ts_vwap",
-    "unnest_top_tokens",
-    "window_navigation",
-    "array_agg_orders",
-    "dedup_clusters",
-    "dedup_clusters_apply",
-    "dedup_exact",
-    "dedup_exact_apply",
-    "dedup_simhash_signatures",
-    "events_hourly_anomaly",
-    "events_retention",
-    "grouped_map_demean",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_payload_stats",
-    "pivot_status",
-    "q2_best_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "sample_stratified",
-    "stats_corr",
-    "text_fingerprint",
-    "text_hash_split",
-    "text_language_id",
-    "text_levenshtein",
-    "text_quality",
-    "text_repetition",
-    "text_subtoken_count",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "text_udtf_sentences",
-    "ts_cross_rank",
-    "ts_linreg_slope",
-    "ts_ohlc_bars",
+    "events_approx_distinct",
+    "events_hll_rollup",
+    "udaf_rms_quantity",
+    "udf_scalar_acct_band",
+    "vec_ann_ivf",
+    "vec_label_stats",
+    "vec_near_dup",
+    "asof_join_forward",
+    "asof_join_tolerance",
+    "dedup_clusters_semantic",
+    "dedup_clusters_star",
+    "dedup_fused",
+    "dedup_lsh_incremental",
+    "dedup_semantic",
+    "dq_orders_audit",
+    "events_funnel_conversion",
+    "events_funnel_pivot",
+    "events_funnel_timeout",
+    "events_json_extract",
+    "events_json_keys",
+    "events_sessionize",
+    "events_type_transitions",
+    "events_value_histogram",
+    "merge_upsert_orders",
+    "multimodal_audio_features",
+    "multimodal_ppm_decode",
+    "pii_scrub_names",
+    "pipeline_corpus_curation",
+    "q10_returned_items",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q21_sole_return_supplier",
+    "q9_product_profit",
+    "sample_weighted",
+    "scd2_price_intervals",
+    "snapshot_diff_orders",
+    "source_pagerank",
+    "source_quality_profile",
+    "sql_recursive_rollup",
+    "stats_profile_lineitem",
+    "string_agg_statuses",
+    "text_bigram_novelty",
+    "text_boilerplate_spans",
+    "text_contamination",
+    "text_pack_sequences",
+    "unpivot_lineitem_measures",
+    "vec_ann_lsh_multiprobe",
 )
 # --- END AUTO-GENERATED WINDOW ---
 
 #: Rows-only by design (no oracle SQL can hash-match): never spend a
 #: certification-window slot on these — the driver records a weaker
-#: rows-only check and any hash row would be red forever.
-ROWS_ONLY: frozenset[str] = frozenset(
-    {"events_approx_distinct", "events_hll_rollup"}
-)
+#: rows-only check and any hash row would be red forever.  EMPTY since
+#: round 10: the two HLL sketches (the only members) became hash-
+#: certifiable by emitting exact counts + an in-plan bound verdict
+#: instead of the raw engine-specific estimate.
+ROWS_ONLY: frozenset[str] = frozenset()
 
 
 def register(
