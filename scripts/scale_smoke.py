@@ -70,6 +70,74 @@ def replicate_documents(spark, factor: int) -> str:
     return WORK
 
 
+#: Per-stage task-metric fields summed over the stages a timed shape ran
+#: (Spark REST API v1, /applications/{app}/stages).  These are the
+#: saturation witnesses the round-9 512x caveat lacked: shuffle SPILL
+#: bytes and GC time rising faster than data is memory saturation;
+#: flat spill/GC with rising wall would instead point at a plan problem.
+_SUM_FIELDS = (
+    "memoryBytesSpilled",
+    "diskBytesSpilled",
+    "jvmGcTime",
+    "executorRunTime",
+    "shuffleWriteBytes",
+    "inputBytes",
+)
+
+
+def _stages_map(spark) -> dict | None:
+    """(stageId, attemptId) -> metric dict for every COMPLETE stage the UI
+    store retains (retainedStages is raised in main(), so nothing evicts
+    within a run).  None when the UI/REST endpoint is off."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
+    try:
+        with urllib.request.urlopen(url, timeout=30) as r:
+            stages = json.load(r)
+    except Exception:
+        return None
+    out = {}
+    for st in stages:
+        key = (st.get("stageId"), st.get("attemptId"))
+        out[key] = {f: int(st.get(f) or 0) for f in _SUM_FIELDS}
+        out[key]["peakExecutionMemory"] = int(st.get("peakExecutionMemory") or 0)
+    return out
+
+
+def _metrics_delta(before: dict | None, after: dict | None) -> dict | None:
+    """Executor-side evidence for the stages that completed between the
+    two snapshots: summed spill/GC/runtime/IO plus the max single-stage
+    peak execution memory (the unified-memory high-water mark that decides
+    whether sort-merge spills)."""
+    if before is None or after is None:
+        return None
+    new = [v for k, v in after.items() if k not in before]
+    mb = 1024 * 1024
+    return {
+        "stages": len(new),
+        "spill_mem_mb": round(sum(v["memoryBytesSpilled"] for v in new) / mb, 1),
+        "spill_disk_mb": round(sum(v["diskBytesSpilled"] for v in new) / mb, 1),
+        "gc_s": round(sum(v["jvmGcTime"] for v in new) / 1000.0, 2),
+        "exec_run_s": round(sum(v["executorRunTime"] for v in new) / 1000.0, 2),
+        "shuffle_write_mb": round(sum(v["shuffleWriteBytes"] for v in new) / mb, 1),
+        "input_mb": round(sum(v["inputBytes"] for v in new) / mb, 1),
+        "peak_exec_mem_mb": round(
+            max((v["peakExecutionMemory"] for v in new), default=0) / mb, 1
+        ),
+    }
+
+
+#: shape name -> metrics delta of its LAST timed (cold) evaluation;
+#: main() attaches these to the JSON report per phase
+METRICS: dict[str, dict] = {}
+_CURRENT_SHAPE: list[str] = [""]
+
+
 def timed(fn) -> float:
     # the engine's operators deliberately persist reused intermediates
     # (hashed shingle arrays, verified pair relations — ops/dedup.py);
@@ -82,9 +150,23 @@ def timed(fn) -> float:
     s = SparkSession.getActiveSession()
     if s is not None:
         s.catalog.clearCache()
+    # Python-level memos are warm state too: the bench-amortization memos
+    # (PQ codebook, dau_wau's checkpointed active-days relation) would
+    # otherwise turn a "cold" timed run into a cache read
+    from findb_spark.queries.events_analytics import _UD_MEMO
+    from findb_spark.queries.vector_queries import _PQ_CB_MEMO
+
+    _UD_MEMO.clear()
+    _PQ_CB_MEMO.clear()
+    before = _stages_map(s) if s is not None else None
     t0 = time.monotonic()
     fn()
-    return round(time.monotonic() - t0, 3)
+    wall = round(time.monotonic() - t0, 3)
+    after = _stages_map(s) if s is not None else None
+    m = _metrics_delta(before, after)
+    if m is not None and _CURRENT_SHAPE[0]:
+        METRICS[_CURRENT_SHAPE[0]] = m
+    return wall
 
 
 #: optional shape-name filter (--only a,b,c): a 64x run can focus on the
@@ -93,7 +175,14 @@ ONLY: set | None = None
 
 
 def run_shapes(shapes: dict) -> dict[str, float]:
-    return {k: timed(v) for k, v in shapes.items() if ONLY is None or k in ONLY}
+    out: dict[str, float] = {}
+    for k, v in shapes.items():
+        if ONLY is not None and k not in ONLY:
+            continue
+        _CURRENT_SHAPE[0] = k
+        out[k] = timed(v)
+        _CURRENT_SHAPE[0] = ""
+    return out
 
 
 WORKLOAD_KEYS = frozenset({
@@ -627,7 +716,18 @@ def main() -> None:
                 f"known: {sorted(known)}"
             )
     factor = int(args[0]) if args else 8
-    spark = get_spark(app_name="scale_smoke")
+    # UI store ON for this session: the REST stages endpoint is the
+    # spill/GC evidence source (round-9 verdict item 2 — the 512x
+    # box-saturation attribution needs measured spill, not plausibility)
+    spark = get_spark(
+        app_name="scale_smoke",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4048",
+            "spark.ui.retainedStages": "50000",
+            "spark.ui.retainedJobs": "50000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     workload(spark, BASE_SF)  # warm-up: codegen/broadcast first-run costs
     base = workload(spark, BASE_SF)
@@ -657,6 +757,8 @@ def main() -> None:
         if li_sel
         else 0
     )
+    base_metrics = dict(METRICS)
+    METRICS.clear()
     workload(spark, scaled_dir)  # warm-up the scaled plans too
     scaled = workload(spark, scaled_dir)
     dedup_workload(spark, scaled_dir)  # warm-up
@@ -675,6 +777,16 @@ def main() -> None:
                         "base_s": base[k],
                         "scaled_s": scaled[k],
                         "ratio": round(scaled[k] / max(base[k], 1e-9), 2),
+                        **(
+                            {"base_metrics": base_metrics[k]}
+                            if k in base_metrics
+                            else {}
+                        ),
+                        **(
+                            {"scaled_metrics": METRICS[k]}
+                            if k in METRICS
+                            else {}
+                        ),
                     }
                     for k in base
                 },
