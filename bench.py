@@ -58,10 +58,17 @@ def main() -> None:
     # retainedJobs/retainedStages default to 1000: a job-heavy bench session
     # can evict early jobs from the status tracker, making _plan_fingerprint
     # undercount machine-dependently and read as a spurious plan change
-    # (round-8 advisor finding) — raise both for bench sessions
+    # (round-8 advisor finding) — raise both for bench sessions.
+    # UI store ON (round-10 verdict item 2): the REST stages endpoint is
+    # the per-query executor-CPU source — this round proved wall alone is
+    # not cross-round comparable (judge wall +35% vs driver on 27/27
+    # identical plan fingerprints, pure box load).  The async listener-bus
+    # cost of the UI store is shared by every run on the same basis.
     spark = get_spark(
         app_name="findb_spark_bench",
         extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4047",
             "spark.ui.retainedJobs": "20000",
             "spark.ui.retainedStages": "20000",
         },
@@ -133,6 +140,14 @@ def main() -> None:
     eager: list[str] = []
     errors: dict[str, str] = {}
     plans: dict[str, dict[str, int]] = {}
+    # per-query executor cost via REST snapshot deltas (serial execution,
+    # so stages completing between two snapshots belong to the span
+    # between them); snapshots sit OUTSIDE the timed windows
+    from findb_spark.metrics import exec_cpu_delta_s, stages_snapshot
+
+    cpu: dict[str, float] = {}
+    run_elapsed: dict[str, float] = {}
+    metric_fields_missing: list[str] = []
 
     def _plan_fingerprint(group: str) -> dict[str, int]:
         """Job/stage/task counts for a job group — a machine-noise-immune
@@ -176,20 +191,30 @@ def main() -> None:
     pq_memo: dict[str, list[bool]] = {}
 
     for spec in specs:
-        runs, bts = [], []
+        runs, bts, run_cpus, build_cpus, run_els = [], [], [], [], []
         try:
             for i in range(2):
                 if "pq" in spec.name:
                     pq_memo.setdefault(spec.name, []).append(bool(_PQ_CB_MEMO))
+                s0, miss = stages_snapshot(spark)
+                if miss and not metric_fields_missing:
+                    metric_fields_missing = miss
                 group = f"bench-build-{spec.name}-{i}"
                 sc.setJobGroup(group, f"build {spec.name}")
                 t0 = time.perf_counter()
                 df = spec.fn(spark, sf_dir)
                 bts.append(time.perf_counter() - t0)
+                s1, _ = stages_snapshot(spark)
                 sc.setJobGroup(f"bench-run-{spec.name}-{i}", f"run {spec.name}")
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
+                s2, _ = stages_snapshot(spark)
+                bc, rc = exec_cpu_delta_s(s0, s1), exec_cpu_delta_s(s1, s2)
+                if bc is not None and rc is not None:
+                    build_cpus.append(bc["cpu_s"])
+                    run_cpus.append(rc["cpu_s"])
+                    run_els.append(rc["run_s"])
                 if i == 0 and tracker.getJobIdsForGroup(group):
                     eager.append(spec.name)
         except Exception as e:  # noqa: BLE001 — one broken query must not
@@ -197,6 +222,18 @@ def main() -> None:
             errors[spec.name] = str(e).splitlines()[0][:200]
             continue
         run, build = min(runs), min(bts)
+        # executor-cost twin of the wall headline, same min-of-2 +
+        # eager-build-inclusion accounting: cpu_s sums executorCpuTime
+        # (OS CPU counter — immune to the box-load noise that made the
+        # round-10 judge/driver walls differ 35% on identical plans);
+        # run_s sums per-task elapsed time (the scale-smoke basis)
+        if run_cpus:
+            cpu[spec.name] = round(
+                min(run_cpus)
+                + (min(build_cpus) if spec.name in EAGER_BUILD_INCLUDED else 0.0),
+                3,
+            )
+            run_elapsed[spec.name] = round(min(run_els), 3)
         # fingerprint the SECOND run: steady state (caches hot, AQE
         # re-plans settled), matching what min-of-2 reports
         plans[spec.name] = _plan_fingerprint(f"bench-run-{spec.name}-1")
@@ -248,6 +285,16 @@ def main() -> None:
             3,
         ),
         "amortized_one_time": amortized,
+        # round-10 verdict item 2: executor CPU seconds per headline query
+        # (min-of-2, eager builds included per the frozen membership) —
+        # quote THIS for round-over-round comparisons, not wall
+        "exec_cpu_s": cpu,
+        "exec_cpu_total": round(sum(cpu.values()), 3),
+        "exec_run_s": run_elapsed,
+        # non-empty = the REST stage endpoint lacked expected metric
+        # fields (or the fetch failed): exec_cpu zeros are then
+        # "unmeasured", not measured-zero (round-10 advisor)
+        "metric_fields_missing": metric_fields_missing,
         # per PQ query: was the trained-codebook memo already populated at
         # the start of iteration [0, 1]?  [false, true] = this query paid
         # training in iter 0, min-of-2 reports the memo-hit steady state;

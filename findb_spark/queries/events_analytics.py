@@ -40,6 +40,16 @@ def _active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _UD_MEMO:
         ev = load_table(spark, sf_dir, "events")
         ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+        # Eviction drops the only Python reference; there is no public
+        # unpersist for a localCheckpoint's backing RDD (the DataFrame's
+        # .rdd / toRdd() are DERIVED RDDs — unpersisting them would not
+        # touch the checkpoint blocks).  GC is sufficient here: once the
+        # py4j proxy is collected, the JVM-side RDD becomes unreachable
+        # and the ContextCleaner drops its blocks; lingering is bounded
+        # by one GC cycle x <= _UD_MEMO_MAX tiny relations (|users x
+        # active days| rows each, orders of magnitude under the events
+        # table).  (Round-10 advisor note — same bounded-state contract
+        # as the PQ codebook memo.)
         while len(_UD_MEMO) >= _UD_MEMO_MAX:
             _UD_MEMO.pop(next(iter(_UD_MEMO)))
         _UD_MEMO[key] = ud.localCheckpoint(eager=False)

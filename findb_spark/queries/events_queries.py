@@ -11,6 +11,54 @@ from findb_spark.ops.events import event_type_pivot, sessionize, tumbling_agg
 from findb_spark.registry import register
 from findb_spark.session import load_table
 
+# --- sketch self-certification (round-9 verdict item 6, hardened r11) -------
+#
+# The two sketch queries below emit (exact distinct + an in-plan boolean
+# asserting the engine-specific estimate lands within its theoretical
+# bound), so the row hashes identically cross-engine while a broken sketch
+# path still reads false.  The DuckDB oracle hardcodes TRUE for the
+# verdict, which opens a tautology window: a bound expression that can
+# never read false would certify forever (the round-8 vacuous-
+# certification class, one level up).  The two seams below exist so
+# tests/test_sketch_selfcert.py can MUTATION-VERIFY the bound: it swaps
+# each estimator for a corrupted one (exact * 2), re-runs the REAL
+# registered query, and asserts every verdict flips to false.  Neutering
+# the bound (flipping the comparison, dropping the estimate) fails that
+# test, so the certification cannot silently go vacuous.
+#
+# RECALIBRATION (round-10 advisor note): the bound turns a probabilistic
+# guarantee into a hard parity gate.  Margins are generous — observed
+# worst rel-err at sf0.1 is 6.7% vs the 15% rsd bound and 1.3% vs the 5%
+# sigma bound — but a new corpus whose deterministic HLL error
+# legitimately exceeds them would hash-fail against the oracle's TRUE
+# even with a correct engine.  If that happens: widen the percent
+# constant here (only here — the oracle asserts the verdict boolean, not
+# the margin, so the two engines cannot drift), re-run the mutation test
+# (which must still flip at exact*2), and record the new observed margin
+# in the query description.
+
+#: 3x the requested rsd (0.05) for approx_count_distinct, in percent.
+_APPROX_DISTINCT_BOUND_PCT = 15
+#: 3 sigma of the datasketches HLL bound at default lgConfigK=12
+#: (1.04/sqrt(2^12) ~ 1.6% -> 5%), in percent.
+_HLL_UNION_BOUND_PCT = 5
+
+
+def _approx_distinct_estimate(col: str) -> F.Column:
+    """HyperLogLog++ estimate — the mutation seam for the 3x-rsd bound."""
+    return F.approx_count_distinct(col, 0.05)
+
+
+def _hll_union_estimate(sketch_col: str) -> F.Column:
+    """Merged-sketch estimate (hll_union_agg of per-day hll_sketch_agg
+    partials) — the mutation seam for the 3-sigma bound."""
+    return F.hll_sketch_estimate(F.hll_union_agg(sketch_col))
+
+
+def _sketch_bound_verdict(est: F.Column, exact: F.Column, pct: int) -> F.Column:
+    """Integer-exact bound check: |est - exact| <= pct% of exact."""
+    return F.abs(est - exact) * F.lit(100) <= exact * F.lit(pct)
+
 
 @register(
     "events_json_extract",
@@ -156,7 +204,7 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.05).alias("_est"),
+            _approx_distinct_estimate("user_id").alias("_est"),
             F.count_distinct("user_id").alias("n_users_exact"),
             F.count("*").alias("n_events"),
         )
@@ -164,10 +212,8 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("n_users_exact").cast("bigint").alias("n_users_exact"),
             "n_events",
-            # integer-exact bound check: |est - exact| <= 0.15 * exact
-            (
-                F.abs(F.col("_est") - F.col("n_users_exact")) * F.lit(100)
-                <= F.col("n_users_exact") * F.lit(15)
+            _sketch_bound_verdict(
+                F.col("_est"), F.col("n_users_exact"), _APPROX_DISTINCT_BOUND_PCT
             ).alias("sketch_within_3rsd"),
         )
     )
@@ -365,33 +411,44 @@ FROM events GROUP BY 1, 2
         "weekly distinct within 3 sigma of the datasketches HLL bound "
         "(1.04/sqrt(2^12) ~ 1.6% at the default lgConfigK=12 -> 5%), so "
         "the emitted row hashes cross-engine while a broken sketch/merge "
-        "path still reads false (worst observed rel err 1.3% at sf0.1)"
+        "path still reads false (worst observed rel err 1.3% at sf0.1; "
+        "recalibration procedure in the module header).  Certification "
+        "cost: sketch and exact branches share ONE persisted distinct "
+        "(user, day, type) relation — one events scan, not two; a "
+        "production rollup would keep only the sketch branch"
     ),
 )
 def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.date_trunc("day", "ts").alias("day"), F.col("event_type")
-    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    # ONE events scan (round-10 verdict item 6): both the sketch branch
+    # and the exact certification branch derive from this persisted
+    # distinct (user, day, type) relation — HLL is duplicate-insensitive,
+    # so sketching the distinct rows yields the identical sketch, and the
+    # relation is |users x active days x types|, bounded far under the
+    # event count at any SF.  Without the persist the self-cert would
+    # re-scan raw events for the exact side (the round-10 advisor note).
+    du = (
+        ev.select(
+            "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .distinct()
+        .persist()
+    )
+    daily = du.groupBy("day", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
     weekly = daily.groupBy(
         F.date_trunc("week", "day").alias("week"), F.col("event_type")
-    ).agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("_est")
-    )
-    # exact weekly distinct (users active on several days count once):
-    # a second bounded aggregate over the same scan, joined on the tiny
-    # (weeks x types) key — both sides are calendar-bounded at any SF
-    exact = ev.groupBy(
-        F.date_trunc("week", F.date_trunc("day", "ts")).alias("week"),
-        "event_type",
+    ).agg(_hll_union_estimate("sketch").alias("_est"))
+    exact = du.groupBy(
+        F.date_trunc("week", "day").alias("week"), "event_type"
     ).agg(F.count_distinct("user_id").alias("n_users_exact"))
     return weekly.join(exact, ["week", "event_type"]).select(
         F.unix_micros("week").alias("week_us"),
         "event_type",
         F.col("n_users_exact").cast("bigint").alias("n_users_exact"),
-        (
-            F.abs(F.col("_est") - F.col("n_users_exact")) * F.lit(100)
-            <= F.col("n_users_exact") * F.lit(5)
+        _sketch_bound_verdict(
+            F.col("_est"), F.col("n_users_exact"), _HLL_UNION_BOUND_PCT
         ).alias("sketch_within_3sigma"),
     )
 

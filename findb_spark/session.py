@@ -84,6 +84,65 @@ def get_spark(
     return builder.getOrCreate()
 
 
+#: AQE's advisory post-shuffle partition size — the coalesce target the
+#: initial grain is sized against (Spark default for
+#: spark.sql.adaptive.advisoryPartitionSizeInBytes).
+ADVISORY_PARTITION_BYTES = 64 * 1024 * 1024
+
+
+def auto_initial_partitions(
+    input_bytes: int,
+    explode_factor: float = 1.0,
+    cpus: int | None = None,
+) -> int:
+    """Size AQE's ``coalescePartitions.initialPartitionNum`` from the
+    measured rule (PARTITION_DIAL_r10, round-10 verdict item 3):
+    optimal grain ~= bytes-entering-the-shuffle / 64 MB.  On the 256x
+    n-gram Jaccard corpus (3.5 GB exploded) grain 128 beat grain 32 by
+    5.6x wall / 6.9x CPU; 512 over-fragmented (GC back to 14%).
+
+    ``input_bytes`` is the ON-DISK table size (see
+    :func:`table_input_bytes`); ``explode_factor`` is the operator
+    family's measured on-disk -> shuffle-bytes multiplier (e.g.
+    ``ops.dedup.SHINGLE_EXPLODE_BYTES_PER_INPUT_BYTE`` for the shingle
+    pipelines — parquet compresses text hard AND the explode multiplies
+    rows, so the multiplier is large).
+
+    Rounded UP to a power of two: AQE coalesces an over-fine grain back
+    to the 64 MB advisory size for free, but cannot split an over-coarse
+    one — so err high.  Floored at the core count: below that the grain
+    is not the bottleneck, and small inputs (every sf<=0.1 table) get
+    today's default — iterative operators' per-round fixed cost per
+    bucket (~8% of headline wall at sf0.1, measured) is why this is a
+    per-workload dial, never a global default."""
+    import math
+
+    cpus = cpus or DEFAULT_SHUFFLE_PARTITIONS
+    raw = (input_bytes * explode_factor) / ADVISORY_PARTITION_BYTES
+    if raw <= cpus:
+        return cpus
+    return 1 << math.ceil(math.log2(raw))
+
+
+def table_input_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of one parquet table: summed data-file sizes.
+
+    Driver-side filesystem walk — no Spark job, same numbers the
+    footer-stats manifest (manifest.py) sees per file; used to feed
+    :func:`auto_initial_partitions` without reading any data pages."""
+    path = table_path(sf_dir, name)
+    # driver testdata ships single-file tables; engine writers produce
+    # directories of part files — handle both
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def release_caches(spark: SparkSession) -> None:
     """Drop every deliberately-persisted intermediate relation.
 

@@ -70,66 +70,18 @@ def replicate_documents(spark, factor: int) -> str:
     return WORK
 
 
-#: Per-stage task-metric fields summed over the stages a timed shape ran
-#: (Spark REST API v1, /applications/{app}/stages).  These are the
-#: saturation witnesses the round-9 512x caveat lacked: shuffle SPILL
-#: bytes and GC time rising faster than data is memory saturation;
-#: flat spill/GC with rising wall would instead point at a plan problem.
-_SUM_FIELDS = (
-    "memoryBytesSpilled",
-    "diskBytesSpilled",
-    "jvmGcTime",
-    "executorRunTime",
-    "shuffleWriteBytes",
-    "inputBytes",
-)
+# Per-stage REST metric harvesting lives in findb_spark.metrics (shared
+# with bench.py since round 11).  These are the saturation witnesses the
+# round-9 512x caveat lacked: shuffle SPILL bytes and GC time rising
+# faster than data is memory saturation; flat spill/GC with rising wall
+# would instead point at a plan problem.  The shared helper also carries
+# a missing-fields list (round-10 advisor): a renamed REST field reports
+# as "unmeasured" in the JSON instead of silently zeroed evidence.
+from findb_spark.metrics import metrics_delta, stages_snapshot  # noqa: E402
 
-
-def _stages_map(spark) -> dict | None:
-    """(stageId, attemptId) -> metric dict for every COMPLETE stage the UI
-    store retains (retainedStages is raised in main(), so nothing evicts
-    within a run).  None when the UI/REST endpoint is off."""
-    import urllib.request
-
-    ui = spark.sparkContext.uiWebUrl
-    if not ui:
-        return None
-    app = spark.sparkContext.applicationId
-    url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
-    try:
-        with urllib.request.urlopen(url, timeout=30) as r:
-            stages = json.load(r)
-    except Exception:
-        return None
-    out = {}
-    for st in stages:
-        key = (st.get("stageId"), st.get("attemptId"))
-        out[key] = {f: int(st.get(f) or 0) for f in _SUM_FIELDS}
-        out[key]["peakExecutionMemory"] = int(st.get("peakExecutionMemory") or 0)
-    return out
-
-
-def _metrics_delta(before: dict | None, after: dict | None) -> dict | None:
-    """Executor-side evidence for the stages that completed between the
-    two snapshots: summed spill/GC/runtime/IO plus the max single-stage
-    peak execution memory (the unified-memory high-water mark that decides
-    whether sort-merge spills)."""
-    if before is None or after is None:
-        return None
-    new = [v for k, v in after.items() if k not in before]
-    mb = 1024 * 1024
-    return {
-        "stages": len(new),
-        "spill_mem_mb": round(sum(v["memoryBytesSpilled"] for v in new) / mb, 1),
-        "spill_disk_mb": round(sum(v["diskBytesSpilled"] for v in new) / mb, 1),
-        "gc_s": round(sum(v["jvmGcTime"] for v in new) / 1000.0, 2),
-        "exec_run_s": round(sum(v["executorRunTime"] for v in new) / 1000.0, 2),
-        "shuffle_write_mb": round(sum(v["shuffleWriteBytes"] for v in new) / mb, 1),
-        "input_mb": round(sum(v["inputBytes"] for v in new) / mb, 1),
-        "peak_exec_mem_mb": round(
-            max((v["peakExecutionMemory"] for v in new), default=0) / mb, 1
-        ),
-    }
+#: expected-but-absent REST metric fields (or fetch-failure reason) seen
+#: during this run; embedded in the report so zeros are auditable
+FIELDS_MISSING: list[str] = []
 
 
 #: shape name -> metrics delta of its LAST timed (cold) evaluation;
@@ -158,12 +110,14 @@ def timed(fn) -> float:
 
     _UD_MEMO.clear()
     _PQ_CB_MEMO.clear()
-    before = _stages_map(s) if s is not None else None
+    before, miss = stages_snapshot(s) if s is not None else (None, ["no-session"])
+    if miss and not FIELDS_MISSING:
+        FIELDS_MISSING.extend(miss)
     t0 = time.monotonic()
     fn()
     wall = round(time.monotonic() - t0, 3)
-    after = _stages_map(s) if s is not None else None
-    m = _metrics_delta(before, after)
+    after, _ = stages_snapshot(s) if s is not None else (None, [])
+    m = metrics_delta(before, after)
     if m is not None and _CURRENT_SHAPE[0]:
         METRICS[_CURRENT_SHAPE[0]] = m
     return wall
@@ -700,9 +654,18 @@ def _knn_graph_shape(emb, n_planes: int = 6):
 def main() -> None:
     global ONLY
     args = [a for a in sys.argv[1:]]
+    auto_grain = False
     for a in list(args):
         if a.startswith("--only="):
             ONLY = set(a.split("=", 1)[1].split(","))
+            args.remove(a)
+        elif a == "--auto-grain":
+            # size AQE's initial shuffle grain for the SCALED dedup
+            # corpus from the measured rule (session.
+            # auto_initial_partitions) — scoped to the explode-heavy
+            # dedup family only, per the measured globalizing trap
+            # (iterative operators pay per-round fixed cost per bucket)
+            auto_grain = True
             args.remove(a)
     if ONLY is not None:
         # a misspelled shape name would silently gate every workload to {}
@@ -761,8 +724,29 @@ def main() -> None:
     METRICS.clear()
     workload(spark, scaled_dir)  # warm-up the scaled plans too
     scaled = workload(spark, scaled_dir)
+    grain_info = None
+    if auto_grain and dedup_base:
+        from findb_spark.ops.dedup import SHINGLE_EXPLODE_BYTES_PER_INPUT_BYTE
+        from findb_spark.session import (
+            auto_initial_partitions,
+            table_input_bytes,
+        )
+
+        nbytes = table_input_bytes(scaled_dir, "documents")
+        grain = auto_initial_partitions(
+            nbytes, SHINGLE_EXPLODE_BYTES_PER_INPUT_BYTE
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(grain),
+        )
+        grain_info = {"docs_bytes": nbytes, "initial_partitions": grain}
     dedup_workload(spark, scaled_dir)  # warm-up
     scaled.update(dedup_workload(spark, scaled_dir))
+    if grain_info is not None:
+        spark.conf.unset(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        )
     vector_workload(spark, scaled_dir, factor)  # warm-up
     scaled.update(vector_workload(spark, scaled_dir, factor))
     events_workload(spark, scaled_dir)  # warm-up
@@ -772,6 +756,11 @@ def main() -> None:
             {
                 "factor": factor,
                 "rows": rows,
+                # non-empty = REST metric fields absent / fetch failed:
+                # zeroed spill/GC evidence is then "unmeasured", not
+                # measured-zero (round-10 advisor)
+                "metric_fields_missing": FIELDS_MISSING,
+                **({"auto_grain": grain_info} if grain_info else {}),
                 "queries": {
                     k: {
                         "base_s": base[k],

