@@ -147,15 +147,15 @@ _SPECS: dict[str, QuerySpec] = {}
 #: Queries whose implementation was MATERIALLY rewritten this round —
 #: they preempt rolling-window slots so the re-certification happens
 #: under the driver hash in the same round as the rewrite (policy in
-#: scripts/rotate_window.py).  Round 10: the two formerly rows-only HLL
-#: sketches converted to SELF-CERTIFYING form (round-9 verdict item 6) —
-#: each now emits the exact distinct count plus an in-plan boolean
-#: asserting the engine-specific sketch estimate lands within its
-#: theoretical error bound (3x rsd / 3 sigma), so the emitted row hashes
-#: identically cross-engine and both queries gained full DuckDB oracles.
-#: NOT listed (r8/r9 shared-relation precedent): round-10's PHYSICAL-only
-#: changes — the events_dau_wau memoized checkpoint (bench amortization)
-#: changes no logical result.
+#: scripts/rotate_window.py).  Round 11: events_hll_rollup's self-
+#: certification restructured to a SINGLE events scan — both the sketch
+#: branch and the exact branch now derive from one persisted distinct
+#: (user, day, type) relation (round-10 verdict item 6), a real change
+#: to what feeds the sketch aggregate (distinct rows instead of raw
+#: events; HLL is duplicate-insensitive, so the result is provably
+#: identical — re-certify anyway).  NOT listed (r10 physical-only
+#: precedent): events_approx_distinct's estimator-seam refactor for the
+#: mutation pin — the built expression tree is unchanged.
 #: NEXT-ROUND RITUAL: replace this tuple with the queries rewritten in
 #: THAT round (empty tuple if none), then `python scripts/rotate_window.py
 #: --write` — it regenerates _CHECK_FIRST and WINDOW_r{N}.json from the
@@ -163,64 +163,63 @@ _SPECS: dict[str, QuerySpec] = {}
 #: (--write refuses stale entries: a CHANGED name whose latest driver row
 #: is already from the round being built aborts the rotation.)
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "events_approx_distinct",  # rows-only sketch -> exact + bound verdict
-    "events_hll_rollup",       # rows-only sketch -> exact + bound verdict
+    "events_hll_rollup",  # self-cert now certifies from ONE events scan
 )
 
 # --- BEGIN AUTO-GENERATED WINDOW (scripts/rotate_window.py) ---
-#: Round-10 window, computed by `python scripts/rotate_window.py --write`
-#: from CORRECTNESS_r01..r09 + CHANGED_THIS_ROUND (policy above).
+#: Round-11 window, computed by `python scripts/rotate_window.py --write`
+#: from CORRECTNESS_r01..r10 + CHANGED_THIS_ROUND (policy above).
 _CHECK_FIRST: tuple[str, ...] = (
-    "events_approx_distinct",
     "events_hll_rollup",
-    "udaf_rms_quantity",
-    "udf_scalar_acct_band",
-    "vec_ann_ivf",
-    "vec_label_stats",
-    "vec_near_dup",
-    "asof_join_forward",
-    "asof_join_tolerance",
-    "dedup_clusters_semantic",
-    "dedup_clusters_star",
-    "dedup_fused",
-    "dedup_lsh_incremental",
-    "dedup_semantic",
-    "dq_orders_audit",
-    "events_funnel_conversion",
-    "events_funnel_pivot",
-    "events_funnel_timeout",
-    "events_json_extract",
-    "events_json_keys",
-    "events_sessionize",
-    "events_type_transitions",
-    "events_value_histogram",
-    "merge_upsert_orders",
-    "multimodal_audio_features",
-    "multimodal_ppm_decode",
-    "pii_scrub_names",
-    "pipeline_corpus_curation",
-    "q10_returned_items",
-    "q12_priority_classes",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_qty_revenue",
-    "q21_sole_return_supplier",
-    "q9_product_profit",
-    "sample_weighted",
-    "scd2_price_intervals",
-    "snapshot_diff_orders",
-    "source_pagerank",
-    "source_quality_profile",
-    "sql_recursive_rollup",
-    "stats_profile_lineitem",
-    "string_agg_statuses",
-    "text_bigram_novelty",
-    "text_boilerplate_spans",
-    "text_contamination",
-    "text_pack_sequences",
-    "unpivot_lineitem_measures",
-    "vec_ann_lsh_multiprobe",
+    "vec_ivf_kmeans",
+    "vec_quantize_int8",
+    "corpus_mixture_weights",
+    "corr_matrix_assets",
+    "customer_rfm",
+    "dedup_cdc_chunks",
+    "dedup_chunk_exact",
+    "dedup_minhash_calibration",
+    "dedup_pair_triangles",
+    "dedup_select_canonical",
+    "dedup_substring_runs",
+    "dq_documents_audit",
+    "events_attribution",
+    "events_run_lengths",
+    "events_sliding_hourly",
+    "events_variant_extract",
+    "pareto_part_revenue",
+    "pipeline_pretrain_mix",
+    "robust_mad",
+    "roundtrip_bucketed_join",
+    "roundtrip_compact_layout",
+    "roundtrip_csv_ingest",
+    "roundtrip_findb_db",
+    "roundtrip_findb_db_asof",
+    "roundtrip_incremental_bars",
+    "roundtrip_manifest_pruned_read",
+    "roundtrip_multiformat_ingest",
+    "roundtrip_schema_evolution",
+    "roundtrip_stream_dedup",
+    "roundtrip_stream_join",
+    "roundtrip_stream_sessionize",
+    "roundtrip_stream_tumbling",
+    "roundtrip_textlog_ingest",
+    "sql_udf_acct_band",
+    "text_bpe_merge_candidates",
+    "text_chunk_windows",
+    "text_heavy_hitters_cms",
+    "text_token_rarity",
+    "ts_drawdown",
+    "ts_ewma",
+    "vec_truncated_topk",
+    "winsorize_revenue",
+    "asof_bitemporal_diff",
+    "asof_join_shifted",
+    "bitmap_active_months",
+    "bloom_prefilter_join",
+    "dedup_cluster_stats",
+    "dedup_simhash_pairs",
+    "dq_freshness_lag",
 )
 # --- END AUTO-GENERATED WINDOW ---
 
