@@ -9,6 +9,12 @@ Each query is executed to completion with a noop sink (full plan runs,
 nothing collected to the driver — the honest cluster-style measurement;
 count() would let Spark prune the plan). One warm-up of the smallest query
 absorbs session/JIT startup.
+
+Wall seconds are the headline; since round 11 the line also carries
+``exec_cpu_s`` per query (summed executorCpuTime from the REST stage
+store — the load-immune basis for cross-run comparisons) plus
+``exec_run_s`` and ``metric_fields_missing`` (non-empty = REST fields
+absent, zeros unmeasured).
 """
 
 from __future__ import annotations

@@ -630,6 +630,13 @@ FROM m WHERE s > 0
     ),
 )
 def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overflow bound (round-11 audit): ``n_hours * sq - s * s`` is exact
+    int64 with n_hours calendar-bounded (~2e3) and sq/s² growing with
+    event volume squared — safe to roughly sf1000 (~2e9 events of one
+    type).  If a deployment ever trips Spark's ANSI overflow here, apply
+    the stats_welch_ttest round-11 fix pattern: the algebraically equal
+    double-tree form ``(CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s /
+    n_hours) / n_hours`` written identically on both engines."""
     ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hr")

@@ -49,8 +49,10 @@ SELECT n1, n2,
        CAST(s1 AS DOUBLE) / n1 AS mean1,
        CAST(s2 AS DOUBLE) / n2 AS mean2,
        (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
-         / SQRT(CAST(n1 * sq1 - s1 * s1 AS DOUBLE) / n1 / (n1 - 1) / n1
-                + CAST(n2 * sq2 - s2 * s2 AS DOUBLE) / n2 / (n2 - 1) / n2)
+         / SQRT((CAST(sq1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                  / (n1 - 1) / n1
+                + (CAST(sq2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                  / (n2 - 1) / n2)
          AS t_stat
 FROM w
 """,
@@ -58,7 +60,13 @@ FROM w
     description=(
         "Welch's unequal-variance t statistic between two order-priority "
         "cohorts on total price (dollar-quantized exact moments; sqrt is "
-        "IEEE-correctly-rounded so the statistic is deterministic)"
+        "IEEE-correctly-rounded so the statistic is deterministic).  "
+        "Round-11 overflow fix: the variance combination is the "
+        "algebraically equal (sq - s*s/n)/(n-1)/n with s squared in "
+        "DOUBLE — n*sq and s*s overflow int64 once a ~30k-row cohort of "
+        "~1e5-dollar totals appears (hit at sf0.1 on regenerated data); "
+        "every input int64 converts exactly (< 2^53 far past sf1) and "
+        "the identical op tree keeps the float deterministic cross-engine"
     ),
 )
 def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,10 +92,14 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         F.expr("CAST(s1 AS DOUBLE) / n1").alias("mean1"),
         F.expr("CAST(s2 AS DOUBLE) / n2").alias("mean2"),
+        # overflow-safe variance combination: see the registered SQL's
+        # description — identical op tree on both engines
         F.expr(
             "(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)"
-            " / SQRT(CAST(n1 * sq1 - s1 * s1 AS DOUBLE) / n1 / (n1 - 1) / n1"
-            " + CAST(n2 * sq2 - s2 * s2 AS DOUBLE) / n2 / (n2 - 1) / n2)"
+            " / SQRT((CAST(sq1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)"
+            " / (n1 - 1) / n1"
+            " + (CAST(sq2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)"
+            " / (n2 - 1) / n2)"
         ).alias("t_stat"),
     )
 
@@ -1211,10 +1223,12 @@ g AS (
 ),
 parts AS (
   -- SSB = sum(s_g^2/n_g) - s_tot^2/n_tot ; SSW = sum(sq_g) - sum(s_g^2/n_g).
-  -- Each group's s^2/n term is a deterministic double (one int64 square,
-  -- one cast, one divide) but a plain SUM over groups would be
+  -- Each group's s^2/n term is a deterministic double (one exact int->
+  -- double conversion, one multiply, one divide — s squared in DOUBLE
+  -- since round 11: s*s in int64 overflows once a group's dollar sum
+  -- passes ~3e9, hit at sf0.1) but a plain SUM over groups would be
   -- order-dependent: fxp-quantize per group at 1e2, sum exactly
-  SELECT CAST(SUM(CAST(FLOOR(CAST(s * s AS DOUBLE) / n * 100 + 0.5)
+  SELECT CAST(SUM(CAST(FLOOR(CAST(s AS DOUBLE) * s / n * 100 + 0.5)
                        AS BIGINT)) AS DOUBLE) / 100 AS sum_sg2_ng,
          CAST(SUM(sq) AS BIGINT) AS sq_tot
   FROM m
@@ -1241,10 +1255,12 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-moment aggregate, then arithmetic on a k-row relation.
 
     Float-determinism: each group's s^2/n is a deterministic double
-    (int64 square -> one cast -> one divide), but summing k doubles is
-    order-dependent, so the terms are fxp-quantized at 1e2 and summed as
-    exact integers — the same order-independence idiom every money sum
-    here uses."""
+    (exact int->double conversion -> one multiply -> one divide; the
+    square moved from int64 to DOUBLE in round 11 because s*s overflows
+    int64 once a group's dollar sum passes ~3e9 — hit at sf0.1 on
+    regenerated data), but summing k doubles is order-dependent, so the
+    terms are fxp-quantized at 1e2 and summed as exact integers — the
+    same order-independence idiom every money sum here uses."""
     o = load_table(spark, sf_dir, "orders")
     d = o.select(
         F.col("o_orderpriority").alias("grp"),
@@ -1264,7 +1280,7 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum(
                 F.floor(
-                    F.expr("CAST(s * s AS DOUBLE) / n") * 100 + F.lit(0.5)
+                    F.expr("CAST(s AS DOUBLE) * s / n") * 100 + F.lit(0.5)
                 ).cast("bigint")
             ).cast("double")
             / 100

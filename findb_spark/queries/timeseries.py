@@ -481,8 +481,10 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {_DAILY_CTE},
 d AS (
-  SELECT asset_id, date, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  SELECT asset_id, date // 100 AS month,
+         ARG_MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), date) AS v
   FROM daily WHERE asset_id <= 10
+  GROUP BY 1, 2
 ),
 p AS (
   SELECT a.asset_id AS a1, b.asset_id AS a2,
@@ -490,7 +492,7 @@ p AS (
          SUM(a.v) AS sx, SUM(b.v) AS sy,
          SUM(a.v * b.v) AS sxy,
          SUM(a.v * a.v) AS sxx, SUM(b.v * b.v) AS syy
-  FROM d a JOIN d b ON a.date = b.date AND a.asset_id < b.asset_id
+  FROM d a JOIN d b ON a.month = b.month AND a.asset_id < b.asset_id
   GROUP BY 1, 2
 )
 SELECT a1, a2, n,
@@ -502,10 +504,17 @@ FROM p WHERE n >= 2
 """,
     category="timeseries",
     description=(
-        "Pairwise asset correlation matrix: date-aligned self-join + exact "
-        "integer moment sums (one shuffle on date, Pearson from closed "
-        "form). At K assets the join is K^2-per-date — for wide K pivot "
-        "to per-date vectors and matrix-multiply instead"
+        "Pairwise asset correlation matrix over MONTH-END prices: "
+        "month-aligned self-join + exact integer moment sums (one shuffle "
+        "on month, Pearson from closed form).  Monthly since round 11: "
+        "per-DAY alignment went structurally empty as the asset space "
+        "outgrew per-asset observations (~30 dates/asset at sf0.1 — two "
+        "sparse daily series share almost no exact dates), the identical "
+        "sparsity class ts_zscore_xsection hit in round 9; month-end "
+        "alignment is dense at every SF and calendar-bounds every moment "
+        "(n <= months, int64-safe at any data size).  At K assets the "
+        "join is K^2-per-month — for wide K pivot to per-month vectors "
+        "and matrix-multiply instead"
     ),
 )
 def corr_matrix_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,17 +523,19 @@ def corr_matrix_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         _daily(spark, sf_dir)
         .where(F.col("asset_id") <= 10)
-        .select(
-            "asset_id",
-            "date",
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+        .groupBy("asset_id", F.expr("date div 100").alias("month"))
+        .agg(
+            F.max_by(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+                F.col("date"),
+            ).alias("v")
         )
     )
     a, b = d.alias("a"), d.alias("b")
     p = (
         a.join(
             b,
-            (F.col("a.date") == F.col("b.date"))
+            (F.col("a.month") == F.col("b.month"))
             & (F.col("a.asset_id") < F.col("b.asset_id")),
         )
         .groupBy(F.col("a.asset_id").alias("a1"), F.col("b.asset_id").alias("a2"))

@@ -156,6 +156,15 @@ _SPECS: dict[str, QuerySpec] = {}
 #: identical — re-certify anyway).  NOT listed (r10 physical-only
 #: precedent): events_approx_distinct's estimator-seam refactor for the
 #: mutation pin — the built expression tree is unchanged.
+#: Also listed: the three defects the round-11 full sf0.1 sweep exposed
+#: on the freshly regenerated testdata (latent since birth, surfaced by
+#: new data magnitudes) — corr_matrix_assets recalibrated from per-day
+#: to per-month alignment (daily exact-date pairing went structurally
+#: EMPTY as assets outgrew per-asset observations, the r9
+#: ts_zscore_xsection sparsity class), and stats_welch_ttest /
+#: stats_anova_f restructured to overflow-safe double-tree variance
+#: forms (n*sq and s*s overflow int64 once a ~30k-row dollar cohort
+#: appears).  All three re-verified bit-exact at sf0.001/0.01/0.1.
 #: NEXT-ROUND RITUAL: replace this tuple with the queries rewritten in
 #: THAT round (empty tuple if none), then `python scripts/rotate_window.py
 #: --write` — it regenerates _CHECK_FIRST and WINDOW_r{N}.json from the
@@ -163,7 +172,10 @@ _SPECS: dict[str, QuerySpec] = {}
 #: (--write refuses stale entries: a CHANGED name whose latest driver row
 #: is already from the round being built aborts the rotation.)
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "events_hll_rollup",  # self-cert now certifies from ONE events scan
+    "events_hll_rollup",     # self-cert now certifies from ONE events scan
+    "corr_matrix_assets",    # per-day -> per-month alignment (empty at sf0.1)
+    "stats_welch_ttest",     # int64 overflow -> double-tree variance
+    "stats_anova_f",         # int64 overflow -> double-tree s^2/n terms
 )
 
 # --- BEGIN AUTO-GENERATED WINDOW (scripts/rotate_window.py) ---
@@ -171,10 +183,12 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: from CORRECTNESS_r01..r10 + CHANGED_THIS_ROUND (policy above).
 _CHECK_FIRST: tuple[str, ...] = (
     "events_hll_rollup",
+    "corr_matrix_assets",
+    "stats_welch_ttest",
+    "stats_anova_f",
     "vec_ivf_kmeans",
     "vec_quantize_int8",
     "corpus_mixture_weights",
-    "corr_matrix_assets",
     "customer_rfm",
     "dedup_cdc_chunks",
     "dedup_chunk_exact",
@@ -218,8 +232,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "bitmap_active_months",
     "bloom_prefilter_join",
     "dedup_cluster_stats",
-    "dedup_simhash_pairs",
-    "dq_freshness_lag",
 )
 # --- END AUTO-GENERATED WINDOW ---
 
