@@ -615,9 +615,9 @@ m AS (
 )
 SELECT event_type, n_hours,
        CAST(s AS DOUBLE) / n_hours AS mean_per_hour,
-       CAST(n_hours * sq - s * s AS DOUBLE) / (n_hours * n_hours)
+       (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_hours) / n_hours
          AS var_per_hour,
-       (CAST(n_hours * sq - s * s AS DOUBLE) / (n_hours * n_hours))
+       ((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_hours) / n_hours)
          / (CAST(s AS DOUBLE) / n_hours) AS fano_factor
 FROM m WHERE s > 0
 """,
@@ -630,13 +630,17 @@ FROM m WHERE s > 0
     ),
 )
 def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overflow bound (round-11 audit): ``n_hours * sq - s * s`` is exact
-    int64 with n_hours calendar-bounded (~2e3) and sq/s² growing with
-    event volume squared — safe to roughly sf1000 (~2e9 events of one
-    type).  If a deployment ever trips Spark's ANSI overflow here, apply
-    the stats_welch_ttest round-11 fix pattern: the algebraically equal
-    double-tree form ``(CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s /
-    n_hours) / n_hours`` written identically on both engines."""
+    """Volume-unbounded moment, overflow-safe (round-12, closing the
+    round-11 audit's one remaining int64-moment site): the old exact form
+    ``n_hours * sq - s * s`` trips ANSI int64 overflow near sf1000 (~2e9
+    events of one type ⇒ n_hours·Σn² ≈ 2^63).  Rewritten to the
+    algebraically equal double-tree form from the stats_welch_ttest
+    round-11 fix — ``(CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s /
+    n_hours) / n_hours`` — written identically on both engines: each
+    int64 input converts exactly (< 2^53 far past the overflow point of
+    the old form), each op is correctly-rounded IEEE, so the result is
+    deterministic and bit-exact across engines at any realistic volume.
+    Synthetic overflow pin: tests/test_scale_defect_pins.py."""
     ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hr")
@@ -651,11 +655,11 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hours",
         F.expr("CAST(s AS DOUBLE) / n_hours").alias("mean_per_hour"),
         F.expr(
-            "CAST(n_hours * sq - s * s AS DOUBLE) / (n_hours * n_hours)"
+            "(CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_hours) / n_hours"
         ).alias("var_per_hour"),
         F.expr(
-            "(CAST(n_hours * sq - s * s AS DOUBLE) / (n_hours * n_hours))"
-            " / (CAST(s AS DOUBLE) / n_hours)"
+            "((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_hours)"
+            " / n_hours) / (CAST(s AS DOUBLE) / n_hours)"
         ).alias("fano_factor"),
     )
 

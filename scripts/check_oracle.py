@@ -1,19 +1,29 @@
 #!/usr/bin/env python
 """Local replica of the driver's correctness gate (see findb_spark.oracle).
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, a machine-readable summary ({"sf_dir", "ok", "noora", "fail",
+"counts"}) is written to OUT.json so SWEEPS_r*.json entries are generated,
+not hand-transcribed from stdout (round-11 verdict item 8).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from findb_spark.oracle import compare_query, duck_connection, lint_oracle_types
@@ -48,6 +58,7 @@ def main() -> int:
         print(f"FAIL  unknown query name(s): {sorted(unknown)}")
         return 1
     n_checked = n_failed = n_noora = 0
+    ok_names, noora_names, fail_detail = [], [], {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -56,10 +67,12 @@ def main() -> int:
             n_noora += 1
             try:
                 n = fn(spark, sf_dir).count()
+                noora_names.append(name)
                 print(f"NOORA {name}: {n} rows (rows-only check)")
             except Exception as e:
                 n_failed += 1
-                print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:200]}")
+                fail_detail[name] = f"spark error: {str(e).splitlines()[0][:200]}"
+                print(f"FAIL  {name}: {fail_detail[name]}")
             continue
         try:
             problems = compare_query(spark, con, fn, sqls[name], sf_dir, name=name)
@@ -67,11 +80,25 @@ def main() -> int:
             problems = [f"error: {str(e).splitlines()[0][:300]}"]
         if problems:
             n_failed += 1
-            print(f"FAIL  {name}: {'; '.join(problems)[:400]}")
+            fail_detail[name] = "; ".join(problems)[:400]
+            print(f"FAIL  {name}: {fail_detail[name]}")
         else:
+            ok_names.append(name)
             print(f"OK    {name}")
 
     print(f"\n{n_checked - n_failed}/{n_checked} ok; {n_noora} rows-only; {n_failed} failures")
+    if json_out:
+        summary = {
+            "sf_dir": sf_dir,
+            "counts": {"checked": n_checked, "ok": n_checked - n_failed,
+                       "rows_only": n_noora, "fail": n_failed},
+            "ok": ok_names,
+            "rows_only": noora_names,
+            "fail": fail_detail,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_failed else 0
 
 

@@ -1,5 +1,7 @@
-"""Regression pins for the three latent scale defects the round-11 full
-sf0.1 sweep exposed (on freshly regenerated testdata).
+"""Regression pins for the latent scale defects the round-11 full
+sf0.1 sweep exposed (on freshly regenerated testdata), plus the one
+volume-unbounded sibling the round-11 class audit flagged
+(events_burstiness, fixed round 12).
 
 These defects share a property that makes them invisible to every
 test-scale gate: at sf0.001/0.01 the broken forms also work (int64
@@ -88,6 +90,41 @@ def test_anova_survives_overflow_scale_moments(spark, monkeypatch):
     ssw = (float(sq_tot) - sum_sg2) / (n_tot - k)
     assert r.k == k and r.n_tot == n_tot
     assert r.f_stat == pytest.approx(ssb / ssw, rel=1e-12)
+
+
+def test_burstiness_survives_overflow_scale_moments(spark, monkeypatch):
+    """One 4M-row hour plus 1M single-row hours: the pre-round-12 exact
+    form ``n_hours * sq - s * s`` has n_hours·sq ≈ 1.6e19 > 2^63, so
+    reverting the double-tree fix makes THIS test throw
+    ARITHMETIC_OVERFLOW under ANSI mode; the fixed form must complete
+    and match the Fano factor computed independently in Python floats
+    with the same operation order.  Rows are generated JVM-side
+    (spark.range), so the 5M-row trigger costs seconds, not minutes."""
+    import pyspark.sql.functions as F
+
+    import findb_spark.queries.events_analytics as ea
+
+    H, NBIG = 1_000_000, 4_000_000
+    base = 1_577_836_800  # 2020-01-01T00:00:00Z
+    sparse = spark.range(H).select(
+        F.lit("burst").alias("event_type"),
+        F.timestamp_seconds(F.lit(base) + (F.col("id") + 1) * 3600).alias("ts"),
+    )
+    dense = spark.range(NBIG).select(
+        F.lit("burst").alias("event_type"),
+        F.timestamp_seconds(F.lit(base)).alias("ts"),
+    )
+    monkeypatch.setattr(ea, "load_table", lambda s, d, n: sparse.union(dense))
+    n_hours, s, sq = H + 1, H + NBIG, H + NBIG * NBIG
+    # the overflow the old form hits: n_hours * sq far past 2^63
+    assert n_hours * sq > 2**63
+    r = ea.events_burstiness(spark, "unused").collect()[0]
+    mean = float(s) / n_hours
+    var = (float(sq) - float(s) * s / n_hours) / n_hours
+    assert r.n_hours == n_hours
+    assert r.mean_per_hour == pytest.approx(mean, rel=1e-12)
+    assert r.var_per_hour == pytest.approx(var, rel=1e-12)
+    assert r.fano_factor == pytest.approx(var / mean, rel=1e-12)
 
 
 def test_corr_matrix_monthly_alignment_survives_sparse_series(
