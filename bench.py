@@ -14,7 +14,12 @@ Wall seconds are the headline; since round 11 the line also carries
 ``exec_cpu_s`` per query (summed executorCpuTime from the REST stage
 store — the load-immune basis for cross-run comparisons) plus
 ``exec_run_s`` and ``metric_fields_missing`` (non-empty = REST fields
-absent, zeros unmeasured).
+absent, zeros unmeasured).  Since round 12: per-query ``gc_s`` and
+``retried_stages`` (CPU-delta attribution — the CPU basis is load-immune
+but ~20% session-variant, so quote it as a band), settled REST snapshots
+(listener-bus lag cannot mis-attribute a stage to the next span), and a
+trailing plain-text HEADLINE line after the JSON so a tail-truncated
+stdout capture still carries the totals.
 """
 
 from __future__ import annotations
@@ -148,12 +153,24 @@ def main() -> None:
     plans: dict[str, dict[str, int]] = {}
     # per-query executor cost via REST snapshot deltas (serial execution,
     # so stages completing between two snapshots belong to the span
-    # between them); snapshots sit OUTSIDE the timed windows
-    from findb_spark.metrics import exec_cpu_delta_s, stages_snapshot
+    # between them); snapshots sit OUTSIDE the timed windows, and are
+    # SETTLED (polled until the async listener bus stops adding complete
+    # stages) so a lagging stage-completed event is not mis-attributed to
+    # the next span (round-11 advisor)
+    from findb_spark.metrics import (
+        FieldDriftLatch,
+        exec_cpu_delta_s,
+        settled_stages_snapshot,
+    )
 
     cpu: dict[str, float] = {}
     run_elapsed: dict[str, float] = {}
-    metric_fields_missing: list[str] = []
+    gc_s: dict[str, float] = {}
+    retried_stages: dict[str, int] = {}
+    # merges the verdicts from EVERY snapshot (s0/s1/s2 of every query):
+    # a mid-query fetch failure is auditable instead of silently dropping
+    # the query from exec_cpu_s with an empty missing-list
+    drift = FieldDriftLatch()
 
     def _plan_fingerprint(group: str) -> dict[str, int]:
         """Job/stage/task counts for a job group — a machine-noise-immune
@@ -197,28 +214,32 @@ def main() -> None:
     pq_memo: dict[str, list[bool]] = {}
 
     for spec in specs:
-        runs, bts, run_cpus, build_cpus, run_els = [], [], [], [], []
+        runs, bts, run_els = [], [], []
+        run_cpus: list[float] = []
+        build_deltas, run_deltas = [], []
         try:
             for i in range(2):
                 if "pq" in spec.name:
                     pq_memo.setdefault(spec.name, []).append(bool(_PQ_CB_MEMO))
-                s0, miss = stages_snapshot(spark)
-                if miss and not metric_fields_missing:
-                    metric_fields_missing = miss
+                s0, miss = settled_stages_snapshot(spark)
+                drift.observe(miss)
                 group = f"bench-build-{spec.name}-{i}"
                 sc.setJobGroup(group, f"build {spec.name}")
                 t0 = time.perf_counter()
                 df = spec.fn(spark, sf_dir)
                 bts.append(time.perf_counter() - t0)
-                s1, _ = stages_snapshot(spark)
+                s1, miss = settled_stages_snapshot(spark)
+                drift.observe(miss)
                 sc.setJobGroup(f"bench-run-{spec.name}-{i}", f"run {spec.name}")
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
-                s2, _ = stages_snapshot(spark)
+                s2, miss = settled_stages_snapshot(spark)
+                drift.observe(miss)
                 bc, rc = exec_cpu_delta_s(s0, s1), exec_cpu_delta_s(s1, s2)
                 if bc is not None and rc is not None:
-                    build_cpus.append(bc["cpu_s"])
+                    build_deltas.append(bc)
+                    run_deltas.append(rc)
                     run_cpus.append(rc["cpu_s"])
                     run_els.append(rc["run_s"])
                 if i == 0 and tracker.getJobIdsForGroup(group):
@@ -234,12 +255,25 @@ def main() -> None:
         # round-10 judge/driver walls differ 35% on identical plans);
         # run_s sums per-task elapsed time (the scale-smoke basis)
         if run_cpus:
+            inc = spec.name in EAGER_BUILD_INCLUDED
             cpu[spec.name] = round(
                 min(run_cpus)
-                + (min(build_cpus) if spec.name in EAGER_BUILD_INCLUDED else 0.0),
+                + (min(d["cpu_s"] for d in build_deltas) if inc else 0.0),
                 3,
             )
             run_elapsed[spec.name] = round(min(run_els), 3)
+            # GC seconds and stage retries from the SAME iteration that
+            # produced the min CPU (attribution pairing): a cross-round CPU
+            # move with flat gc_s and zero retries is JIT/page-cache state,
+            # not a plan change (round-11 verdict item 4)
+            j = run_cpus.index(min(run_cpus))
+            gc_s[spec.name] = round(
+                run_deltas[j]["gc_s"] + (build_deltas[j]["gc_s"] if inc else 0.0),
+                3,
+            )
+            retried_stages[spec.name] = run_deltas[j]["retried_stages"] + (
+                build_deltas[j]["retried_stages"] if inc else 0
+            )
         # fingerprint the SECOND run: steady state (caches hot, AQE
         # re-plans settled), matching what min-of-2 reports
         plans[spec.name] = _plan_fingerprint(f"bench-run-{spec.name}-1")
@@ -297,10 +331,19 @@ def main() -> None:
         "exec_cpu_s": cpu,
         "exec_cpu_total": round(sum(cpu.values()), 3),
         "exec_run_s": run_elapsed,
+        # attribution columns for the CPU basis (round-11 verdict item 4):
+        # executorCpuTime is load-immune but ~20% session-variant (JIT,
+        # page cache, GC pressure) — gc_s and retried stages make a
+        # round-over-round CPU delta attributable, and cross-round claims
+        # should quote the CPU as a band, not a point
+        "gc_s": gc_s,
+        "gc_total": round(sum(gc_s.values()), 3),
+        "retried_stages": retried_stages,
         # non-empty = the REST stage endpoint lacked expected metric
-        # fields (or the fetch failed): exec_cpu zeros are then
-        # "unmeasured", not measured-zero (round-10 advisor)
-        "metric_fields_missing": metric_fields_missing,
+        # fields (or a fetch failed at ANY snapshot of the run): exec_cpu
+        # zeros are then "unmeasured", not measured-zero (round-10/11
+        # advisors — the latch merges s0/s1/s2 verdicts of every query)
+        "metric_fields_missing": drift.result(),
         # per PQ query: was the trained-codebook memo already populated at
         # the start of iteration [0, 1]?  [false, true] = this query paid
         # training in iter 0, min-of-2 reports the memo-hit steady state;
@@ -320,6 +363,17 @@ def main() -> None:
                            "bench_out.json"), "w") as fh:
         fh.write(line + "\n")
     print(line)
+    # trailing one-line summary AFTER the JSON blob: the driver snapshots
+    # only the tail of stdout, and the JSON leads with "value" — BENCH_r11
+    # carried plan fingerprints but lost the headline (round-11 verdict
+    # item 3); this line survives any head-truncation of the JSON
+    print(
+        f"HEADLINE wall={total} exec_cpu={out['exec_cpu_total']}"
+        f" gc={out['gc_total']} total_with_builds={out['total_with_builds']}"
+        f" sf={sf} loadavg_1m={machine.get('loadavg_1m', 'n/a')}"
+        f" fields_missing={len(out['metric_fields_missing'])}"
+        f" errors={len(errors)}"
+    )
 
 
 if __name__ == "__main__":

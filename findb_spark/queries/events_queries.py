@@ -4,6 +4,9 @@ batch semantics here, streaming twins in findb_spark.streaming)."""
 
 from __future__ import annotations
 
+import os
+
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from findb_spark.functions.hashing import hash48_duck
@@ -392,6 +395,32 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Persisted distinct (user, day, type) relation per (session, corpus):
+#: feeds both branches of events_hll_rollup.  Memoized with the bounded
+#: _UD_MEMO pattern (events_analytics.py) so repeated invocations in a
+#: long-lived session reuse ONE cached relation instead of accumulating a
+#: fresh persist per call (round-11 verdict item 5); unlike the
+#: localCheckpoint memo, eviction here can and does unpersist explicitly.
+_HLL_DU_MEMO: dict[tuple, DataFrame] = {}
+_HLL_DU_MEMO_MAX = 4
+
+
+def _hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    if key not in _HLL_DU_MEMO:
+        ev = load_table(spark, sf_dir, "events")
+        du = ev.select(
+            "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).distinct()
+        while len(_HLL_DU_MEMO) >= _HLL_DU_MEMO_MAX:
+            _HLL_DU_MEMO.pop(next(iter(_HLL_DU_MEMO))).unpersist()
+        # MEMORY_AND_DISK pinned explicitly — the repo convention for
+        # deliberate persists (timeseries.py, relational.py): bounded
+        # state must degrade to disk, never recompute-on-eviction
+        _HLL_DU_MEMO[key] = du.persist(StorageLevel.MEMORY_AND_DISK)
+    return _HLL_DU_MEMO[key]
+
+
 @register(
     "events_hll_rollup",
     """
@@ -419,7 +448,6 @@ FROM events GROUP BY 1, 2
     ),
 )
 def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
     # ONE events scan (round-10 verdict item 6): both the sketch branch
     # and the exact certification branch derive from this persisted
     # distinct (user, day, type) relation — HLL is duplicate-insensitive,
@@ -427,13 +455,7 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation is |users x active days x types|, bounded far under the
     # event count at any SF.  Without the persist the self-cert would
     # re-scan raw events for the exact side (the round-10 advisor note).
-    du = (
-        ev.select(
-            "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
-        )
-        .distinct()
-        .persist()
-    )
+    du = _hll_distinct_users(spark, sf_dir)
     daily = du.groupBy("day", "event_type").agg(
         F.hll_sketch_agg("user_id").alias("sketch")
     )

@@ -157,6 +157,14 @@ def release_caches(spark: SparkSession) -> None:
     (disk blocks are not LRU-evicted): call this between sweeps.  Inside
     one sweep the persists are bounded by design — each is keyed by the
     corpus plan, orders of magnitude smaller than its source table."""
+    # the hll_rollup distinct-relation memo holds persist-backed
+    # DataFrames: after clearCache those entries would silently hand out
+    # UNcached plans (breaking the query's one-scan contract), so the
+    # memo empties with the cache (local import: session must not import
+    # the query modules at module level)
+    from findb_spark.queries.events_queries import _HLL_DU_MEMO
+
+    _HLL_DU_MEMO.clear()
     spark.catalog.clearCache()
 
 

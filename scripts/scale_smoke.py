@@ -77,11 +77,17 @@ def replicate_documents(spark, factor: int) -> str:
 # would instead point at a plan problem.  The shared helper also carries
 # a missing-fields list (round-10 advisor): a renamed REST field reports
 # as "unmeasured" in the JSON instead of silently zeroed evidence.
-from findb_spark.metrics import metrics_delta, stages_snapshot  # noqa: E402
+from findb_spark.metrics import (  # noqa: E402
+    FieldDriftLatch,
+    metrics_delta,
+    settled_stages_snapshot,
+)
 
 #: expected-but-absent REST metric fields (or fetch-failure reason) seen
-#: during this run; embedded in the report so zeros are auditable
-FIELDS_MISSING: list[str] = []
+#: during this run, merged across EVERY snapshot by the shared latch
+#: (the empty-store marker defers to a later validated snapshot);
+#: embedded in the report so zeros are auditable
+DRIFT = FieldDriftLatch()
 
 
 #: shape name -> metrics delta of its LAST timed (cold) evaluation;
@@ -106,17 +112,23 @@ def timed(fn) -> float:
     # (PQ codebook, dau_wau's checkpointed active-days relation) would
     # otherwise turn a "cold" timed run into a cache read
     from findb_spark.queries.events_analytics import _UD_MEMO
+    from findb_spark.queries.events_queries import _HLL_DU_MEMO
     from findb_spark.queries.vector_queries import _PQ_CB_MEMO
 
     _UD_MEMO.clear()
+    _HLL_DU_MEMO.clear()
     _PQ_CB_MEMO.clear()
-    before, miss = stages_snapshot(s) if s is not None else (None, ["no-session"])
-    if miss and not FIELDS_MISSING:
-        FIELDS_MISSING.extend(miss)
+    before, miss = (
+        settled_stages_snapshot(s) if s is not None else (None, ["no-session"])
+    )
+    DRIFT.observe(miss)
     t0 = time.monotonic()
     fn()
     wall = round(time.monotonic() - t0, 3)
-    after, _ = stages_snapshot(s) if s is not None else (None, [])
+    after, miss = (
+        settled_stages_snapshot(s) if s is not None else (None, ["no-session"])
+    )
+    DRIFT.observe(miss)
     m = metrics_delta(before, after)
     if m is not None and _CURRENT_SHAPE[0]:
         METRICS[_CURRENT_SHAPE[0]] = m
@@ -759,7 +771,7 @@ def main() -> None:
                 # non-empty = REST metric fields absent / fetch failed:
                 # zeroed spill/GC evidence is then "unmeasured", not
                 # measured-zero (round-10 advisor)
-                "metric_fields_missing": FIELDS_MISSING,
+                "metric_fields_missing": DRIFT.result(),
                 **({"auto_grain": grain_info} if grain_info else {}),
                 "queries": {
                     k: {

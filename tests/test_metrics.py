@@ -91,7 +91,7 @@ def test_deltas_count_only_new_stages():
         ),
     }
     cpu = M.exec_cpu_delta_s(before, after)
-    assert cpu == {"cpu_s": 3.0, "run_s": 4.0}
+    assert cpu == {"cpu_s": 3.0, "run_s": 4.0, "gc_s": 1.0, "retried_stages": 0}
     m = M.metrics_delta(before, after)
     assert m["stages"] == 1
     assert m["spill_mem_mb"] == 10.0
@@ -99,3 +99,60 @@ def test_deltas_count_only_new_stages():
     # None propagates (unmeasured, not zero)
     assert M.exec_cpu_delta_s(None, after) is None
     assert M.metrics_delta(before, None) is None
+
+
+def test_delta_counts_stage_retries():
+    """A re-attempted stage (attemptId > 0) in the span is a retry — the
+    attribution signal that a CPU delta is failure-recovery, not plan."""
+    before = {}
+    after = {(1, 0): _stage(1), (1, 1): _stage(1, attempt=1), (2, 0): _stage(2)}
+    assert M.exec_cpu_delta_s(before, after)["retried_stages"] == 1
+
+
+def test_empty_store_returns_marker_not_validated(monkeypatch):
+    """Zero complete stages = the field validation could not run; an empty
+    missing-list would read as 'all fields measured' (round-11 advisor)."""
+    _serve(monkeypatch, [])
+    snap, missing = M.stages_snapshot(_FakeSpark())
+    assert snap == {} and missing == [M.NO_STAGES_MARKER]
+
+
+def test_field_drift_latch_real_verdict_sticks():
+    latch = M.FieldDriftLatch()
+    latch.observe([M.NO_STAGES_MARKER])   # pre-work empty store
+    latch.observe([])                      # validated snapshot
+    latch.observe(["fetch-failed: OSError"])  # mid-run failure
+    latch.observe([])                      # later success does NOT erase it
+    assert latch.result() == ["fetch-failed: OSError"]
+
+
+def test_field_drift_latch_marker_defers_to_validation():
+    """The empty-store marker stands only if NO snapshot ever validated a
+    non-empty store."""
+    deferred = M.FieldDriftLatch()
+    deferred.observe([M.NO_STAGES_MARKER])
+    deferred.observe([])
+    assert deferred.result() == []
+    never = M.FieldDriftLatch()
+    never.observe([M.NO_STAGES_MARKER])
+    never.observe([M.NO_STAGES_MARKER])
+    assert never.result() == [M.NO_STAGES_MARKER]
+
+
+def test_settled_snapshot_waits_for_listener_bus(monkeypatch):
+    """The settled variant must poll past a still-draining store: the
+    first fetches disagree (a stage lands between them), the next pair
+    agrees and is returned — a raw snapshot would have returned the
+    incomplete first fetch (round-11 advisor: lagging stage-completed
+    events mis-attribute cost to the next timed span)."""
+    payloads = iter(
+        [[_stage(1)], [_stage(1), _stage(2)], [_stage(1), _stage(2)]]
+    )
+    monkeypatch.setattr(
+        M.urllib.request,
+        "urlopen",
+        lambda url, timeout=0: io.BytesIO(json.dumps(next(payloads)).encode()),
+    )
+    snap, missing = M.settled_stages_snapshot(_FakeSpark(), poll_s=0.0)
+    assert set(snap) == {(1, 0), (2, 0)}
+    assert missing == []
