@@ -172,66 +172,63 @@ _SPECS: dict[str, QuerySpec] = {}
 #: (--write refuses stale entries: a CHANGED name whose latest driver row
 #: is already from the round being built aborts the rotation.)
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "events_hll_rollup",     # self-cert now certifies from ONE events scan
-    "corr_matrix_assets",    # per-day -> per-month alignment (empty at sf0.1)
-    "stats_welch_ttest",     # int64 overflow -> double-tree variance
-    "stats_anova_f",         # int64 overflow -> double-tree s^2/n terms
+    "events_burstiness",     # int64 overflow -> double-tree var/fano (r12)
 )
 
 # --- BEGIN AUTO-GENERATED WINDOW (scripts/rotate_window.py) ---
-#: Round-11 window, computed by `python scripts/rotate_window.py --write`
-#: from CORRECTNESS_r01..r10 + CHANGED_THIS_ROUND (policy above).
+#: Round-12 window, computed by `python scripts/rotate_window.py --write`
+#: from CORRECTNESS_r01..r11 + CHANGED_THIS_ROUND (policy above).
 _CHECK_FIRST: tuple[str, ...] = (
-    "events_hll_rollup",
-    "corr_matrix_assets",
-    "stats_welch_ttest",
-    "stats_anova_f",
-    "vec_ivf_kmeans",
-    "vec_quantize_int8",
-    "corpus_mixture_weights",
-    "customer_rfm",
-    "dedup_cdc_chunks",
-    "dedup_chunk_exact",
-    "dedup_minhash_calibration",
-    "dedup_pair_triangles",
-    "dedup_select_canonical",
-    "dedup_substring_runs",
-    "dq_documents_audit",
-    "events_attribution",
-    "events_run_lengths",
-    "events_sliding_hourly",
-    "events_variant_extract",
-    "pareto_part_revenue",
-    "pipeline_pretrain_mix",
-    "robust_mad",
-    "roundtrip_bucketed_join",
-    "roundtrip_compact_layout",
-    "roundtrip_csv_ingest",
-    "roundtrip_findb_db",
-    "roundtrip_findb_db_asof",
-    "roundtrip_incremental_bars",
-    "roundtrip_manifest_pruned_read",
-    "roundtrip_multiformat_ingest",
-    "roundtrip_schema_evolution",
-    "roundtrip_stream_dedup",
-    "roundtrip_stream_join",
-    "roundtrip_stream_sessionize",
-    "roundtrip_stream_tumbling",
-    "roundtrip_textlog_ingest",
-    "sql_udf_acct_band",
-    "text_bpe_merge_candidates",
-    "text_chunk_windows",
-    "text_heavy_hitters_cms",
-    "text_token_rarity",
-    "ts_drawdown",
-    "ts_ewma",
-    "vec_truncated_topk",
-    "winsorize_revenue",
-    "asof_bitemporal_diff",
-    "asof_join_shifted",
-    "bitmap_active_months",
-    "bloom_prefilter_join",
-    "dedup_cluster_stats",
+    "events_burstiness",
+    "dedup_simhash_pairs",
+    "dq_freshness_lag",
+    "events_cohort_ltv",
+    "events_hll_exact_registers",
+    "events_kmv_sketch_setops",
+    "events_tumbling_hourly",
+    "graph_kcore",
+    "pii_kanonymity",
+    "pii_ldiversity",
+    "roundtrip_csv_quirks",
+    "roundtrip_stream_enrich",
+    "roundtrip_time_travel",
+    "stats_chi2_independence",
+    "stats_gini_revenue",
+    "stats_simpson_diversity",
+    "text_bigram_coverage",
+    "text_hapax_ratio",
+    "text_trigram_diversity",
+    "text_unigram_surprisal",
+    "text_zipf_slope",
+    "ts_autocorr",
+    "ts_bollinger",
+    "ts_macd",
+    "ts_moving_avg",
+    "ts_rolling_beta",
+    "ts_seasonality_dow",
+    "vec_ann_lsh",
+    "vec_cluster_silhouette",
+    "vec_cosine_topk",
+    "vec_knn_graph",
+    "vec_mmr_rerank",
+    "vec_norm_profile",
+    "window_rolling_distinct",
+    "asof_join_nearest",
+    "dedup_lsh_precision_recall",
+    "dedup_shingle_df_profile",
+    "dedup_split_leakage",
+    "dedup_threshold_sweep",
+    "dp_noisy_histogram",
+    "dq_distribution_drift",
+    "events_markov_stationary",
+    "graph_bfs_contamination",
+    "graph_degree_assortativity",
+    "graph_label_propagation",
+    "multimodal_audio_frames",
+    "multimodal_image_ahash",
+    "multimodal_image_boxblur",
+    "multimodal_image_resize",
+    "pipeline_quality_sweep",
 )
 # --- END AUTO-GENERATED WINDOW ---
 

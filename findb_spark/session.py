@@ -28,6 +28,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
     initial_partitions: int | None = None,
+    auto_grain_for: tuple[str, str, str | float] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults.
 
@@ -47,8 +48,25 @@ def get_spark(
     iterative operators (connected components, k-means) run dozens of
     tiny shuffles per round whose fixed per-bucket overhead costs ~8% of
     headline bench wall at sf0.1 — size it per deployment, not per box.
+
+    ``auto_grain_for=(sf_dir, table, family)`` is the production
+    one-liner for that sizing (round-11 verdict item 6): it feeds
+    :func:`auto_initial_partitions` from the driving table's on-disk
+    bytes (:func:`table_input_bytes`) times the operator family's
+    measured shuffle multiplier (:func:`explode_factor_for` — a family
+    name like ``"shingle"`` or a numeric factor).  E.g. a shingle-dedup
+    deployment: ``get_spark(auto_grain_for=(corpus_dir, "documents",
+    "shingle"))``.  sf<=0.1 inputs degenerate to the core-count floor
+    (pinned in tests/test_auto_grain.py), so the bench headline cannot
+    regress.  An explicit ``initial_partitions`` wins over the rule.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if auto_grain_for is not None and initial_partitions is None:
+        grain_dir, grain_table, grain_family = auto_grain_for
+        initial_partitions = auto_initial_partitions(
+            table_input_bytes(grain_dir, grain_table),
+            explode_factor_for(grain_family),
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
@@ -122,6 +140,35 @@ def auto_initial_partitions(
     if raw <= cpus:
         return cpus
     return 1 << math.ceil(math.log2(raw))
+
+
+def explode_factor_for(family: str | float) -> float:
+    """Measured on-disk -> shuffle-bytes multiplier per operator family,
+    feeding :func:`auto_initial_partitions`.
+
+    ``"scan"``/``"join"``/``"agg"`` shuffle roughly what they read
+    (parquet decompression and row widening cancel against projection
+    pruning within the rule's one-octave tolerance — pow2-ceil absorbs
+    it).  ``"shingle"`` covers the explode-heavy text-dedup family
+    (shingle/Jaccard/containment/MinHash): parquet compresses text hard
+    AND the explode multiplies rows, measured 24x
+    (``ops.dedup.SHINGLE_EXPLODE_BYTES_PER_INPUT_BYTE``, calibrated on
+    the 256x corpus — AUTO_GRAIN_r11).  A numeric argument passes
+    through for families measured by the deployment itself."""
+    if isinstance(family, (int, float)) and not isinstance(family, bool):
+        return float(family)
+    if family in ("scan", "join", "agg"):
+        return 1.0
+    if family in ("shingle", "jaccard", "minhash", "dedup-text"):
+        # local import: ops.dedup imports from session at module level
+        from findb_spark.ops.dedup import SHINGLE_EXPLODE_BYTES_PER_INPUT_BYTE
+
+        return float(SHINGLE_EXPLODE_BYTES_PER_INPUT_BYTE)
+    raise ValueError(
+        f"unknown operator family {family!r}: pass one of "
+        "scan/join/agg/shingle/jaccard/minhash/dedup-text or a numeric "
+        "on-disk->shuffle multiplier measured for your workload"
+    )
 
 
 def table_input_bytes(sf_dir: str, name: str) -> int:
