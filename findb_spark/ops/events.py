@@ -100,6 +100,14 @@ def hourly_anomaly(events: DataFrame, z_thresh: float = 2.0, min_hours: int = 3)
     heavy table is touched once. Moments (n, sum, sum-of-squares) are exact
     integers; mean/variance/z are a fixed double expression tree over them,
     bit-identical on any IEEE-754 engine (same pattern as finance.stats_corr).
+
+    Variance uses the overflow-safe double-tree form (round 12, same class
+    as events_burstiness): the old exact product ``n_h*ss - s*s`` trips
+    ANSI int64 overflow once a degenerate user key pairs a ~2e7-event hour
+    with a calendar-long active tail (n_h ~ 2e4) — feasible at 100 TB;
+    ``(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/n_h) / n_h`` converts each
+    int64 exactly (< 2^53 far past that regime) and is written identically
+    on both engines.  Synthetic pin: tests/test_scale_defect_pins.py.
     """
     hourly = events.groupBy(
         F.col("user_id"),
@@ -111,8 +119,10 @@ def hourly_anomaly(events: DataFrame, z_thresh: float = 2.0, min_hours: int = 3)
         F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
     )
     mean = F.col("s").cast("double") / F.col("n_h")
-    var_num = (F.col("n_h") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
-    var = var_num / (F.col("n_h") * F.col("n_h")).cast("double")
+    var_num = F.col("ss").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ) / F.col("n_h")
+    var = var_num / F.col("n_h")
     z = (F.col("cnt").cast("double") - mean) / F.sqrt(var)
     return (
         hourly.join(stats, "user_id")

@@ -1209,13 +1209,16 @@ per AS (
   FROM degs d LEFT JOIN intra i ON d.source = i.source
 ),
 q AS (
-  SELECT CAST(SUM(4 * m.m * per.intra_edges
-               - per.degree_sum * per.degree_sum) AS BIGINT) AS qnum,
+  SELECT CAST(SUM(per.intra_edges) AS BIGINT) AS sum_intra,
+         SUM(CAST(per.degree_sum AS DECIMAL(18,0))
+             * CAST(per.degree_sum AS DECIMAL(18,0))) AS sum_d2,
          MAX(m.m) AS m
   FROM per CROSS JOIN m
 )
 SELECT per.source, per.intra_edges, per.degree_sum,
-       CAST(q.qnum AS DOUBLE) / (4 * q.m * q.m) AS q_modularity
+       CAST(q.sum_intra AS DOUBLE) / q.m
+         - CAST(q.sum_d2 AS DOUBLE) / (CAST(q.m AS DOUBLE) * q.m * 4)
+         AS q_modularity
 FROM per CROSS JOIN q
 """,
     category="dedup",
@@ -1231,10 +1234,19 @@ FROM per CROSS JOIN q
 def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modularity without communities-by-search: the partition is a doc
     ATTRIBUTE, so Q needs only the verified pair relation joined twice
-    to the source map, one union for degrees, and exact int64 sums —
-    Q's numerator sum(4*m*e_s - D_s^2) stays integer, the single final
-    divide is the only float op.  Complements dedup_cross_source (which
-    lists the offending pairs) with the canonical summary statistic."""
+    to the source map, one union for degrees, and exact order-
+    independent sums.  Volume-unbounded moments made overflow-safe
+    (round-12, same class as events_burstiness): the old single-sum
+    numerator sum(4*m*e_s - D_s^2) is quadratic in the edge count — 4*m*
+    intra trips ANSI int64 overflow near 1.5e9 near-dup pairs, a
+    realistic volume for template-heavy corpora at 100 TB.  Restructured
+    via Q = sum(e_s)/m - sum(D_s^2)/(4m^2): sum(e_s) is int64-safe
+    (<= m); sum(D_s^2) accumulates in exact DECIMAL (18,0 inputs ->
+    37,0 products -> 38,0 sum — order-independent unlike a double sum,
+    safe past 1e15 edges); the final scalar tree is written identically
+    on both engines, so values < 2^53 (every testable SF) stay
+    bit-exact.  Complements dedup_cross_source (which lists the
+    offending pairs) with the canonical summary statistic."""
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1269,20 +1281,34 @@ def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per (|sources| rows) feeds the Q numerator and the final select
     per = per.localCheckpoint(eager=False)
+    return _modularity_q(per, m)
+
+
+def _modularity_q(per: DataFrame, m: DataFrame) -> DataFrame:
+    """The Q aggregation over the (source, intra_edges, degree_sum)
+    relation plus the 1-row edge-count aggregate — the production
+    expression path, separated as the overflow-pin seam: the synthetic
+    trigger (tests/test_scale_defect_pins.py) feeds it edge counts at
+    the OLD single-sum form's int64 overflow scale, which real test-SF
+    corpora cannot reach (a 1.5e9-pair relation would be needed)."""
+    from pyspark.sql import functions as F
+
     q = per.crossJoin(F.broadcast(m)).agg(
+        F.sum("intra_edges").cast("bigint").alias("sum_intra"),
         F.sum(
-            4 * F.col("m") * F.col("intra_edges")
-            - F.col("degree_sum") * F.col("degree_sum")
-        )
-        .cast("bigint")
-        .alias("qnum"),
+            F.col("degree_sum").cast("decimal(18,0)")
+            * F.col("degree_sum").cast("decimal(18,0)")
+        ).alias("sum_d2"),
         F.max("m").alias("m"),
     )
     return per.crossJoin(F.broadcast(q)).select(
         "source",
         "intra_edges",
         "degree_sum",
-        F.expr("CAST(qnum AS DOUBLE) / (4 * m * m)").alias("q_modularity"),
+        F.expr(
+            "CAST(sum_intra AS DOUBLE) / m"
+            " - CAST(sum_d2 AS DOUBLE) / (CAST(m AS DOUBLE) * m * 4)"
+        ).alias("q_modularity"),
     )
 
 

@@ -327,16 +327,20 @@ stats AS (
 SELECT * FROM (
   SELECT user_id, hour_us, cnt,
          (CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / n_h)
-           / sqrt(CAST(n_h * ss - s * s AS DOUBLE) / CAST(n_h * n_h AS DOUBLE)) AS z
+           / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_h) / n_h) AS z
   FROM hourly JOIN stats USING (user_id)
-  WHERE n_h >= 3 AND n_h * ss - s * s > 0
+  WHERE n_h >= 3 AND CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_h > 0
 ) WHERE z > 2.0
 """,
     category="events",
     description=(
         "Per-user hourly activity anomalies: hours > 2 population std-devs "
         "above the user's mean hourly count (exact moment sums -> identical "
-        "double tree, cross-engine deterministic)"
+        "double tree, cross-engine deterministic); variance in the "
+        "overflow-safe double-tree form (round 12 — the old n_h*ss - s*s "
+        "int64 product trips ANSI overflow once one user accumulates a "
+        "~2e7-event hour alongside a calendar-long tail, the degenerate-"
+        "key shape 100 TB corpora actually contain)"
     ),
 )
 def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -526,16 +526,26 @@ ed AS (
   FROM pmat2 p JOIN dg da ON da.a = p.doc1 JOIN dg db ON db.a = p.doc2
 ),
 m AS (
-  -- both edge orientations contribute (the standard symmetrized form)
-  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  -- both edge orientations contribute (the standard symmetrized form);
+  -- moments accumulate in exact DECIMAL: sx = sum(deg^2) over vertices
+  -- and sxx ~ sum(deg^3) are degree-polynomial with only LINEAR row
+  -- compute, so int64 sums overflow at feasible hub sizes (round 12,
+  -- same class as events_burstiness / graph_source_modularity)
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(18,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(18,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS sxy,
+         SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx,
+         SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS syy
   FROM (SELECT x, y FROM ed UNION ALL SELECT y, x FROM ed)
 )
 SELECT CAST(n AS BIGINT) AS n_edge_ends,
-       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
-                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
-                        * CAST(n * syy - sy * sy AS DOUBLE)) END
+       CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n = 0
+            THEN NULL
+            ELSE (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                        * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n))
+            END
          AS assortativity
 FROM m
 """,
@@ -565,21 +575,43 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x", "y")
     )
     sym = ed.unionAll(ed.select(F.col("y").alias("x"), F.col("x").alias("y")))
+
+    # Exact DECIMAL moments + a double-tree combine (round 12, same class
+    # as events_burstiness): sx = sum(deg^2) over vertices and sxx ~
+    # sum(deg^3) are degree-polynomial with LINEAR row compute — a 1e8-
+    # edge hub star (1e8 rows, feasible at 100 TB) puts sum(x*x) at
+    # ~2e24, far past int64; DECIMAL(18,0) inputs -> (37,0) products ->
+    # exact order-independent sums safe past 1e18-degree hubs, then one
+    # identical scalar tree on both engines.  Pin:
+    # tests/test_scale_defect_pins.py.
+    def dec(c: str):
+        return F.col(c).cast("decimal(18,0)")
+
     m = sym.agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
     )
+    return _assortativity_combine(m)
+
+
+def _assortativity_combine(m: DataFrame) -> DataFrame:
+    """The Pearson combine over the exact decimal moment aggregate — the
+    production expression path, separated as the overflow-pin seam (the
+    synthetic trigger feeds it hub-star moments at the old int64 form's
+    overflow scale, unreachable by test-SF corpora)."""
     return m.select(
         F.col("n").cast("bigint").alias("n_edge_ends"),
         F.expr(
-            "CASE WHEN n * sxx - sx * sx = 0 THEN NULL"
-            " ELSE CAST(n * sxy - sx * sy AS DOUBLE)"
-            " / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)"
-            " * CAST(n * syy - sy * sy AS DOUBLE)) END"
+            "CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n = 0"
+            " THEN NULL"
+            " ELSE (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)"
+            " / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)"
+            " * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n))"
+            " END"
         ).alias("assortativity"),
     )
 

@@ -104,6 +104,22 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chi2_term_expr() -> str:
+    """Per-cell chi-squared term, fixed-pointed at 1e6 — the production
+    expression shared by stats_chi2_independence and stats_cramers_v,
+    separated as the overflow-pin seam.  Expected counts use the double-
+    tree form ``CAST(row_tot AS DOUBLE) * col_tot / grand`` (round 12):
+    the old exact int64 product row_tot*col_tot is marginal x marginal —
+    volume-quadratic with linear compute — and trips ANSI overflow once
+    both marginals pass ~3e9 (tests/test_scale_defect_pins.py recreates
+    that regime; test-SF contingency tables cannot)."""
+    e = "CAST(row_tot AS DOUBLE) * col_tot / grand"
+    return (
+        f"CAST(FLOOR((o - {e}) * (o - {e}) / ({e}) * 1000000 + 0.5)"
+        " AS BIGINT)"
+    )
+
+
 @register(
     "stats_chi2_independence",
     """
@@ -116,16 +132,16 @@ ct AS (SELECT dow, SUM(o) AS col_tot FROM cells GROUP BY 1),
 g AS (SELECT SUM(o) AS grand FROM cells),
 terms AS (
   SELECT CAST(FLOOR(
-           (o - CAST(row_tot * col_tot AS DOUBLE) / grand)
-           * (o - CAST(row_tot * col_tot AS DOUBLE) / grand)
-           / (CAST(row_tot * col_tot AS DOUBLE) / grand) * 1000000 + 0.5)
+           (o - CAST(row_tot AS DOUBLE) * col_tot / grand)
+           * (o - CAST(row_tot AS DOUBLE) * col_tot / grand)
+           / (CAST(row_tot AS DOUBLE) * col_tot / grand) * 1000000 + 0.5)
          AS BIGINT) AS t
   FROM cells
   JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN g
 ),
 nr AS (SELECT COUNT(DISTINCT event_type) AS r FROM cells),
 nc AS (SELECT COUNT(DISTINCT dow) AS c FROM cells)
-SELECT CAST(SUM(t) AS DOUBLE) / 1000000 AS chi2,
+SELECT CAST(SUM(CAST(t AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS chi2,
        CAST((MAX(r) - 1) * (MAX(c) - 1) AS BIGINT) AS dof
 FROM terms CROSS JOIN nr CROSS JOIN nc
 """,
@@ -137,6 +153,16 @@ FROM terms CROSS JOIN nr CROSS JOIN nc
     ),
 )
 def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected counts in the overflow-safe double-tree form (round 12,
+    same class as events_burstiness): the old exact product ``row_tot *
+    col_tot`` is marginal-count x marginal-count — volume-quadratic with
+    one linear groupBy of compute, tripping ANSI int64 overflow once both
+    marginals pass ~3e9 (a 1e12-event corpus has ~1.4e11 per day-of-week).
+    ``CAST(row_tot AS DOUBLE) * col_tot / grand`` converts each count
+    exactly (< 2^53 far past that) and is written identically on both
+    engines; the term sum accumulates in exact DECIMAL (the chi2 output
+    is DOUBLE, so no fixed-point output bound).  Synthetic pin:
+    tests/test_scale_defect_pins.py."""
     ev = load_table(spark, sf_dir, "events")
     # Spark dayofweek is Sunday=1..7; DuckDB's Sunday=0..6
     d = ev.select(
@@ -155,13 +181,7 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ct), "dow")
         .crossJoin(F.broadcast(g))
         .select(
-            F.expr(
-                "CAST(FLOOR("
-                "(o - CAST(row_tot * col_tot AS DOUBLE) / grand)"
-                " * (o - CAST(row_tot * col_tot AS DOUBLE) / grand)"
-                " / (CAST(row_tot * col_tot AS DOUBLE) / grand) * 1000000 + 0.5)"
-                " AS BIGINT)"
-            ).alias("t"),
+            F.expr(_chi2_term_expr()).alias("t"),
             "event_type",
             "dow",
         )
@@ -171,7 +191,7 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("r"), F.countDistinct("dow").alias("c")
     )
     return terms.crossJoin(F.broadcast(dims)).agg(
-        F.expr("CAST(SUM(t) AS DOUBLE) / 1000000").alias("chi2"),
+        F.expr("CAST(SUM(CAST(t AS DECIMAL(18,0))) AS DOUBLE) / 1000000").alias("chi2"),
         F.expr("CAST((MAX(r) - 1) * (MAX(c) - 1) AS BIGINT)").alias("dof"),
     )
 
@@ -256,9 +276,20 @@ WITH rev AS (
 ranked AS (
   SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS i FROM rev
 ),
-agg AS (SELECT COUNT(*) AS n, SUM(r) AS sr, SUM(i * r) AS sir FROM ranked)
+agg AS (
+  -- exact DECIMAL moments (round 12, same class as events_burstiness):
+  -- sir = sum(rank * revenue) is ~n^2*r/2 — super-quadratic in customer
+  -- count with one linear pass, far past int64 at 100 TB; sr crosses
+  -- 2^63 cents at ~40x the 100 TB corpus — both order-independent in
+  -- DECIMAL(38,0), then one identical double tree on both engines
+  SELECT COUNT(*) AS n,
+         SUM(CAST(r AS DECIMAL(18,0))) AS sr,
+         SUM(CAST(i AS DECIMAL(18,0)) * CAST(r AS DECIMAL(18,0))) AS sir
+  FROM ranked
+)
 SELECT n AS n_customers,
-       CAST(2 * sir - (n + 1) * sr AS DOUBLE) / (n * sr) AS gini
+       (2 * CAST(sir AS DOUBLE) - (n + 1) * CAST(sr AS DOUBLE))
+         / (n * CAST(sr AS DOUBLE)) AS gini
 FROM agg
 """,
     category="relational",
@@ -294,14 +325,22 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.join(F.broadcast(offsets), "bucket")
         .select("r", (F.row_number().over(wb) + F.col("offset")).alias("i"))
     )
+    # exact DECIMAL moments + identical double tree (round 12): see the
+    # oracle SQL comment — sum(i*r) is super-quadratic in customer count
+    # with linear compute, the int64 form's exact overflow class
     agg = ranked.agg(
         F.count("*").alias("n"),
-        F.sum("r").alias("sr"),
-        F.sum(F.col("i") * F.col("r")).alias("sir"),
+        F.sum(F.col("r").cast("decimal(18,0)")).alias("sr"),
+        F.sum(
+            F.col("i").cast("decimal(18,0)") * F.col("r").cast("decimal(18,0)")
+        ).alias("sir"),
     )
     return agg.select(
         F.col("n").alias("n_customers"),
-        F.expr("CAST(2 * sir - (n + 1) * sr AS DOUBLE) / (n * sr)").alias("gini"),
+        F.expr(
+            "(2 * CAST(sir AS DOUBLE) - (n + 1) * CAST(sr AS DOUBLE))"
+            " / (n * CAST(sr AS DOUBLE))"
+        ).alias("gini"),
     )
 
 
@@ -312,15 +351,20 @@ WITH d AS (
   SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
 ),
 s AS (
+  -- ssq in exact DECIMAL (round 12, same class as events_burstiness):
+  -- source/lang are FIXED-cardinality keys, so per-cell counts grow
+  -- linearly with corpus volume and cnt*cnt / tot*tot cross 2^63 at
+  -- ~3e9 docs per source — ordinary at 100 TB
   SELECT source,
          CAST(SUM(cnt) AS BIGINT) AS tot,
-         CAST(SUM(cnt * cnt) AS BIGINT) AS ssq,
+         SUM(CAST(cnt AS DECIMAL(18,0)) * CAST(cnt AS DECIMAL(18,0))) AS ssq,
          COUNT(*) AS n_langs
   FROM d GROUP BY source
 )
 SELECT source, n_langs, tot AS n_docs,
-       1 - CAST(ssq AS DOUBLE) / (tot * tot) AS simpson_diversity,
-       CAST(tot * tot AS DOUBLE) / ssq AS effective_langs
+       1 - CAST(ssq AS DOUBLE) / (CAST(tot AS DOUBLE) * tot)
+         AS simpson_diversity,
+       CAST(tot AS DOUBLE) * tot / CAST(ssq AS DOUBLE) AS effective_langs
 FROM s
 """,
     category="text",
@@ -331,19 +375,30 @@ FROM s
     ),
 )
 def stats_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ssq in exact DECIMAL + double-tree divides (round 12, same class
+    as events_burstiness): source/lang are fixed-cardinality keys, so
+    cnt*cnt / tot*tot are volume-quadratic with linear compute and trip
+    ANSI int64 overflow at ~3e9 docs per source.  Synthetic pin:
+    tests/test_scale_defect_pins.py."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
     s = d.groupBy("source").agg(
-        F.sum("cnt").alias("tot"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("ssq"),
+        F.sum("cnt").cast("bigint").alias("tot"),
+        F.sum(
+            F.col("cnt").cast("decimal(18,0)") * F.col("cnt").cast("decimal(18,0)")
+        ).alias("ssq"),
         F.count("*").alias("n_langs"),
     )
     return s.select(
         "source",
         "n_langs",
         F.col("tot").alias("n_docs"),
-        F.expr("1 - CAST(ssq AS DOUBLE) / (tot * tot)").alias("simpson_diversity"),
-        F.expr("CAST(tot * tot AS DOUBLE) / ssq").alias("effective_langs"),
+        F.expr(
+            "1 - CAST(ssq AS DOUBLE) / (CAST(tot AS DOUBLE) * tot)"
+        ).alias("simpson_diversity"),
+        F.expr(
+            "CAST(tot AS DOUBLE) * tot / CAST(ssq AS DOUBLE)"
+        ).alias("effective_langs"),
     )
 
 
@@ -1616,9 +1671,9 @@ ct AS (SELECT st, SUM(o) AS col_tot FROM cells GROUP BY 1),
 g AS (SELECT SUM(o) AS grand FROM cells),
 terms AS (
   SELECT CAST(FLOOR(
-           (o - CAST(row_tot * col_tot AS DOUBLE) / grand)
-           * (o - CAST(row_tot * col_tot AS DOUBLE) / grand)
-           / (CAST(row_tot * col_tot AS DOUBLE) / grand) * 1000000 + 0.5)
+           (o - CAST(row_tot AS DOUBLE) * col_tot / grand)
+           * (o - CAST(row_tot AS DOUBLE) * col_tot / grand)
+           / (CAST(row_tot AS DOUBLE) * col_tot / grand) * 1000000 + 0.5)
          AS BIGINT) AS t
   FROM cells JOIN rt USING (pri) JOIN ct USING (st) CROSS JOIN g
 ),
@@ -1642,6 +1697,13 @@ FROM terms CROSS JOIN g CROSS JOIN dims d2
     ),
 )
 def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected counts in the overflow-safe double-tree form (round 12 —
+    see stats_chi2_independence; same marginal-product class).  The
+    ``chi2_x1e6`` OUTPUT column stays exact int64 fixed point by
+    contract: chi2 <= n*min(r-1,c-1), so the column represents corpora
+    to n ~ 9e12 orders (chi2*1e6 < 2^63) — an output-representation
+    bound that fails loudly via the ANSI sum, not a silent internal
+    overflow like the fixed product."""
     o = load_table(spark, sf_dir, "orders")
     d = o.select(F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st"))
     cells = d.groupBy("pri", "st").agg(F.count("*").alias("o"))
@@ -1656,13 +1718,7 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ct), "st")
         .crossJoin(F.broadcast(g))
         .select(
-            F.expr(
-                "CAST(FLOOR("
-                "(o - CAST(row_tot * col_tot AS DOUBLE) / grand)"
-                " * (o - CAST(row_tot * col_tot AS DOUBLE) / grand)"
-                " / (CAST(row_tot * col_tot AS DOUBLE) / grand) * 1000000 + 0.5)"
-                " AS BIGINT)"
-            ).alias("t"),
+            F.expr(_chi2_term_expr()).alias("t"),
             "grand",
             "pri",
             "st",

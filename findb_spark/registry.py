@@ -172,7 +172,17 @@ _SPECS: dict[str, QuerySpec] = {}
 #: (--write refuses stale entries: a CHANGED name whose latest driver row
 #: is already from the round being built aborts the rotation.)
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "events_burstiness",     # int64 overflow -> double-tree var/fano (r12)
+    # round-12 int64-moment class eradication (volume-unbounded products
+    # with linear compute; double-tree / exact-DECIMAL forms, each with a
+    # synthetic overflow pin in tests/test_scale_defect_pins.py)
+    "events_burstiness",          # n_hours*sq - s*s -> double tree
+    "events_hourly_anomaly",      # n_h*ss - s*s -> double tree
+    "graph_source_modularity",    # 4m*e_s - D_s^2 -> split int64+DECIMAL
+    "graph_degree_assortativity", # sum(deg^2/3) moments -> DECIMAL
+    "stats_chi2_independence",    # row_tot*col_tot -> double tree
+    "stats_cramers_v",            # row_tot*col_tot -> double tree
+    "stats_gini_revenue",         # sum(rank*revenue) -> DECIMAL
+    "stats_simpson_diversity",    # cnt^2 / tot^2 -> DECIMAL + double tree
 )
 
 # --- BEGIN AUTO-GENERATED WINDOW (scripts/rotate_window.py) ---
@@ -180,6 +190,13 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: from CORRECTNESS_r01..r11 + CHANGED_THIS_ROUND (policy above).
 _CHECK_FIRST: tuple[str, ...] = (
     "events_burstiness",
+    "events_hourly_anomaly",
+    "graph_source_modularity",
+    "graph_degree_assortativity",
+    "stats_chi2_independence",
+    "stats_cramers_v",
+    "stats_gini_revenue",
+    "stats_simpson_diversity",
     "dedup_simhash_pairs",
     "dq_freshness_lag",
     "events_cohort_ltv",
@@ -192,9 +209,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "roundtrip_csv_quirks",
     "roundtrip_stream_enrich",
     "roundtrip_time_travel",
-    "stats_chi2_independence",
-    "stats_gini_revenue",
-    "stats_simpson_diversity",
     "text_bigram_coverage",
     "text_hapax_ratio",
     "text_trigram_diversity",
@@ -222,13 +236,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "dq_distribution_drift",
     "events_markov_stationary",
     "graph_bfs_contamination",
-    "graph_degree_assortativity",
     "graph_label_propagation",
     "multimodal_audio_frames",
     "multimodal_image_ahash",
-    "multimodal_image_boxblur",
-    "multimodal_image_resize",
-    "pipeline_quality_sweep",
 )
 # --- END AUTO-GENERATED WINDOW ---
 
