@@ -1154,13 +1154,15 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency/frequency/monetary quartile bands per customer.
 
     The heavy input (orders) is reduced by ONE map-side-combined
-    aggregate before any window; the three ntile windows then run over
-    the per-customer table — dimension-sized, orders of magnitude
-    smaller than the fact table. An unpartitioned window is still a
-    single ordered pass: if the customer dimension itself stops fitting
-    one task (billions of customers), swap exact ntile for
-    approx_percentile quartile cuts + a CASE band assignment — same
-    output contract, fully parallel, at the cost of boundary-exactness."""
+    aggregate before any window; the three quartile assignments then run
+    over the per-customer table via :func:`ops.rank.global_ntile`
+    (round 12): a builtin ``NTILE OVER (ORDER BY ...)`` coalesces the
+    whole customer dimension into ONE task, so at billions of customers
+    the query stops scaling exactly when the dimension does — the
+    bucket+offset form is bit-identical (property-pinned) and
+    hash-partitioned."""
+    from findb_spark.ops.rank import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         # NTZ -> session-tz cast first (session is UTC, so epoch preserved)
@@ -1168,17 +1170,26 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         fxp_sum(F.col("o_totalprice"), "total_spend"),
     )
-    rw = Window.orderBy(F.desc("last_order_us"), "c_custkey")
-    fw = Window.orderBy(F.desc("n_orders"), "c_custkey")
-    mw = Window.orderBy(F.desc("total_spend"), "c_custkey")
-    return base.select(
+    # base feeds three independent rankings — truncate so the orders
+    # aggregate runs once, not once per band
+    base = base.localCheckpoint(eager=False)
+    res = base
+    for band, key in (
+        ("r_band", "last_order_us"),
+        ("f_band", "n_orders"),
+        ("m_band", "total_spend"),
+    ):
+        res = global_ntile(
+            res, 4, key, ["c_custkey"], descending=True, out=band
+        )
+    return res.select(
         "c_custkey",
         "last_order_us",
         "n_orders",
         "total_spend",
-        F.ntile(4).over(rw).alias("r_band"),
-        F.ntile(4).over(fw).alias("f_band"),
-        F.ntile(4).over(mw).alias("m_band"),
+        "r_band",
+        "f_band",
+        "m_band",
     )
 
 
@@ -1307,6 +1318,14 @@ SELECT l_partkey, revenue, rnk, cum_share FROM r WHERE rnk <= 100
     ),
 )
 def pareto_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank + running share via :func:`ops.rank.global_running_sum`
+    (round 12): the builtin unpartitioned windows coalesce the whole
+    per-part relation into one task — the bucket+offset form yields the
+    identical exact-int64 running sums and ranks, hash-partitioned; the
+    total is a 1-row broadcast aggregate instead of an
+    every-row-to-one-task ``SUM() OVER ()``."""
+    from findb_spark.ops.rank import global_running_sum
+
     li = load_table(spark, sf_dir, "lineitem")
     base = li.groupBy("l_partkey").agg(
         fxp_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
@@ -1316,20 +1335,30 @@ def pareto_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.floor(F.col("revenue") * 100 + F.lit(0.5)).cast("bigint").alias("rc"),
     )
-    ow = Window.orderBy(F.desc("rc"), "l_partkey")
-    cw = ow.rowsBetween(Window.unboundedPreceding, 0)
-    tw = Window.partitionBy()
+    # cents feeds the ranking AND the 1-row total — truncate so the
+    # lineitem aggregate runs once
+    cents = cents.localCheckpoint(eager=False)
+    tot = cents.agg(F.sum("rc").cast("bigint").alias("_tot"))
+    ranked = global_running_sum(
+        cents,
+        "rc",
+        ["l_partkey"],
+        value="rc",
+        descending=True,
+        out="_cum",
+        rn_out="rnk",
+    )
     return (
-        cents.select(
+        ranked.where(F.col("rnk") <= 100)
+        .crossJoin(F.broadcast(tot))
+        .select(
             "l_partkey",
             "revenue",
-            F.row_number().over(ow).alias("rnk"),
-            (
-                F.sum("rc").over(cw).cast("double")
-                / F.sum("rc").over(tw).cast("double")
-            ).alias("cum_share"),
+            "rnk",
+            (F.col("_cum").cast("double") / F.col("_tot").cast("double")).alias(
+                "cum_share"
+            ),
         )
-        .where(F.col("rnk") <= 100)
     )
 
 
@@ -1420,9 +1449,15 @@ def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("freq").cast("bigint").alias("total_rows"),
             F.max("freq").cast("bigint").alias("max_freq"),
         )
-        ranked = freq.select(
-            "freq",
-            (F.row_number().over(Window.orderBy("freq")) - 1).alias("rk"),
+        # 0-based rank via ops.rank.global_row_number (round 12): the
+        # distinct-key relation is SF-proportional, so the builtin
+        # unpartitioned window is a one-task sort at volume; ties carry
+        # no tiebreaker on either form — interchangeable equal freqs
+        # yield the same percentile values either way
+        from findb_spark.ops.rank import global_row_number
+
+        ranked = global_row_number(freq, "freq", out="_rn").select(
+            "freq", (F.col("_rn") - 1).alias("rk")
         )
         p50 = _px100_case_sql(50, "DIV")
         p99 = _px100_case_sql(99, "DIV")
@@ -1672,8 +1707,6 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix regardless of volume.  The period split derives from the
     data's own midpoint (a broadcast 1-row aggregate) so the query is
     scale-factor-agnostic."""
-    from pyspark.sql import Window
-
     o = load_table(spark, sf_dir, "orders")
     b = o.agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
     split = b.select(
@@ -1683,16 +1716,21 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the min/max aggregate's full scan runs once, not once per period
     split = split.localCheckpoint(eager=False)
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
-    w = Window.orderBy(F.desc("spend_cents"), "ck")
+    # per-period quartiles via ops.rank.global_ntile (round 12): the
+    # builtin unpartitioned NTILE coalesces the whole customer dimension
+    # into one task; the bucket+offset form is bit-identical and scales
+    from findb_spark.ops.rank import global_ntile
 
     def period(cond):
-        return (
+        p = (
             o.crossJoin(F.broadcast(split))
             .where(cond)
             .groupBy(F.col("o_custkey").alias("ck"))
             .agg(F.sum(cents).cast("bigint").alias("spend_cents"))
-            .select("ck", F.ntile(4).over(w).alias("band"))
         )
+        return global_ntile(
+            p, 4, "spend_cents", ["ck"], descending=True, out="band"
+        ).select("ck", "band")
 
     b1 = period(F.col("o_orderdate") < F.col("mid"))
     b2 = period(F.col("o_orderdate") >= F.col("mid")).select(

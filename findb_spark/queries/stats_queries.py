@@ -1776,9 +1776,15 @@ abc AS (
   FROM rev
 ),
 abc_cls AS (
+  -- 70/90 cuts as exact DECIMAL cross-products (round 12): tot*10 in
+  -- int64 sits ~1.6x under 2^63 at the 100 TB corpus's total revenue
+  -- cents — DECIMAL removes the ceiling while staying an exact integer
+  -- comparison on both engines
   SELECT part, cents,
-         CASE WHEN cum * 10 <= tot * 7 THEN 'A'
-              WHEN cum * 10 <= tot * 9 THEN 'B'
+         CASE WHEN CAST(cum AS DECIMAL(28,0)) * 10
+                   <= CAST(tot AS DECIMAL(28,0)) * 7 THEN 'A'
+              WHEN CAST(cum AS DECIMAL(28,0)) * 10
+                   <= CAST(tot AS DECIMAL(28,0)) * 9 THEN 'B'
               ELSE 'C' END AS abc_class
   FROM abc
 ),
@@ -1820,22 +1826,30 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
         F.sum(cents).cast("bigint").alias("cents")
     )
-    wcum = Window.orderBy(F.col("cents").desc(), "part").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wtot = Window.partitionBy()
-    abc = rev.select(
-        "part",
-        "cents",
-        F.sum("cents").over(wcum).cast("bigint").alias("cum"),
-        F.sum("cents").over(wtot).cast("bigint").alias("tot"),
-    ).select(
-        "part",
-        "cents",
-        F.when(F.col("cum") * 10 <= F.col("tot") * 7, "A")
-        .when(F.col("cum") * 10 <= F.col("tot") * 9, "B")
-        .otherwise("C")
-        .alias("abc_class"),
+    # cumulative revenue via ops.rank.global_running_sum (round 12): the
+    # builtin unpartitioned window coalesces the whole per-part relation
+    # into one task; the bucket+offset form is bit-identical and scales.
+    # The 70/90 cuts compare in exact DECIMAL (see the oracle comment).
+    from findb_spark.ops.rank import global_running_sum
+
+    rev = rev.localCheckpoint(eager=False)  # feeds ranking + 1-row total
+    tot1 = rev.agg(F.sum("cents").cast("bigint").alias("tot"))
+    abc = (
+        global_running_sum(
+            rev, "cents", ["part"], value="cents", descending=True, out="cum"
+        )
+        .crossJoin(F.broadcast(tot1))
+        .select(
+            "part",
+            "cents",
+            F.expr(
+                "CASE WHEN CAST(cum AS DECIMAL(28,0)) * 10"
+                " <= CAST(tot AS DECIMAL(28,0)) * 7 THEN 'A'"
+                " WHEN CAST(cum AS DECIMAL(28,0)) * 10"
+                " <= CAST(tot AS DECIMAL(28,0)) * 9 THEN 'B'"
+                " ELSE 'C' END"
+            ).alias("abc_class"),
+        )
     )
     mq = li.groupBy(
         F.col("l_partkey").alias("part"),

@@ -183,6 +183,14 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "stats_cramers_v",            # row_tot*col_tot -> double tree
     "stats_gini_revenue",         # sum(rank*revenue) -> DECIMAL
     "stats_simpson_diversity",    # cnt^2 / tot^2 -> DECIMAL + double tree
+    # round-12 distributed-global-window class (ops/rank.py bucket+offset:
+    # an unpartitioned window coalesces an SF-proportional relation into
+    # ONE task; the replacement is bit-identical and hash-partitioned)
+    "customer_rfm",               # 3x NTILE -> global_ntile
+    "customer_segment_migration", # 2x NTILE -> global_ntile
+    "pareto_part_revenue",        # rank+cumsum -> global_running_sum
+    "orders_abc_xyz",             # cumsum -> global_running_sum + DECIMAL cuts
+    "stats_key_skew",             # rank -> global_row_number
 )
 
 # --- BEGIN AUTO-GENERATED WINDOW (scripts/rotate_window.py) ---
@@ -197,6 +205,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     "stats_cramers_v",
     "stats_gini_revenue",
     "stats_simpson_diversity",
+    "customer_rfm",
+    "customer_segment_migration",
+    "pareto_part_revenue",
+    "orders_abc_xyz",
+    "stats_key_skew",
     "dedup_simhash_pairs",
     "dq_freshness_lag",
     "events_cohort_ltv",
@@ -234,11 +247,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "dedup_threshold_sweep",
     "dp_noisy_histogram",
     "dq_distribution_drift",
-    "events_markov_stationary",
-    "graph_bfs_contamination",
-    "graph_label_propagation",
-    "multimodal_audio_frames",
-    "multimodal_image_ahash",
 )
 # --- END AUTO-GENERATED WINDOW ---
 

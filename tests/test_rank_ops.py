@@ -1,0 +1,130 @@
+"""Property pins for findb_spark.ops.rank — the distributed global
+ranking ops must be BIT-IDENTICAL to the single-partition builtin
+windows they replace, across ties, ascending/descending order, skewed
+key distributions, and every NTILE remainder case, while the heavy
+window runs hash-partitioned by bucket (plan-asserted)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from findb_spark.ops.rank import (
+    global_ntile,
+    global_row_number,
+    global_running_sum,
+)
+
+
+def _data(spark, n=500, skew=False):
+    """Deterministic keys with heavy ties; skew concentrates 40% of rows
+    on one key (the unbalanced-bucket regime)."""
+    key = (
+        F.when(F.col("id") % 5 < 2, F.lit(7))  # 40% on key 7
+        if skew
+        else (F.col("id") * 2654435761 % 97)
+    )
+    return spark.range(n).select(
+        F.col("id").alias("pk"),
+        key.cast("long").alias("k"),
+        ((F.col("id") * 40503) % 1000).cast("long").alias("v"),
+    )
+
+
+@pytest.mark.parametrize("descending", [False, True])
+@pytest.mark.parametrize("skew", [False, True])
+def test_global_row_number_matches_builtin(spark, descending, skew):
+    df = _data(spark, skew=skew)
+    lead = F.col("k").desc() if descending else F.col("k").asc()
+    w = Window.orderBy(lead, F.col("pk").asc())
+    want = {
+        r.pk: r.rn
+        for r in df.select("pk", F.row_number().over(w).alias("rn")).collect()
+    }
+    got = {
+        r.pk: r.rn
+        for r in global_row_number(
+            df, "k", ["pk"], descending=descending, n_buckets=16
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_global_running_sum_matches_builtin(spark, descending):
+    df = _data(spark)
+    lead = F.col("k").desc() if descending else F.col("k").asc()
+    w = (
+        Window.orderBy(lead, F.col("pk").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r.pk: (r.cum, r.rn)
+        for r in df.select(
+            "pk",
+            F.sum("v").over(w).alias("cum"),
+            F.row_number()
+            .over(Window.orderBy(lead, F.col("pk").asc()))
+            .alias("rn"),
+        ).collect()
+    }
+    got = {
+        r.pk: (r.cum, r.rn)
+        for r in global_running_sum(
+            df,
+            "k",
+            ["pk"],
+            value="v",
+            descending=descending,
+            n_buckets=16,
+            rn_out="rn",
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n,k", [(500, 4), (6, 4), (5, 4), (3, 4), (500, 7)])
+def test_global_ntile_matches_builtin(spark, n, k):
+    """Covers every remainder branch: n % k zero and non-zero, and the
+    n < k degenerate case where base = 0."""
+    df = _data(spark, n=n)
+    w = Window.orderBy(F.col("k").desc(), F.col("pk").asc())
+    want = {
+        r.pk: r.band
+        for r in df.select("pk", F.ntile(k).over(w).alias("band")).collect()
+    }
+    got = {
+        r.pk: r.band
+        for r in global_ntile(
+            df, k, "k", ["pk"], descending=True, n_buckets=8
+        ).collect()
+    }
+    assert got == want
+
+
+def test_constant_key_degenerates_to_one_bucket(spark):
+    df = _data(spark).withColumn("k", F.lit(5).cast("long"))
+    w = Window.orderBy(F.col("k").asc(), F.col("pk").asc())
+    want = {
+        r.pk: r.rn
+        for r in df.select("pk", F.row_number().over(w).alias("rn")).collect()
+    }
+    got = {r.pk: r.rn for r in global_row_number(df, "k", ["pk"]).collect()}
+    assert got == want
+
+
+def test_heavy_window_is_hash_partitioned_not_single(spark):
+    """The load-bearing plan property: the per-row window must be
+    partitioned by the bucket (parallel), not a single-partition sort of
+    the whole relation.  The only remaining SinglePartition work is the
+    offsets window over the bounded bucket-count relation."""
+    df = _data(spark, n=2000)
+    plan = (
+        global_row_number(df, "k", ["pk"], n_buckets=32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(_gr_bucket" in plan
+    # the full-relation window runs over the bucket partitioning
+    assert "Window [row_number()" in plan
