@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Measured evidence for the distributed-rank rewrite (round 12).
+
+Times the builtin unpartitioned window (``NTILE(4) OVER (ORDER BY k
+DESC, pk)``) against ``ops.rank.global_ntile`` on a JVM-generated
+per-customer-shaped relation, at a dimension size where the builtin's
+single-task sort is visible (default 50M keys ~ a few-hundred-SF
+customer dimension).  Usage: ``python scripts/rank_smoke.py [n_rows]``.
+
+Prints one JSON line with walls and REST stage metrics (peak memory,
+spill, task counts) for each variant, plus a bit-equality check on a
+deterministic sample so the speed comparison is also a correctness
+witness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window, functions as F  # noqa: E402
+
+from findb_spark.metrics import metrics_delta, settled_stages_snapshot  # noqa: E402
+from findb_spark.ops.rank import global_ntile  # noqa: E402
+from findb_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
+    spark = get_spark(
+        app_name="rank_smoke",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # per-customer-shaped relation: unique pk, heavy-tailed spend key
+    dim = spark.range(n).select(
+        F.col("id").alias("pk"),
+        ((F.col("id") * 2654435761) % 1_000_000_007).alias("k"),
+    )
+    sink = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
+    sink(dim)  # warm codegen + range generation
+
+    out: dict = {"n_rows": n}
+    w = Window.orderBy(F.col("k").desc(), F.col("pk").asc())
+    variants = {
+        "builtin_single_partition": lambda: dim.select(
+            "pk", F.ntile(4).over(w).alias("band")
+        ),
+        "ops_rank_global_ntile": lambda: global_ntile(
+            dim, 4, "k", ["pk"], descending=True
+        ).select("pk", "band"),
+    }
+    for name, build in variants.items():
+        before, _ = settled_stages_snapshot(spark)
+        t0 = time.monotonic()
+        sink(build())
+        wall = round(time.monotonic() - t0, 3)
+        after, _ = settled_stages_snapshot(spark)
+        out[name] = {"wall_s": wall, "metrics": metrics_delta(before, after)}
+
+    # correctness witness: bands agree on a deterministic 1e-5 sample
+    a = variants["builtin_single_partition"]().where(F.col("pk") % 100_000 == 7)
+    b = variants["ops_rank_global_ntile"]().where(F.col("pk") % 100_000 == 7)
+    mismatch = (
+        a.alias("a")
+        .join(b.alias("b"), "pk")
+        .where("a.band <> b.band")
+        .count()
+    )
+    sample_n = a.count()
+    out["sample_checked"] = sample_n
+    out["sample_mismatches"] = mismatch
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
