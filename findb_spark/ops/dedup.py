@@ -18,8 +18,17 @@ Scale design (100 TB posture):
   `simhash_banded_pairs` is the scale path (prefix-band blocking, standard
   pigeonhole guarantee: hamming <= 3 bands-1 distance always shares a band).
 
-Every hash is functions.hashing.hash48 (md5-derived) so the DuckDB oracle
-reproduces signatures bit-for-bit.
+Hash-width policy (round 12): operators whose CONTRACT is exact identity
+(exact_dedup_stats and the exact-dup flags/apply paths) key on the FULL
+128-bit md5 — a 48-bit key silently merges distinct texts past the
+birthday bound (~2^24 distinct values), i.e. millions of false merges at
+1e11 docs.  The APPROXIMATE families (MinHash/shingle inverted index,
+SimHash, CDC gear boundaries, boilerplate spans, sampling gates) keep
+functions.hashing.hash48: a collision there perturbs an already-
+probabilistic statistic by far less than the family's own error term,
+and the narrow int64 key halves shuffle width.  Both widths are
+md5-derived, so the DuckDB oracle reproduces every signature
+bit-for-bit.
 
 Persist lifetime: these operators persist small reused intermediates
 (doc_id + ints) and return LAZY DataFrames, so they cannot unpersist
@@ -58,8 +67,18 @@ SHINGLE_EXPLODE_BYTES_PER_INPUT_BYTE = 24
 
 
 def exact_dedup_stats(docs: DataFrame) -> DataFrame:
-    """Corpus-level exact-duplicate profile via text-hash groupBy."""
-    h = docs.select("doc_id", hash48(F.col("text")).alias("h"))
+    """Corpus-level exact-duplicate profile via text-digest groupBy.
+
+    Identity is the FULL 128-bit md5 (round 12): a 48-bit key silently
+    merges distinct texts once the corpus outgrows the birthday bound —
+    ~1.8e7 false merges at 1e11 docs (n²/2^49) — which corrupts an
+    operator whose contract is EXACT; at 128 bits the expected count is
+    ~4e-17 at the same volume.  Both engines compute the identical
+    lowercase-hex digest, and only counts reach the output.  hash48
+    remains the key for the APPROXIMATE families (MinHash, shingle
+    inverted index, CDC gear, sampling gates) where a collision only
+    perturbs an already-probabilistic statistic."""
+    h = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
     clusters = h.groupBy("h").agg(
         F.count("*").alias("cluster_size"), F.min("doc_id").alias("canonical_doc_id")
     )

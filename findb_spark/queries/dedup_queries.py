@@ -39,7 +39,7 @@ _SIZES_CTE = "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)"
 @register(
     "dedup_exact",
     f"""
-WITH h AS (SELECT doc_id, {hash48_duck('text')} AS h FROM documents),
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
 c AS (SELECT h, COUNT(*) AS cluster_size, MIN(doc_id) AS canonical FROM h GROUP BY h)
 SELECT COUNT(*) AS n_distinct_texts,
        CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
@@ -368,7 +368,7 @@ def dedup_clusters_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact_apply",
     f"""
-WITH h AS (SELECT doc_id, {hash48_duck('text')} AS h FROM documents),
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
 keep AS (SELECT MIN(doc_id) AS doc_id FROM h GROUP BY h)
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d JOIN keep USING (doc_id)
@@ -382,7 +382,7 @@ def dedup_exact_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     keep = (
-        docs.select("doc_id", hash48(F.col("text")).alias("h"))
+        docs.select("doc_id", F.md5(F.col("text")).alias("h"))
         .groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")

@@ -127,7 +127,7 @@ WITH toks AS (
   SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
   FROM documents
 ),
-h AS (SELECT doc_id, source, {hash48_duck('text')} AS th FROM documents),
+h AS (SELECT doc_id, source, md5(text) AS th FROM documents),
 dupc AS (SELECT th, COUNT(*) AS c FROM h GROUP BY th),
 dupflag AS (
   SELECT h.doc_id, CASE WHEN dupc.c > 1 THEN 1 ELSE 0 END AS is_dup
@@ -179,7 +179,7 @@ def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size(F.split("text", " ")).alias("n_tokens"),
-        hash48(F.col("text")).alias("th"),
+        F.md5(F.col("text")).alias("th"),
     ).localCheckpoint(eager=False)
     dupc = base.groupBy("th").agg(F.count("*").alias("c"))
     dupflag = base.join(dupc, "th").select(

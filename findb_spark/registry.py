@@ -191,6 +191,12 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "pareto_part_revenue",        # rank+cumsum -> global_running_sum
     "orders_abc_xyz",             # cumsum -> global_running_sum + DECIMAL cuts
     "stats_key_skew",             # rank -> global_row_number
+    # round-12 exact-identity hash-width fix (48-bit birthday collisions
+    # silently merge distinct texts past ~2^24 distinct values; exact
+    # contracts now key on the full 128-bit md5 — ops/dedup.py header)
+    "dedup_exact",
+    "dedup_exact_apply",
+    "source_quality_profile",
 )
 
 # --- BEGIN AUTO-GENERATED WINDOW (scripts/rotate_window.py) ---
@@ -210,6 +216,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "pareto_part_revenue",
     "orders_abc_xyz",
     "stats_key_skew",
+    "dedup_exact",
+    "dedup_exact_apply",
+    "source_quality_profile",
     "dedup_simhash_pairs",
     "dq_freshness_lag",
     "events_cohort_ltv",
@@ -244,9 +253,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "dedup_lsh_precision_recall",
     "dedup_shingle_df_profile",
     "dedup_split_leakage",
-    "dedup_threshold_sweep",
-    "dp_noisy_histogram",
-    "dq_distribution_drift",
 )
 # --- END AUTO-GENERATED WINDOW ---
 
