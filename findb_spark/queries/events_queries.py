@@ -1057,12 +1057,21 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.row_number().over(wn).alias("rn"),
     )
+    # collect CONDITIONALLY (collect_list skips NULLs), not collect-then-
+    # filter (round 12): the old form gathered EVERY event of a session
+    # into one aggregation buffer before slicing to 3 — bounded for human
+    # sessions, an executor OOM for a degenerate gap-free bot stream
+    # (1e8 events, one session).  The when() form holds <= 3 structs per
+    # key at every aggregation stage while has_p still scans the whole
+    # session; identical output (the filter-after-sort kept exactly
+    # these structs).
     per = r.groupBy("user_id", "session_num").agg(
         F.array_join(
             F.transform(
-                F.filter(
-                    F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
-                    lambda s: s.getField("rn") <= 3,
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("rn") <= 3, F.struct("rn", "event_type"))
+                    )
                 ),
                 lambda s: s.getField("event_type"),
             ),

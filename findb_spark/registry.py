@@ -197,6 +197,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dedup_exact",
     "dedup_exact_apply",
     "source_quality_profile",
+    # round-12 bounded-aggregation-buffer fix (collect-then-filter ->
+    # conditional collect; a gap-free bot stream OOMed the session buffer)
+    "events_session_paths",
 )
 
 # --- BEGIN AUTO-GENERATED WINDOW (scripts/rotate_window.py) ---
@@ -219,6 +222,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "dedup_exact",
     "dedup_exact_apply",
     "source_quality_profile",
+    "events_session_paths",
     "dedup_simhash_pairs",
     "dq_freshness_lag",
     "events_cohort_ltv",
@@ -252,7 +256,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "asof_join_nearest",
     "dedup_lsh_precision_recall",
     "dedup_shingle_df_profile",
-    "dedup_split_leakage",
 )
 # --- END AUTO-GENERATED WINDOW ---
 
