@@ -106,8 +106,15 @@ def hourly_anomaly(events: DataFrame, z_thresh: float = 2.0, min_hours: int = 3)
     ANSI int64 overflow once a degenerate user key pairs a ~2e7-event hour
     with a calendar-long active tail (n_h ~ 2e4) — feasible at 100 TB;
     ``(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/n_h) / n_h`` converts each
-    int64 exactly (< 2^53 far past that regime) and is written identically
-    on both engines.  Synthetic pin: tests/test_scale_defect_pins.py.
+    exact moment correctly-rounded and is written identically on both
+    engines.  The ``ss`` ACCUMULATOR itself is exact DECIMAL (round 13,
+    advisor): an int64 ``SUM(cnt*cnt)`` overflows in the same degenerate
+    regime (one ~2e7-event hour contributes 4e14 per row; ~2e4 such rows
+    exceed 2^63 only with hotter keys, but a single ~4e9-event key in one
+    hour already does) — and DuckDB's HUGEINT sum would silently diverge
+    from Spark's ANSI failure.  DECIMAL(18,0) inputs -> (37,0) products ->
+    (38,0) sum is exact and order-independent on both engines.  Synthetic
+    pins (product AND accumulator): tests/test_scale_defect_pins.py.
     """
     hourly = events.groupBy(
         F.col("user_id"),
@@ -116,7 +123,10 @@ def hourly_anomaly(events: DataFrame, z_thresh: float = 2.0, min_hours: int = 3)
     stats = hourly.groupBy("user_id").agg(
         F.count("*").alias("n_h"),
         F.sum("cnt").alias("s"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+        F.sum(
+            F.col("cnt").cast("decimal(18,0)")
+            * F.col("cnt").cast("decimal(18,0)")
+        ).alias("ss"),
     )
     mean = F.col("s").cast("double") / F.col("n_h")
     var_num = F.col("ss").cast("double") - F.col("s").cast("double") * F.col(

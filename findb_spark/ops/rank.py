@@ -46,7 +46,23 @@ def _with_bucket(
         F.min(key).cast("double").alias("_gr_lo"),
         F.max(key).cast("double").alias("_gr_hi"),
     )
+    # Runtime non-null guard (round 13, advisor): a NULL order key would
+    # yield a NULL bucket, and the inner join with the offsets relation
+    # would then silently DROP the row — a wrong (smaller) result where
+    # the builtin window ranks NULLs.  Fail loudly instead; the guard is
+    # one per-row branch, negligible next to the window sort.  (Schema
+    # nullability is not checked: aggregate outputs are nullable-typed
+    # even when every value is non-null, which is every call site here.)
     raw = F.when(
+        F.col(key).isNull(),
+        F.raise_error(
+            F.lit(
+                f"ops.rank: order key '{key}' is NULL — the bucket+offset "
+                "rank requires a non-null key (the builtin window would "
+                "rank NULLs; this op would silently drop them)"
+            )
+        ).cast("int"),
+    ).when(
         F.col("_gr_lo") == F.col("_gr_hi"), F.lit(1)
     ).otherwise(
         # width_bucket yields 1..nb for [lo, hi) and nb+1 at the hi edge;

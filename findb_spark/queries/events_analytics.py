@@ -607,10 +607,17 @@ WITH h AS (
   FROM events GROUP BY 1, 2
 ),
 m AS (
+  -- sq accumulates in exact DECIMAL (round 13, advisor): the round-12
+  -- double-tree fix removed the n_hours*sq product overflow, but the
+  -- int64 ACCUMULATOR SUM(n*n) itself overflows once one event type
+  -- pairs ~1e12 events with ~1.7e4 active hours (sq ~ 6e19 > 2^63) —
+  -- and DuckDB's HUGEINT sum would silently diverge from Spark's ANSI
+  -- failure.  DECIMAL(18,0) inputs -> (37,0) products -> (38,0) sum is
+  -- exact and order-independent on both engines.
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n_hours,
          CAST(SUM(n) AS BIGINT) AS s,
-         CAST(SUM(n * n) AS BIGINT) AS sq
+         SUM(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))) AS sq
   FROM h GROUP BY event_type
 )
 SELECT event_type, n_hours,
@@ -630,17 +637,18 @@ FROM m WHERE s > 0
     ),
 )
 def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volume-unbounded moment, overflow-safe (round-12, closing the
-    round-11 audit's one remaining int64-moment site): the old exact form
-    ``n_hours * sq - s * s`` trips ANSI int64 overflow near sf1000 (~2e9
-    events of one type ⇒ n_hours·Σn² ≈ 2^63).  Rewritten to the
-    algebraically equal double-tree form from the stats_welch_ttest
-    round-11 fix — ``(CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s /
-    n_hours) / n_hours`` — written identically on both engines: each
-    int64 input converts exactly (< 2^53 far past the overflow point of
-    the old form), each op is correctly-rounded IEEE, so the result is
-    deterministic and bit-exact across engines at any realistic volume.
-    Synthetic overflow pin: tests/test_scale_defect_pins.py."""
+    """Volume-unbounded moment, overflow-safe (round-12 removed the
+    ``n_hours * sq - s * s`` product overflow via the double-tree combine;
+    round 13, advisor, hardened the ACCUMULATOR too): ``SUM(n*n)`` in
+    int64 overflows once one event type pairs ~1e12 events with ~1.7e4
+    active hours (sq ~ 6e19 > 2^63) — Spark ANSI fails loudly while
+    DuckDB's HUGEINT sum silently succeeds.  sq now accumulates in exact
+    DECIMAL on both engines (18,0 inputs -> 37,0 products -> 38,0 sum,
+    order-independent, headroom to 1e38), and the combine stays the
+    double tree — each conversion is the correctly-rounded IEEE value of
+    the same exact integer on both engines, so results are deterministic
+    and bit-exact at any volume the DECIMAL holds.  Synthetic overflow
+    pins (product AND accumulator): tests/test_scale_defect_pins.py."""
     ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hr")
@@ -648,7 +656,9 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = h.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_hours"),
         F.sum("n").cast("bigint").alias("s"),
-        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sq"),
+        F.sum(
+            F.col("n").cast("decimal(18,0)") * F.col("n").cast("decimal(18,0)")
+        ).alias("sq"),
     ).where("s > 0")
     return m.select(
         "event_type",

@@ -321,7 +321,12 @@ WITH hourly AS (
   FROM events GROUP BY 1, 2
 ),
 stats AS (
-  SELECT user_id, COUNT(*) AS n_h, SUM(cnt) AS s, SUM(cnt * cnt) AS ss
+  -- ss in exact DECIMAL (round 13, advisor): the int64 SUM(cnt*cnt)
+  -- accumulator overflows in the same degenerate-key regime the round-12
+  -- double-tree combine was built for, and DuckDB's HUGEINT sum would
+  -- silently diverge from Spark's ANSI failure there
+  SELECT user_id, COUNT(*) AS n_h, SUM(cnt) AS s,
+         SUM(CAST(cnt AS DECIMAL(18,0)) * CAST(cnt AS DECIMAL(18,0))) AS ss
   FROM hourly GROUP BY user_id
 )
 SELECT * FROM (
@@ -340,7 +345,8 @@ SELECT * FROM (
         "overflow-safe double-tree form (round 12 — the old n_h*ss - s*s "
         "int64 product trips ANSI overflow once one user accumulates a "
         "~2e7-event hour alongside a calendar-long tail, the degenerate-"
-        "key shape 100 TB corpora actually contain)"
+        "key shape 100 TB corpora actually contain); the ss accumulator "
+        "itself in exact DECIMAL (round 13)"
     ),
 )
 def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:

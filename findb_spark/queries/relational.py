@@ -1174,11 +1174,19 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate runs once, not once per band
     base = base.localCheckpoint(eager=False)
     res = base
-    for band, key in (
+    bands = (
         ("r_band", "last_order_us"),
         ("f_band", "n_orders"),
         ("m_band", "total_spend"),
-    ):
+    )
+    for i, (band, key) in enumerate(bands):
+        # truncate BETWEEN bands too (round 13, advisor): each ntile call
+        # internally evaluates its input several times (bounds, bucket
+        # counts, total, final join), so without this the third band's
+        # aggregates would re-execute the prior two bands' window+join
+        # plans repeatedly — only the orders aggregate was truncated
+        if i:
+            res = res.localCheckpoint(eager=False)
         res = global_ntile(
             res, 4, key, ["c_custkey"], descending=True, out=band
         )

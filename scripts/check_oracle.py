@@ -10,6 +10,7 @@ not hand-transcribed from stdout (round-11 verdict item 8).
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 
@@ -17,13 +18,17 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> int:
-    argv = sys.argv[1:]
-    json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
-    only = set(argv[1:])
+    # argparse (round 13, advisor): a bare `--json` used to raise
+    # IndexError on argv[1], and the flag was position-locked
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--json", dest="json_out", metavar="OUT.json",
+                    help="write a machine-readable summary to OUT.json")
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    ap.add_argument("query", nargs="*", help="restrict to these query names")
+    ns = ap.parse_args()
+    json_out = ns.json_out
+    sf_dir = ns.sf_dir
+    only = set(ns.query)
 
     import __spark_entry__ as entrymod
     from findb_spark.oracle import compare_query, duck_connection, lint_oracle_types
