@@ -124,21 +124,35 @@ def global_running_sum(
     n_buckets: int = DEFAULT_BUCKETS,
     out: str = "cum",
     rn_out: str | None = None,
+    extra_values: dict[str, str] | None = None,
 ) -> DataFrame:
     """``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` (and
     optionally the matching ROW_NUMBER via ``rn_out``) without a
     single-partition window: per-bucket running sums plus each bucket's
-    exclusive prefix total."""
+    exclusive prefix total.
+
+    ``extra_values`` maps further value columns to output names, summed
+    over the SAME order in the same pass (one bucket assignment, one
+    offsets relation, one per-bucket window) — a two-ECDF scan like
+    ``stats_ks_test`` costs one distributed window, not two (round 13).
+    """
     tiebreaks = tiebreaks or []
+    vals = {value: out, **(extra_values or {})}
     kb = _with_bucket(df, key, descending, n_buckets)
     per = kb.groupBy(_B).agg(
-        F.count("*").alias("_gr_cnt"), F.sum(value).alias("_gr_sum")
+        F.count("*").alias("_gr_cnt"),
+        *[F.sum(v).alias(f"_gr_sum_{i}") for i, v in enumerate(vals)],
     )
     wpre = Window.orderBy(_B).rowsBetween(Window.unboundedPreceding, -1)
     offsets = per.select(
         _B,
         F.coalesce(F.sum("_gr_cnt").over(wpre), F.lit(0)).alias(_OFF),
-        F.coalesce(F.sum("_gr_sum").over(wpre), F.lit(0)).alias("_gr_soff"),
+        *[
+            F.coalesce(F.sum(f"_gr_sum_{i}").over(wpre), F.lit(0)).alias(
+                f"_gr_soff_{i}"
+            )
+            for i in range(len(vals))
+        ],
     )
     order = _order(key, tiebreaks, descending)
     wrun = (
@@ -147,14 +161,18 @@ def global_running_sum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     win = Window.partitionBy(_B).orderBy(*order)
-    res = kb.join(F.broadcast(offsets), _B).withColumn(
-        out, F.sum(value).over(wrun) + F.col("_gr_soff")
-    )
+    res = kb.join(F.broadcast(offsets), _B)
+    for i, (v, o) in enumerate(vals.items()):
+        res = res.withColumn(
+            o, F.sum(v).over(wrun) + F.col(f"_gr_soff_{i}")
+        )
     if rn_out is not None:
         res = res.withColumn(
             rn_out, (F.row_number().over(win) + F.col(_OFF)).cast("long")
         )
-    return res.drop(_B, _OFF, "_gr_soff")
+    return res.drop(
+        _B, _OFF, *[f"_gr_soff_{i}" for i in range(len(vals))]
+    )
 
 
 def global_ntile(

@@ -18,9 +18,14 @@ from findb_spark.ops.rank import (
 
 def _data(spark, n=500, skew=False):
     """Deterministic keys with heavy ties; skew concentrates 40% of rows
-    on one key (the unbalanced-bucket regime)."""
+    on one key (the unbalanced-bucket regime).  The non-skew branch of
+    the old fixture left the other 60% NULL (an accidental all-equal
+    degenerate case once min==max); keys are now non-null everywhere —
+    NULL keys RAISE since round 13 (see test_null_order_key_raises)."""
     key = (
-        F.when(F.col("id") % 5 < 2, F.lit(7))  # 40% on key 7
+        F.when(F.col("id") % 5 < 2, F.lit(7)).otherwise(  # 40% on key 7
+            F.col("id") * 2654435761 % 97
+        )
         if skew
         else (F.col("id") * 2654435761 % 97)
     )
@@ -128,3 +133,62 @@ def test_heavy_window_is_hash_partitioned_not_single(spark):
     assert "hashpartitioning(_gr_bucket" in plan
     # the full-relation window runs over the bucket partitioning
     assert "Window [row_number()" in plan
+
+
+def test_null_order_key_raises(spark):
+    """Round-13 advisor guard: a NULL order key must FAIL LOUDLY — the
+    offsets inner join would otherwise silently drop the row (a wrong,
+    smaller result), where the builtin window ranks NULLs."""
+    df = _data(spark, n=50).withColumn(
+        "k", F.when(F.col("pk") % 7 == 0, F.col("k"))  # 6/7 of keys NULL
+    )
+    with pytest.raises(Exception, match="ops.rank.*NULL"):
+        global_row_number(df, "k", ["pk"]).count()
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_global_running_sum_extra_values(spark, descending):
+    """extra_values: several running sums over the SAME order in one
+    pass must each be bit-identical to the builtin window."""
+    df = _data(spark).withColumn("v2", (F.col("pk") * 13 % 101).cast("long"))
+    lead = F.col("k").desc() if descending else F.col("k").asc()
+    w = (
+        Window.orderBy(lead, F.col("pk").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r.pk: (r.cum, r.cum2)
+        for r in df.select(
+            "pk",
+            F.sum("v").over(w).alias("cum"),
+            F.sum("v2").over(w).alias("cum2"),
+        ).collect()
+    }
+    got = {
+        r.pk: (r.cum, r.cum2)
+        for r in global_running_sum(
+            df,
+            "k",
+            ["pk"],
+            value="v",
+            descending=descending,
+            n_buckets=16,
+            extra_values={"v2": "cum2"},
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ks_ecdf_window_is_hash_partitioned(spark):
+    """Round-13 verdict item 2: stats_ks_test's ECDF scan must run its
+    window over hashpartitioning(_gr_bucket...), not a single-partition
+    sort of the value-grouped relation."""
+    from findb_spark.queries.stats_queries import stats_ks_test
+
+    plan = (
+        stats_ks_test(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(_gr_bucket" in plan

@@ -383,3 +383,58 @@ def test_corr_matrix_monthly_alignment_survives_sparse_series(
         float(n) * sum(a * a for a in x) - float(sum(x)) * sum(x)
     ) * math.sqrt(float(n) * sum(b * b for b in y) - float(sum(y)) * sum(y))
     assert got[0].corr == pytest.approx(num / den, rel=1e-12)
+
+
+def test_moment_accumulator_int64_sum_overflows_decimal_survives(spark):
+    """Round-13 accumulator pin (advisor): the round-12 double-tree fixes
+    removed the COMBINE overflow (n*sq - s*s), but an int64 ACCUMULATOR
+    ``SUM(cnt*cnt)`` itself overflows once the squared terms total past
+    2^63 — the regime one event type with ~1e12 events over ~1.7e4 hours
+    reaches (sq ~ 6e19).  Worse than loud failure: DuckDB's HUGEINT sum
+    succeeds there, so the engines silently diverge.  This pin rebuilds
+    the regime at expression level (three hour-counts of 2e9: each
+    product 4e18 FITS int64, their sum 1.2e19 does not) and asserts the
+    old bigint accumulator throws under ANSI while the production
+    DECIMAL(18,0)->(37,0)->(38,0) form completes with the exact sum."""
+    from pyspark.sql import functions as F
+
+    cnts = [2_000_000_000, 2_000_000_000, 2_000_000_000]
+    assert all(c * c < 2**63 for c in cnts) and sum(c * c for c in cnts) > 2**63
+    df = spark.createDataFrame([(c,) for c in cnts], "cnt long")
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df.agg(F.sum(F.col("cnt") * F.col("cnt")).cast("bigint")).collect()
+    got = df.agg(
+        F.sum(
+            F.col("cnt").cast("decimal(18,0)") * F.col("cnt").cast("decimal(18,0)")
+        ).alias("sq")
+    ).collect()[0]
+    assert int(got.sq) == sum(c * c for c in cnts)
+
+
+@pytest.mark.parametrize(
+    "mod,fn,table",
+    [
+        ("findb_spark.queries.events_analytics", "events_burstiness", "events"),
+        ("findb_spark.queries.events_queries", "events_hourly_anomaly", "events"),
+    ],
+)
+def test_moment_accumulators_are_decimal_in_production_plans(spark, mod, fn, table):
+    """Structural pin: the registered queries' analyzed plans must carry
+    the DECIMAL moment accumulator (sum over a decimal product), so a
+    future edit can't silently revert to the int64 SUM(n*n) form."""
+    import importlib
+
+    q = getattr(importlib.import_module(mod), fn)
+    plan = (
+        q(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    import re
+
+    assert re.search(
+        r"sum\(\(cast\(\w+#\d+L? as decimal\(18,0\)\)"
+        r" \* cast\(\w+#\d+L? as decimal\(18,0\)\)\)\)",
+        plan,
+    ), "DECIMAL moment accumulator missing from the analyzed plan"
