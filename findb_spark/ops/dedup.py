@@ -717,7 +717,15 @@ def substring_run_stats(docs: DataFrame, n: int = 5) -> DataFrame:
     window only scans each doc's own duplicated positions. Everything is
     linear in corpus token count; no pairwise expansion exists anywhere
     (the suffix-array of the batch formulation is replaced by the
-    hash-occurrence join, the standard distributed reformulation)."""
+    hash-occurrence join, the standard distributed reformulation).
+
+    Hash width (round-13 site note, module-header policy): keying on
+    hash48 is DELIBERATE — this is a duplication *statistic*, not an
+    identity contract.  A birthday collision marks one window falsely
+    duplicated (never merges documents); expected perturbed fraction is
+    ~W/2^48 of all windows (~0.4% at 10^12 distinct windows), orders
+    below the window-approximation error this family already accepts vs
+    true substring dedup.  Exact-identity contracts use full md5."""
     from pyspark.storagelevel import StorageLevel
 
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
@@ -786,7 +794,14 @@ def cdc_chunk_stats(docs: DataFrame, gear_mod: int = 16) -> DataFrame:
     rebuild chunk text, one map-side-combinable document-frequency
     aggregate on the chunk key, one join back.  All linear; the join key
     is raw chunk text for oracle exactness — pre-hash with ``xxhash64``
-    at 100 TB exactly as documented on ``chunk_dup_stats``."""
+    at 100 TB exactly as documented on ``chunk_dup_stats``.
+
+    Hash width (round-13 site note, module-header policy): the gear
+    hash48 decides only BOUNDARY placement — a collision shifts one
+    chunk boundary (perturbing chunk lengths by ~1/gear_mod of one
+    window, the same class of error the expected-length randomness
+    already carries), and never merges identities: the dedup key itself
+    stays exact chunk text.  Exact-identity contracts use full md5."""
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     )

@@ -678,6 +678,12 @@ GROUP BY c.doc_id
     bench=True,
 )
 def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'exact' names the JOIN KEY, not an identity contract (round-13
+    site note): chunks dedup on exact chunk TEXT here (oracle-exact);
+    the documented 100 TB ``xxhash64`` pre-hash turns it into a
+    duplication statistic with a ~n²/2⁶⁴ birthday term by the
+    ops/dedup.py header policy — NOT one of the md5-width exact-identity
+    sites the round-12 hash-width audit rewrote."""
     return chunk_dup_stats(load_table(spark, sf_dir, "documents"), chunk_tokens=16)
 
 

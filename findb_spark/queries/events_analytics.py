@@ -22,38 +22,30 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from findb_spark.registry import register
-from findb_spark.session import load_table
+from findb_spark.session import BoundedDFMemo, load_table
 
 #: Checkpointed (user_id, active-day) relation, memoized per (session,
 #: corpus): it feeds three consumers inside events_dau_wau, and a fresh
 #: fn() call otherwise re-materializes the checkpoint every time — the
 #: round-9 bench drift (0.13 -> 0.56-0.70 s steady state, one extra AQE
-#: stage) was exactly this non-amortizing rebuild.  Keyed by
-#: applicationId so a stopped session's dead RDD is never resurrected;
-#: bounded like the PQ codebook memo.
-_UD_MEMO: dict[tuple, DataFrame] = {}
-_UD_MEMO_MAX = 4
+#: stage) was exactly this non-amortizing rebuild.  Shared
+#: BoundedDFMemo contract (round 13): applicationId-keyed, capacity 4,
+#: NO unpersist on evict — the localCheckpoint contract (eviction drops
+#: the last Python reference; the ContextCleaner reclaims the blocks
+#: after GC, bounded by one cycle x 4 tiny relations), and
+#: release_caches clears it via the registry.
+_UD_MEMO = BoundedDFMemo(capacity=4)
 
 
 def _active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
-    if key not in _UD_MEMO:
+    def build() -> DataFrame:
         ev = load_table(spark, sf_dir, "events")
-        ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
-        # Eviction drops the only Python reference; there is no public
-        # unpersist for a localCheckpoint's backing RDD (the DataFrame's
-        # .rdd / toRdd() are DERIVED RDDs — unpersisting them would not
-        # touch the checkpoint blocks).  GC is sufficient here: once the
-        # py4j proxy is collected, the JVM-side RDD becomes unreachable
-        # and the ContextCleaner drops its blocks; lingering is bounded
-        # by one GC cycle x <= _UD_MEMO_MAX tiny relations (|users x
-        # active days| rows each, orders of magnitude under the events
-        # table).  (Round-10 advisor note — same bounded-state contract
-        # as the PQ codebook memo.)
-        while len(_UD_MEMO) >= _UD_MEMO_MAX:
-            _UD_MEMO.pop(next(iter(_UD_MEMO)))
-        _UD_MEMO[key] = ud.localCheckpoint(eager=False)
-    return _UD_MEMO[key]
+        ud = ev.select(
+            "user_id", F.col("ts").cast("date").alias("day")
+        ).distinct()
+        return ud.localCheckpoint(eager=False)
+
+    return _UD_MEMO.get_or_build(spark, os.path.realpath(sf_dir), build)
 
 
 @register(

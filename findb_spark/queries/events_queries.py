@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from findb_spark.functions.hashing import hash48_duck
 from findb_spark.ops.events import event_type_pivot, sessionize, tumbling_agg
 from findb_spark.registry import register
-from findb_spark.session import load_table
+from findb_spark.session import BoundedDFMemo, load_table
 
 # --- sketch self-certification (round-9 verdict item 6, hardened r11) -------
 #
@@ -406,29 +406,27 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Persisted distinct (user, day, type) relation per (session, corpus):
-#: feeds both branches of events_hll_rollup.  Memoized with the bounded
-#: _UD_MEMO pattern (events_analytics.py) so repeated invocations in a
-#: long-lived session reuse ONE cached relation instead of accumulating a
-#: fresh persist per call (round-11 verdict item 5); unlike the
-#: localCheckpoint memo, eviction here can and does unpersist explicitly.
-_HLL_DU_MEMO: dict[tuple, DataFrame] = {}
-_HLL_DU_MEMO_MAX = 4
+#: feeds both branches of events_hll_rollup.  Shared BoundedDFMemo
+#: contract (round 13, unifying with _UD_MEMO in events_analytics.py):
+#: applicationId-keyed, capacity 4, and — unlike the localCheckpoint
+#: memo — eviction unpersists explicitly (persist-backed blocks can and
+#: should drop immediately); release_caches clears it via the registry.
+_HLL_DU_MEMO = BoundedDFMemo(capacity=4, unpersist_on_evict=True)
+_HLL_DU_MEMO_MAX = _HLL_DU_MEMO.capacity
 
 
 def _hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
-    if key not in _HLL_DU_MEMO:
+    def build() -> DataFrame:
         ev = load_table(spark, sf_dir, "events")
         du = ev.select(
             "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
         ).distinct()
-        while len(_HLL_DU_MEMO) >= _HLL_DU_MEMO_MAX:
-            _HLL_DU_MEMO.pop(next(iter(_HLL_DU_MEMO))).unpersist()
         # MEMORY_AND_DISK pinned explicitly — the repo convention for
         # deliberate persists (timeseries.py, relational.py): bounded
         # state must degrade to disk, never recompute-on-eviction
-        _HLL_DU_MEMO[key] = du.persist(StorageLevel.MEMORY_AND_DISK)
-    return _HLL_DU_MEMO[key]
+        return du.persist(StorageLevel.MEMORY_AND_DISK)
+
+    return _HLL_DU_MEMO.get_or_build(spark, os.path.realpath(sf_dir), build)
 
 
 @register(

@@ -190,6 +190,57 @@ def table_input_bytes(sf_dir: str, name: str) -> int:
     return total
 
 
+class BoundedDFMemo:
+    """Bounded per-(session, key) DataFrame memo with a single shared
+    eviction/release contract (round 13, unifying the two hand-rolled
+    copies that release_caches previously had to know by name).
+
+    Keys always lead with ``spark.sparkContext.applicationId`` so a
+    stopped session's dead RDD is never resurrected.  At ``capacity``
+    the oldest entry is evicted: with ``unpersist_on_evict`` its blocks
+    drop immediately (the persist-backed contract), without it eviction
+    merely drops the last Python reference and the ContextCleaner
+    reclaims the blocks after GC (the localCheckpoint contract — there
+    is no public unpersist for a checkpoint's backing RDD, and the
+    DataFrame's derived RDDs would not touch the checkpoint blocks).
+
+    Every instance self-registers, and :func:`release_caches` clears
+    them ALL — a new persist site gets the between-sweeps release for
+    free by building on this class instead of a bare dict.  Dict-like
+    introspection (``in`` / ``len`` / truthiness) is provided for the
+    id-stability and release pins."""
+
+    _instances: "list[BoundedDFMemo]" = []
+
+    def __init__(self, capacity: int = 4, unpersist_on_evict: bool = False):
+        self._store: dict[tuple, object] = {}
+        self.capacity = capacity
+        self.unpersist_on_evict = unpersist_on_evict
+        BoundedDFMemo._instances.append(self)
+
+    def get_or_build(self, spark: SparkSession, key, build):
+        k = (spark.sparkContext.applicationId, key)
+        if k not in self._store:
+            while len(self._store) >= self.capacity:
+                old = self._store.pop(next(iter(self._store)))
+                if self.unpersist_on_evict:
+                    old.unpersist()
+            self._store[k] = build()
+        return self._store[k]
+
+    def clear(self) -> None:
+        self._store.clear()
+
+    def __contains__(self, k) -> bool:
+        return k in self._store
+
+    def __len__(self) -> int:
+        return len(self._store)
+
+    def __bool__(self) -> bool:
+        return bool(self._store)
+
+
 def release_caches(spark: SparkSession) -> None:
     """Drop every deliberately-persisted intermediate relation.
 
@@ -204,14 +255,12 @@ def release_caches(spark: SparkSession) -> None:
     (disk blocks are not LRU-evicted): call this between sweeps.  Inside
     one sweep the persists are bounded by design — each is keyed by the
     corpus plan, orders of magnitude smaller than its source table."""
-    # the hll_rollup distinct-relation memo holds persist-backed
-    # DataFrames: after clearCache those entries would silently hand out
-    # UNcached plans (breaking the query's one-scan contract), so the
-    # memo empties with the cache (local import: session must not import
-    # the query modules at module level)
-    from findb_spark.queries.events_queries import _HLL_DU_MEMO
-
-    _HLL_DU_MEMO.clear()
+    # memos hold persist/checkpoint-backed DataFrames: after clearCache
+    # those entries would silently hand out UNcached plans (breaking the
+    # one-scan contracts), so every registered memo empties with the
+    # cache — no per-site imports to forget (round 13)
+    for memo in BoundedDFMemo._instances:
+        memo.clear()
     spark.catalog.clearCache()
 
 

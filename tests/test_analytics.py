@@ -429,3 +429,102 @@ def test_abc_xyz_classification_hand_grid(spark):
     # -> 90000*10=900000 <= 91000*9=819000? no -> C. p3 -> C.
     assert got == {("B", "X"): (1, 700000), ("C", "Y"): (1, 200000),
                    ("C", "X"): (1, 10000)}
+
+
+def test_session_paths_buffer_is_conditional_expression_pin(spark):
+    """Round-13 verdict item 5, structural pin: events_session_paths must
+    collect CONDITIONALLY (collect_list over `CASE WHEN rn <= 3`), never
+    collect-then-filter — the old form gathered EVERY event of a session
+    into one aggregation buffer before slicing to 3, an executor OOM for
+    a degenerate gap-free bot stream (1e8 events, one session).  The
+    conditional holds <= 3 structs per key at every aggregation stage."""
+    import findb_spark.queries.events_queries as eq
+
+    plan = (
+        eq.events_session_paths(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    import re
+
+    assert re.search(
+        r"collect_list\(CASE WHEN \(rn#\d+ <= 3\) THEN", plan
+    ), "conditional collect missing — buffer is unbounded again"
+
+
+def test_session_paths_gap_free_bot_stream(spark):
+    """Synthetic gap-free bot stream (one user, 50k events, 1 s apart —
+    every gap far under the 30 min rule, so ONE session): the bounded
+    buffer must produce exactly the first-3 path with one session and
+    whole-session conversion (the purchase sits at position 40000, far
+    past the path slice, and must still count)."""
+    import findb_spark.queries.events_queries as eq
+
+    n = 50_000
+    base = 1_577_836_800  # 2020-01-01T00:00:00Z
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(base) + F.col("id")).alias("ts"),
+        F.lit(7).cast("long").alias("user_id"),
+        F.when(F.col("id") == 40_000, "purchase")
+        .otherwise(
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("add")),
+                (F.col("id") % 3 + 1).cast("int"),
+            )
+        )
+        .alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    orig = eq.load_table
+    try:
+        eq.load_table = lambda s, d, t: ev
+        got = eq.events_session_paths(spark, "unused").collect()
+    finally:
+        eq.load_table = orig
+    assert len(got) == 1
+    r = got[0]
+    assert r.path == "view>click>add"  # ids 0,1,2 -> elements 1,2,3
+    assert r.n_sessions == 1 and r.n_converted == 1
+    assert r.conv_rate_ppm == 1_000_000
+
+
+def test_release_caches_clears_all_registered_memos(spark):
+    """Round-13 verdict item 7: release_caches must clear EVERY
+    BoundedDFMemo via the registry — including the localCheckpoint memo
+    it previously did not know about — so a new persist site gets the
+    between-sweeps release for free."""
+    import findb_spark.queries.events_analytics as ea
+    import findb_spark.queries.events_queries as eq
+    from findb_spark.session import release_caches
+
+    ea._active_days(spark, "/root/testdata/sf0.001")
+    eq._hll_distinct_users(spark, "/root/testdata/sf0.001")
+    assert ea._UD_MEMO and eq._HLL_DU_MEMO
+    release_caches(spark)
+    assert not ea._UD_MEMO and not eq._HLL_DU_MEMO
+
+
+def test_memo_eviction_is_bounded_and_unpersists(spark):
+    """The shared memo honors its capacity and the persist contract:
+    filling past capacity evicts the oldest entry, and an
+    unpersist_on_evict memo drops the evicted blocks immediately."""
+    from findb_spark.session import BoundedDFMemo
+
+    memo = BoundedDFMemo(capacity=2, unpersist_on_evict=True)
+    try:
+        dfs = []
+        for i in range(3):
+            df = spark.range(10 + i).persist()
+            dfs.append(df)
+            memo.get_or_build(spark, i, lambda d=df: d)
+        assert len(memo) == 2
+        assert (spark.sparkContext.applicationId, 0) not in memo
+        assert dfs[0].storageLevel.useMemory is False  # evicted + unpersisted
+        assert dfs[2].storageLevel.useMemory is True
+    finally:
+        BoundedDFMemo._instances.remove(memo)
+        for df in dfs:
+            df.unpersist()
