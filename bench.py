@@ -355,6 +355,48 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Self-adjudication against the measured same-tree band (round-13
+    # verdict item 4): BENCH_r12's 24.0 s wall sat above the quiet band
+    # and nothing in the artifact said so — a future reader (or the
+    # driver) would misread environment as regression.  Load the newest
+    # BAND_r*.json and stamp the verdict into the JSON and the HEADLINE.
+    import glob as _glob
+    import re as _re
+
+    band_note = "band=none"
+    bands = sorted(
+        _glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BAND_r*.json")
+        ),
+        key=lambda p: int(_re.search(r"BAND_r(\d+)", p).group(1)),
+    )
+    if bands:
+        try:
+            with open(bands[-1]) as fh:
+                b = json.load(fh)["band"]
+            wlo, whi = b["wall_s"]
+            clo, chi = b["exec_cpu_s"]
+            breach = [
+                name
+                for name, v, lo, hi in (
+                    ("wall", total, wlo, whi),
+                    ("cpu", out["exec_cpu_total"], clo, chi),
+                )
+                if not lo <= v <= hi
+            ]
+            verdict = "yes" if not breach else "no(" + ",".join(breach) + ")"
+            out["band"] = {
+                "source": os.path.basename(bands[-1]),
+                "wall_s": [wlo, whi],
+                "exec_cpu_s": [clo, chi],
+                "in_band": verdict,
+            }
+            band_note = (
+                f"band_wall=[{wlo},{whi}] band_cpu=[{clo},{chi}]"
+                f" in_band={verdict}"
+            )
+        except (KeyError, ValueError, OSError) as e:
+            band_note = f"band=unreadable({type(e).__name__})"
     line = json.dumps(out)
     # ALSO persist to a file: the driver captures stdout, whose tail has
     # been observed truncated (BENCH_r08's headline total was unrecoverable
@@ -372,7 +414,7 @@ def main() -> None:
         f" gc={out['gc_total']} total_with_builds={out['total_with_builds']}"
         f" sf={sf} loadavg_1m={machine.get('loadavg_1m', 'n/a')}"
         f" fields_missing={len(out['metric_fields_missing'])}"
-        f" errors={len(errors)}"
+        f" errors={len(errors)} {band_note}"
     )
 
 

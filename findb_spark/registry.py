@@ -172,90 +172,79 @@ _SPECS: dict[str, QuerySpec] = {}
 #: (--write refuses stale entries: a CHANGED name whose latest driver row
 #: is already from the round being built aborts the rotation.)
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # round-12 int64-moment class eradication (volume-unbounded products
-    # with linear compute; double-tree / exact-DECIMAL forms, each with a
-    # synthetic overflow pin in tests/test_scale_defect_pins.py)
-    "events_burstiness",          # n_hours*sq - s*s -> double tree
-    "events_hourly_anomaly",      # n_h*ss - s*s -> double tree
-    "graph_source_modularity",    # 4m*e_s - D_s^2 -> split int64+DECIMAL
-    "graph_degree_assortativity", # sum(deg^2/3) moments -> DECIMAL
-    "stats_chi2_independence",    # row_tot*col_tot -> double tree
-    "stats_cramers_v",            # row_tot*col_tot -> double tree
-    "stats_gini_revenue",         # sum(rank*revenue) -> DECIMAL
-    "stats_simpson_diversity",    # cnt^2 / tot^2 -> DECIMAL + double tree
-    # round-12 distributed-global-window class (ops/rank.py bucket+offset:
-    # an unpartitioned window coalesces an SF-proportional relation into
-    # ONE task; the replacement is bit-identical and hash-partitioned)
-    "customer_rfm",               # 3x NTILE -> global_ntile
-    "customer_segment_migration", # 2x NTILE -> global_ntile
-    "pareto_part_revenue",        # rank+cumsum -> global_running_sum
-    "orders_abc_xyz",             # cumsum -> global_running_sum + DECIMAL cuts
-    "stats_key_skew",             # rank -> global_row_number
-    # round-12 exact-identity hash-width fix (48-bit birthday collisions
-    # silently merge distinct texts past ~2^24 distinct values; exact
-    # contracts now key on the full 128-bit md5 — ops/dedup.py header)
-    "dedup_exact",
-    "dedup_exact_apply",
-    "source_quality_profile",
-    # round-12 bounded-aggregation-buffer fix (collect-then-filter ->
-    # conditional collect; a gap-free bot stream OOMed the session buffer)
-    "events_session_paths",
+    # round-13 moment-ACCUMULATOR hardening (advisor: the round-12
+    # double-tree fixes removed the combine overflow, but the int64
+    # SUM(n*n) accumulator itself overflows in the same degenerate
+    # regime — now exact DECIMAL(18,0)->(37,0)->(38,0) on both engines,
+    # pinned in tests/test_scale_defect_pins.py)
+    "events_burstiness",          # sq accumulator -> DECIMAL
+    "events_hourly_anomaly",      # ss accumulator -> DECIMAL
+    # round-13 distributed-global-window completion (the last
+    # SF-proportional unpartitioned window: the ECDF scan's value-grouped
+    # input reaches ~5e7 rows at its price-domain bound — both running
+    # counts now one ops/rank.global_running_sum pass, plan-pinned to
+    # hashpartitioning(_gr_bucket) in tests/test_rank_ops.py)
+    "stats_ks_test",
+    # round-13 intermediate-truncation fix (advisor: each global_ntile
+    # internally multi-evaluates its input, so the later bands re-ran the
+    # earlier bands' window+join plans; now localCheckpoint between bands)
+    "customer_rfm",
 )
 
 # --- BEGIN AUTO-GENERATED WINDOW (scripts/rotate_window.py) ---
-#: Round-12 window, computed by `python scripts/rotate_window.py --write`
-#: from CORRECTNESS_r01..r11 + CHANGED_THIS_ROUND (policy above).
+#: Round-13 window, computed by `python scripts/rotate_window.py --write`
+#: from CORRECTNESS_r01..r12 + CHANGED_THIS_ROUND (policy above).
 _CHECK_FIRST: tuple[str, ...] = (
     "events_burstiness",
     "events_hourly_anomaly",
-    "graph_source_modularity",
-    "graph_degree_assortativity",
-    "stats_chi2_independence",
-    "stats_cramers_v",
-    "stats_gini_revenue",
-    "stats_simpson_diversity",
+    "stats_ks_test",
     "customer_rfm",
-    "customer_segment_migration",
-    "pareto_part_revenue",
-    "orders_abc_xyz",
-    "stats_key_skew",
-    "dedup_exact",
-    "dedup_exact_apply",
-    "source_quality_profile",
-    "events_session_paths",
-    "dedup_simhash_pairs",
-    "dq_freshness_lag",
-    "events_cohort_ltv",
-    "events_hll_exact_registers",
-    "events_kmv_sketch_setops",
-    "events_tumbling_hourly",
-    "graph_kcore",
-    "pii_kanonymity",
-    "pii_ldiversity",
-    "roundtrip_csv_quirks",
-    "roundtrip_stream_enrich",
-    "roundtrip_time_travel",
-    "text_bigram_coverage",
-    "text_hapax_ratio",
-    "text_trigram_diversity",
-    "text_unigram_surprisal",
-    "text_zipf_slope",
-    "ts_autocorr",
-    "ts_bollinger",
-    "ts_macd",
-    "ts_moving_avg",
-    "ts_rolling_beta",
-    "ts_seasonality_dow",
-    "vec_ann_lsh",
-    "vec_cluster_silhouette",
-    "vec_cosine_topk",
-    "vec_knn_graph",
-    "vec_mmr_rerank",
-    "vec_norm_profile",
-    "window_rolling_distinct",
-    "asof_join_nearest",
-    "dedup_lsh_precision_recall",
-    "dedup_shingle_df_profile",
+    "dedup_split_leakage",
+    "dedup_threshold_sweep",
+    "dp_noisy_histogram",
+    "dq_distribution_drift",
+    "events_markov_stationary",
+    "graph_bfs_contamination",
+    "graph_label_propagation",
+    "multimodal_audio_frames",
+    "multimodal_image_ahash",
+    "multimodal_image_boxblur",
+    "multimodal_image_resize",
+    "pipeline_quality_sweep",
+    "pit_feature_join",
+    "roundtrip_bloom_manifest",
+    "roundtrip_change_feed",
+    "roundtrip_dynamic_overwrite",
+    "roundtrip_hive_partition_pruning",
+    "roundtrip_ivm_delta",
+    "roundtrip_manifest_incremental",
+    "roundtrip_occ_commit",
+    "roundtrip_parquet_codecs",
+    "roundtrip_shallow_clone",
+    "roundtrip_stream_restart",
+    "roundtrip_stream_stateful",
+    "roundtrip_stream_versioned",
+    "roundtrip_stream_watermark",
+    "roundtrip_vacuum_retention",
+    "skew_salted_join",
+    "sql_lateral_topk",
+    "sql_pivot_syntax",
+    "stats_benford",
+    "stats_poisson_bootstrap",
+    "text_bpe_train_rounds",
+    "text_langid_confusion",
+    "text_vocab_growth",
+    "ts_drawdown_duration",
+    "ts_missing_days",
+    "ts_regime_switch",
+    "ts_sharpe",
+    "ts_var_historic",
+    "vec_binary_hamming_topk",
+    "vec_dim_variance",
+    "vec_ivf_balance",
+    "vec_power_iteration",
+    "customer_order_intervals",
+    "dq_referential_integrity",
 )
 # --- END AUTO-GENERATED WINDOW ---
 
