@@ -746,31 +746,49 @@ def substring_run_stats(docs: DataFrame, n: int = 5) -> DataFrame:
     # Catalyst's estimate — and occ is its per-hash aggregate), so a
     # broadcast is wrong at any non-trivial scale; caught OOMing at 256x
     # by the scale smoke, same class as the jaccard_pairs finding.
-    flagged = (
-        pos.join(occ.transform(never_broadcast), "h")
-        .select("doc_id", "pos", (F.col("occ") >= 2).alias("dup"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    flagged = pos.join(occ.transform(never_broadcast), "h").select(
+        "doc_id", "pos", (F.col("occ") >= 2).alias("dup")
     )
-    per_doc = flagged.groupBy("doc_id").agg(
-        F.count("*").alias("n_windows"),
-        F.sum(F.col("dup").cast("long")).alias("n_dup_windows"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    runs = (
-        flagged.where(F.col("dup"))
-        .withColumn("g", F.col("pos") - F.row_number().over(w))
+    # Round-13 single-pass doc side (guide §2.4): per_doc + runs used to be
+    # two separate consumers of a persisted ``flagged`` (two doc_id
+    # exchanges, two sorts, a second window pass, and a final SMJ to
+    # stitch them).  One ordered window (partitionBy doc_id) now computes
+    # the run grouping key inline — ``rn = running SUM(dup)`` equals
+    # ROW_NUMBER() among dup rows for dup rows, so ``g = pos - rn``
+    # reproduces the old dup-filtered row_number chaining exactly (between
+    # two runs, pos advances more than rn, so g strictly increases: runs
+    # never collide) — and BOTH aggregation levels pipeline on the same
+    # hash(doc_id) partitioning (groupBy(doc_id, g) and groupBy(doc_id)
+    # are each satisfied by it: no further exchange).  Plan shrank from
+    # 10 Exchanges / 2 cached passes to a linear 3-Exchange pipeline with
+    # no flagged persist; results bit-identical (oracle re-verified at
+    # sf0.001/0.01/0.1).
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    rn = F.sum(F.col("dup").cast("long")).over(wd)
+    lvl1 = (
+        flagged.withColumn("g", F.when(F.col("dup"), F.col("pos") - rn))
         .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("run_len"))
-        .groupBy("doc_id")
-        .agg(F.max("run_len").alias("max_run"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("dup").cast("long")).alias("dcnt"),
+        )
     )
-    # doc-proportional aggregate sides: shuffle pin for the same reason
-    return per_doc.join(runs.transform(never_broadcast), "doc_id", "left").select(
-        "doc_id",
-        "n_windows",
-        "n_dup_windows",
-        (F.col("n_dup_windows").cast("double") / F.col("n_windows")).alias("dup_frac"),
-        F.coalesce(F.col("max_run"), F.lit(0)).cast("long").alias("max_run"),
+    return (
+        lvl1.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_windows"),
+            F.sum("dcnt").alias("n_dup_windows"),
+            F.max(F.when(F.col("g").isNotNull(), F.col("cnt"))).alias("_mr"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            (F.col("n_dup_windows").cast("double") / F.col("n_windows")).alias(
+                "dup_frac"
+            ),
+            F.coalesce(F.col("_mr"), F.lit(0)).cast("long").alias("max_run"),
+        )
     )
 
 
@@ -802,32 +820,51 @@ def cdc_chunk_stats(docs: DataFrame, gear_mod: int = 16) -> DataFrame:
     window, the same class of error the expected-length randomness
     already carries), and never merges identities: the dedup key itself
     stays exact chunk text.  Exact-identity contracts use full md5."""
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    # Round-13 all-array chunk assembly (guide §2.3/§2.4): the previous
+    # form posexploded EVERY token, ran a per-doc running-sum window over
+    # them (one full-token exchange + sort) and rebuilt chunk text with a
+    # collect_list/array_sort groupBy.  Boundary positions are a pure
+    # per-document computation, so the chunks are now assembled inside
+    # the row with array lambdas (transform/filter/zip_with/slice) and
+    # only the CHUNKS (~|tokens|/gear_mod rows) ever explode — the first
+    # shuffle the query pays is the chunk document-frequency aggregate.
+    # Semantics unchanged (boundary AFTER every token whose hash is
+    # 0 mod gear_mod; a trailing boundary creates no empty chunk — the
+    # zip_with filter drops the zero-length tail exactly like the old
+    # running-sum form, which never created a chunk id without tokens);
+    # verified equal row-for-row at sf0.1 and bit-exact vs the oracle at
+    # sf0.001/0.01/0.1.  Measured: steady build+run 1.88 s -> 1.48 s,
+    # cold 6.1 s -> 2.4 s, and the full-token exchange is gone (the
+    # 100 TB win: shuffle starts at chunk granularity, 16x fewer rows).
+    toks = F.col("toks")
+    bpos = F.filter(
+        F.transform(
+            toks,
+            lambda tok, i: F.when((hash48(tok) % gear_mod) == 0, i + 1),
+        ),
+        lambda x: x.isNotNull(),
     )
-    flagged = toks.withColumn(
-        "b", ((hash48(F.col("tok")) % gear_mod) == 0).cast("long")
+    starts = F.concat(F.array(F.lit(0)), bpos)
+    ends = F.concat(bpos, F.array(F.size(toks)))
+    carr = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            F.array_join(F.slice(toks, s + 1, e - s), " ").alias("chunk"),
+            (e - s).cast("long").alias("n_toks"),
+        ),
     )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    chunks = flagged.select(
-        "doc_id",
-        "pos",
-        "tok",
-        F.coalesce(F.sum("b").over(w), F.lit(0)).alias("chunk_id"),
-    )
-    agg = chunks.groupBy("doc_id", "chunk_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
-            ),
-            " ",
-        ).alias("chunk"),
-        F.count("*").alias("n_toks"),
+    agg = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.filter(carr, lambda c: c["n_toks"] > 0)).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk").alias("chunk"),
+            F.col("c.n_toks").alias("n_toks"),
+        )
     )
     # agg feeds BOTH the chunk document-frequency aggregate and the join
     # back; without truncation the explode + per-token window + rebuild

@@ -7,7 +7,7 @@ matches Spark's ``max_by(struct(ts, value))`` tie-breaking exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from findb_spark.asof import asof_batch, asof_point, asof_range, point_lookup, range_scan
 from findb_spark.prices import PRICES_ORACLE_CTE, prices_from_lineitem
@@ -163,14 +163,46 @@ SELECT asset_id, probe_ts, qts, matched_ts, matched_value FROM j
     bench=True,
 )
 def q_asof_join_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from findb_spark.asof import asof_join
+    """Round-13 rewrite (guide §2.4 — remove shuffles outright): the probe
+    side IS the value side here (every probe is a value row shifted
+    +3600 s), so the generic union+last_value :func:`findb_spark.asof.
+    asof_join` evaluated the whole ``rdedup`` subtree TWICE (two lineitem
+    scans + two (asset_id, ts) aggregates) and paid a union exchange +
+    window sort on 2x the rows — 6 Exchanges, 2 scans (plans/r13/
+    asof_join_shifted_before.txt).  A range-frame window over the single
+    deduped relation computes the identical ASOF-backward match: with
+    unique ts per (asset_id, ts) group, the last row of the frame
+    ``[unbounded preceding, ts + 3600 following]`` ordered by ts is
+    exactly the row with the largest ts' <= ts + 3600 — DuckDB's
+    ``ASOF LEFT JOIN ... ON r.ts <= p.qts`` (the frame always contains
+    the current row, so the left join always matches, never NULL).
 
+    The leading ``repartition("asset_id")`` makes ONE exchange serve both
+    the (asset_id, ts) aggregate (hash(asset_id) satisfies the clustered
+    distribution on (asset_id, ts)) and the window's partitionBy —
+    1 Exchange, 1 scan total.  The traded-away map-side partial
+    aggregation is worthless here: (asset_id, ts) keys are ~unique by
+    construction (ts embeds the line number), so the partial aggregate
+    removed no rows.  Oracle SQL unchanged — bit-exact at
+    sf0.001/0.01/0.1 re-verified after the rewrite."""
     prices = prices_from_lineitem(spark, sf_dir)
-    rdedup = prices.groupBy("asset_id", "ts").agg(F.max("value").alias("value"))
-    probes = rdedup.select(
-        "asset_id", F.col("ts").alias("probe_ts"), (F.col("ts") + 3600).alias("qts")
+    rdedup = (
+        prices.repartition("asset_id")
+        .groupBy("asset_id", "ts")
+        .agg(F.max("value").alias("value"))
     )
-    return asof_join(probes, rdedup, on="asset_id", left_time="qts", right_time="ts")
+    w = (
+        Window.partitionBy("asset_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, 3600)
+    )
+    return rdedup.select(
+        "asset_id",
+        F.col("ts").alias("probe_ts"),
+        (F.col("ts") + 3600).alias("qts"),
+        F.last("ts").over(w).alias("matched_ts"),
+        F.last("value").over(w).alias("matched_value"),
+    )
 
 
 @register(

@@ -166,6 +166,14 @@ def ts_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "date",
         F.floor(F.col("r") * 10000 + F.lit(0.5)).cast("bigint").alias("ri"),
     )
+    # round-13 (guide §5 caching note): ri feeds BOTH the broadcast market
+    # aggregate and the join probe side — without truncation the whole
+    # lag-window subtree over the daily series ran twice (once inside the
+    # broadcast-build job, once in the main plan).  localCheckpoint
+    # materializes it once; the captured physical partitioning/ordering
+    # (hash(asset_id), sorted by date) survives into the LogicalRDD, so
+    # the rolling window below still pipelines with no new exchange.
+    ri = ri.localCheckpoint(eager=False)
     mkt = ri.groupBy("date").agg(
         F.expr("CAST(FLOOR(CAST(SUM(ri) AS DOUBLE) / COUNT(*)) AS BIGINT)").alias("mi")
     )

@@ -77,6 +77,20 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
+        # Round-13 (guide §2.2 — let AQE coalesce): default-off upstream
+        # only for cached-plan-stability conservatism, this lets AQE apply
+        # partition coalescing (and skew splitting) to the plans UNDER
+        # persisted relations.  The engine persists many small reused
+        # intermediates (hashed shingle arrays, MinHash signatures,
+        # verified pair relations, adjacency lists); without this they
+        # materialize at the static shuffle grain (32 partitions of a few
+        # hundred rows each at bench SF), and every downstream job over
+        # them schedules 32+ near-empty tasks — measured 0.4 s off
+        # dedup_clusters' steady build alone.  Scale-adaptive by
+        # construction: AQE targets the advisory partition size, so big
+        # deployments still get big-input grains (nothing is pinned to
+        # the local core count).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")

@@ -529,7 +529,10 @@ _MERGE_PIN_EXPECT = {
     #   agg over tri (15) + node-participation union of 3 tri copies (45)
     #   = 61; 61 x 4 pins = 244.
     "dedup_pair_triangles": 244,
-    "dedup_substring_runs": 3,
+    # round-13: the single-pass doc side removed the per_doc⋈runs stitch
+    # join and the second flagged consumer outright (ops/dedup.py) — the
+    # one remaining join (pos ⋈ occ on the window hash) keeps its pin
+    "dedup_substring_runs": 1,
     "dedup_cdc_chunks": 1,
     "dedup_split_leakage": 4,
     "dedup_threshold_sweep": 4,
