@@ -50,7 +50,17 @@ def connected_components(
     """
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    adj = und.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    # lazy localCheckpoint, not persist (round 13): adj is referenced by
+    # EVERY round's offers join and convergence aggregate, and with a
+    # persist its logical plan still embeds the whole upstream
+    # pair-pipeline tree (MinHash signatures, band joins, verification) —
+    # so each round's action re-analyzed and re-canonicalized thousands
+    # of plan nodes driver-side just to hit the cache.  The checkpoint
+    # truncates adj to a LogicalRDD once, making every round's plan a
+    # join of two tiny RDD-backed relations (blocks are reclaimed by the
+    # ContextCleaner when the DataFrame goes out of scope, the
+    # BoundedDFMemo/localCheckpoint contract).
+    adj = und.distinct().localCheckpoint(eager=False)
 
     # decimal(38,0): a bigint sum of 64-bit labels overflows (ANSI mode —
     # the session default — raises rather than wraps; same guard as
@@ -106,10 +116,11 @@ def connected_components(
             break
         prev_sum = cur_sum
     else:
-        adj.unpersist()
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
-    adj.unpersist()
+    # no explicit adj cleanup: checkpoint blocks are reclaimed by the
+    # ContextCleaner once adj goes out of scope (there is no public
+    # unpersist for a checkpoint's backing RDD — see session.BoundedDFMemo)
     return labels
 
 

@@ -794,6 +794,49 @@ def _lut_sql(m: int, col: str = "qv") -> str:
     )
 
 
+def _luts_driver(
+    q_rows: list, cw: list[list[list[float]]]
+) -> list[tuple]:
+    """Driver-side twin of the :func:`_lut_sql` projection: per RAW query
+    row (vec_id, embedding), the PQ_M ADC tables — each an array of the
+    fixed-point distances to the k codewords, ordered by code 1..k.
+
+    Bit-equality contract (same as the pinned Arrow encode kernel, which
+    runs this exact op sequence): the query vector is unit-normalized
+    with the exact int64 self-dot (``floor(x*x*FXP_SCALE + 0.5)`` summed
+    in int64 — order-free), one IEEE sqrt, one IEEE divide per element —
+    identical to what ``norm_expr``/``_normalized`` computes JVM-side
+    within the 2^53 bound documented at :func:`pq_train`; each table
+    entry is ``sum_i floor((q_i - cw_i)^2 * FXP_SCALE + 0.5)`` with the
+    floor terms accumulated in int64 (associative, so numpy's sum order
+    is bit-equal to the JVM's left-to-right inline sum).  np.floor /
+    multiply / subtract are the identical IEEE-754 double ops the JVM
+    executes, and the resulting entries are pure int64 — nothing float
+    re-crosses py4j, so the literal luts relation is bit-identical to
+    the Column-form ``crossJoin(_cb) + _lut_sql`` projection it
+    replaces (pinned in tests/test_llm_ops.py)."""
+    import numpy as np
+
+    cb = np.array(cw, dtype=np.float64)  # (PQ_M, PQ_K, PQ_SUBDIM)
+    out = []
+    for r in sorted(q_rows, key=lambda r: r["vec_id"]):
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        sq = (
+            np.floor(v * v * float(FXP_SCALE) + 0.5)
+            .astype(np.int64)
+            .sum()
+        )
+        v = v / np.sqrt(float(sq) / float(FXP_SCALE))
+        luts = []
+        for m in range(PQ_M):
+            seg = v[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            d = seg[None, :] - cb[m]  # (K, SUBDIM)
+            terms = np.floor(d * d * float(FXP_SCALE) + 0.5).astype(np.int64)
+            luts.append([int(x) for x in terms.sum(axis=1)])
+        out.append((int(r["vec_id"]), *luts))
+    return out
+
+
 def pq_encode(nv: DataFrame, cbw: DataFrame | list) -> DataFrame:
     """Quantize every normalized vector: per subspace, the code of the
     L2-nearest codeword (ties to the smallest code).  Returns
@@ -1080,7 +1123,6 @@ def pq_adc_topk(
             # expression out of the training job
             cb_rows = pq_train(emb, cb_rows).collect()
     cw = _cb_lists(cb_rows)
-    cbdf = _cb_onerow(emb.sparkSession, cw)
     if kernel == "arrow":
         # raw-embedding input, normalization fused into the numpy kernel
         # (bit-equal, pinned) — skips the interpreted transform() lambda
@@ -1089,15 +1131,24 @@ def pq_adc_topk(
         )
     else:
         codes = pq_encode(nv, cb_rows)
-    q = nv.where(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
+    # Round-13: the per-query ADC tables are computed DRIVER-SIDE (guide
+    # §1.2 — the distributed form was two serial BroadcastNestedLoopJoin
+    # stages whose only input is queries x codebook, both bounded by
+    # construction: the query set is a handful of rows, the codebook
+    # PQ_M x PQ_K codewords).  One tiny pushdown-filtered collect of the
+    # raw query vectors + the SAME numpy op sequence the pinned Arrow
+    # encode kernel uses (np.floor/multiply are the identical IEEE-754
+    # double ops the JVM executes) yields LUTs whose entries are pure
+    # int64 — nothing float ever re-crosses py4j, so the literal luts
+    # relation is bit-identical to the old in-plan projection (pinned in
+    # tests/test_llm_ops.py against the Column-form specification).
+    q_rows = (
+        emb.where(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
     )
-    # per-query ADC tables as a projection against the joined codebook
-    # row (array-ordered by code — the order the element_at lookups
-    # assume); replaces a crossJoin + collect_list/array_sort aggregation
-    luts = q.crossJoin(F.broadcast(cbdf)).select(
-        "query_id",
-        *[F.expr(_lut_sql(m, "qv")).alias(f"l{m}") for m in range(PQ_M)],
+    luts = emb.sparkSession.createDataFrame(
+        _luts_driver(q_rows, cw),
+        schema="query_id bigint, "
+        + ", ".join(f"l{m} array<bigint>" for m in range(PQ_M)),
     )
     scored = codes.crossJoin(F.broadcast(luts)).where(
         F.col("vec_id") != F.col("query_id")
@@ -1139,7 +1190,15 @@ def pq_search(
     q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     ).withColumn("_qnrm", norm_expr("qv"))
-    j = sl.join(base, "vec_id").join(F.broadcast(q), "query_id")
+    # broadcast the SHORTLIST, not the base table (round 13, guide §3.1):
+    # sl is bounded at queries x shortlist rows by construction, while
+    # base is the corpus — but sl's size estimate is garbage (it hangs
+    # off a window over a broadcast-nested-loop join), so left to itself
+    # Catalyst picks the base side whenever the corpus LOOKS small and
+    # would shuffle-join (or worse, broadcast the corpus) at scale.  The
+    # hint makes the rerank probe a broadcast-hash join against the
+    # embedding scan at every corpus size.
+    j = F.broadcast(sl).join(base, "vec_id").join(F.broadcast(q), "query_id")
     sim = (fxp_dot_expr("embedding", "qv").cast("double") / FXP_SCALE) / (
         F.col("_nrm") * F.col("_qnrm")
     )

@@ -81,7 +81,14 @@ SELECT query_id, asset_id, date, ts, value FROM j WHERE rn = 1
 )
 def q_asof_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch bounds are known literals here: push them to the l_shipdate scan
-    prices = prices_from_lineitem(spark, sf_dir, 19950101, 19981231)
+    # and apply the ts ceiling inline — prune_bounds=False (round 13) skips
+    # asof_batch's eager driver-side bounds aggregate, whose only purpose
+    # is deriving exactly these literals when the query list is dynamic
+    # (one whole Spark job per bench iteration for a statically-known
+    # 20-row batch; result-identical, re-verified vs the oracle)
+    prices = prices_from_lineitem(spark, sf_dir, 19950101, 19981231).where(
+        F.col("ts") <= F.lit(ASOF_2000 + 19)
+    )
     queries = spark.range(20).select(
         F.col("id").alias("query_id"),
         (F.col("id") + 1).alias("asset_id"),
@@ -89,7 +96,7 @@ def q_asof_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(19981231).alias("end_date"),
         (F.lit(ASOF_2000) + F.col("id")).alias("asof_ts"),
     )
-    return asof_batch(prices, queries)
+    return asof_batch(prices, queries, prune_bounds=False)
 
 
 @register(

@@ -169,11 +169,19 @@ def ts_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-13 (guide §5 caching note): ri feeds BOTH the broadcast market
     # aggregate and the join probe side — without truncation the whole
     # lag-window subtree over the daily series ran twice (once inside the
-    # broadcast-build job, once in the main plan).  localCheckpoint
-    # materializes it once; the captured physical partitioning/ordering
-    # (hash(asset_id), sorted by date) survives into the LogicalRDD, so
-    # the rolling window below still pipelines with no new exchange.
-    ri = ri.localCheckpoint(eager=False)
+    # broadcast-build job, once in the main plan).  persist() materializes
+    # it once (the broadcast-build job populates the cache, the probe side
+    # reads it) while staying fully LAZY at plan-construction time — a
+    # localCheckpoint here looks cheaper but its .rdd access executes the
+    # upstream shuffle stages eagerly under AQE, silently moving real
+    # compute into the bench's (unbilled) build phase.  InMemoryRelation
+    # preserves the child's (asset_id) partitioning/ordering, so the
+    # rolling window below still pipelines with no new exchange.  Block
+    # lifetime: module persist convention (release_caches between sweeps);
+    # ri is one narrow row per (asset, day).
+    from pyspark.storagelevel import StorageLevel
+
+    ri = ri.persist(StorageLevel.MEMORY_AND_DISK)
     mkt = ri.groupBy("date").agg(
         F.expr("CAST(FLOOR(CAST(SUM(ri) AS DOUBLE) / COUNT(*)) AS BIGINT)").alias("mi")
     )

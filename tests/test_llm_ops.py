@@ -511,6 +511,54 @@ def test_pq_adc_kernels_agree_end_to_end(spark, sf_dir):
     assert a == s
 
 
+def test_pq_luts_driver_matches_column_form(spark, sf_dir):
+    """The driver-side ADC-table kernel (_luts_driver — what pq_adc_topk
+    ships as a literal broadcast relation since round 13) must be
+    BIT-IDENTICAL to the Column-form specification it replaced:
+    JVM-normalized queries crossJoined with the one-row _cb codebook and
+    projected through _lut_sql (integer entries, so equality is exact)."""
+    from pyspark.sql import functions as F
+
+    from findb_spark.ops.vector import (
+        PQ_M,
+        _cb_lists,
+        _cb_onerow,
+        _lut_sql,
+        _luts_driver,
+        _normalized,
+        pq_codebook,
+        pq_train,
+    )
+    from findb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cw = _cb_lists(pq_train(emb, pq_codebook(emb).collect()).collect())
+    q_rows = (
+        emb.where(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    )
+    got = sorted(_luts_driver(q_rows, cw))
+    q = _normalized(emb).where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
+    )
+    spec_rows = (
+        q.crossJoin(F.broadcast(_cb_onerow(spark, cw)))
+        .select(
+            "query_id",
+            *[F.expr(_lut_sql(m, "qv")).alias(f"l{m}") for m in range(PQ_M)],
+        )
+        .collect()
+    )
+    spec = sorted(
+        (
+            int(r["query_id"]),
+            *[[int(x) for x in r[f"l{m}"]] for m in range(PQ_M)],
+        )
+        for r in spec_rows
+    )
+    assert len(got) == 3
+    assert got == spec
+
+
 def test_substring_run_stats_runs_and_fractions(spark):
     """Hand-computable corpus for the window-level substring-dedup profile:
     doc 1 and 2 share a verbatim 8-token prefix (4 consecutive duplicated

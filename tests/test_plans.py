@@ -254,17 +254,21 @@ def test_triangles_join_on_wedge_keys_not_ids(spark):
 
 def test_pq_adc_minimal_plan_shape(spark):
     """The re-architected PQ pipeline's contract: the corpus side is
-    NARROW — one parquet scan for encode (codebook joins in as a 1-row
-    broadcast), one for the query side, and the ONLY hash exchange in
-    the whole query is the per-query ranking window.  No sort-merge
-    join, no corpus shuffle, no 64x crossJoin fan-out."""
+    NARROW — ONE parquet scan total (encode; the per-query ADC tables are
+    computed driver-side from a bounded 3-row collect since round 13 and
+    ride in as a broadcast literal relation, so no second in-plan scan),
+    and the ONLY hash exchange in the whole query is the per-query
+    ranking window.  No sort-merge join, no corpus shuffle, no 64x
+    crossJoin fan-out."""
     import re
 
     p = _plan(spark, "vec_pq_adc")
     scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)
-    assert len(scans) == 2, f"expected 2 parquet scans, got {len(scans)}"
+    assert len(scans) == 1, f"expected 1 parquet scan, got {len(scans)}"
     ex = re.findall(r"^\(\d+\) Exchange", p, flags=re.M)
     assert len(ex) == 1, f"expected 1 exchange (ranking window), got {len(ex)}"
+    # the luts side is the driver-built literal relation, broadcast
+    assert "Scan ExistingRDD" in p and "BroadcastExchange" in p
     assert "hashpartitioning(query_id" in p
     assert "SortMergeJoin" not in p
 
