@@ -32,6 +32,8 @@ from collections.abc import Iterator, Mapping
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from findb_spark.session import local_relation_df
+
 
 def _local(uri: str) -> str:
     return uri[len("file:") :] if uri.startswith("file:") else uri
@@ -77,7 +79,7 @@ def _harvest_files(spark: SparkSession, files: list[str], cols: list[str]) -> Da
                 + [f"{c}_{s}" for c in cols for s in ("min", "max")],
             )
 
-    paths = spark.createDataFrame([(f,) for f in files], "file string")
+    paths = local_relation_df(spark, [(f,) for f in files], "file string")
     n_tasks = max(1, min(len(files), spark.sparkContext.defaultParallelism))
     return paths.repartition(n_tasks).mapInPandas(harvest, _schema(cols))
 
@@ -238,7 +240,7 @@ def build_bloom_manifest(
             yield pd.DataFrame(rows, columns=["file", "num_rows", "words"])
 
     files = [_local(f) for f in spark.read.parquet(path).inputFiles()]
-    paths = spark.createDataFrame([(f,) for f in files], "file string")
+    paths = local_relation_df(spark, [(f,) for f in files], "file string")
     n_tasks = max(1, min(len(files), spark.sparkContext.defaultParallelism))
     return paths.repartition(n_tasks).mapInPandas(
         harvest, "file string, num_rows bigint, words array<bigint>"

@@ -728,6 +728,11 @@ def substring_run_stats(docs: DataFrame, n: int = 5) -> DataFrame:
     true substring dedup.  Exact-identity contracts use full md5."""
     from pyspark.storagelevel import StorageLevel
 
+    # (scan widening measured and rejected here, round 13: the shingle+
+    # hash map work is only ~100-190 ms single-task at bench scale, and
+    # the added round-robin exchange + 32-task scheduling cost MORE than
+    # it saved — wall 0.69 s -> 1.01 s.  The heavy stages are the
+    # occurrence join and the run window, already hash-parallel.)
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     # doc_id + pos + 8-byte hash: persisted so the corpus text is scanned
     # and shingled exactly ONCE — both the occurrence count and the join
@@ -854,6 +859,10 @@ def cdc_chunk_stats(docs: DataFrame, gear_mod: int = 16) -> DataFrame:
             (e - s).cast("long").alias("n_toks"),
         ),
     )
+    # (scan widening measured and rejected here too, round 13: it spread
+    # the 943 ms single-task assembly across 32 tasks, but per-task fixed
+    # cost + array-row exchange churn cost 3.5-7 CPU-s and GC spikes for
+    # ~0.2 s of wall — see OPTIMIZATION_r13.md "widening experiment")
     agg = (
         docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
         .select(

@@ -27,6 +27,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from findb_spark.functions.hashing import hash48
+from findb_spark.session import local_relation_df
 
 DIM = 64
 FXP_SCALE = 10**12
@@ -143,7 +144,12 @@ def cosine_topk(
     per-query ranking window). ``query``: (query_id, qv array<float>).
 
     Norms are computed once per corpus row / query row before the join;
-    only the cross-pair dot product is evaluated per pair."""
+    only the cross-pair dot product is evaluated per pair.
+
+    (Scan-parallelism widening of the corpus side was measured and
+    REJECTED round 13: at bench scale it bought ~0.2 s of wall but cost
+    ~0.6 CPU-s + GC churn in per-task fixed overhead — see
+    OPTIMIZATION_r13.md "widening experiment".)"""
     corpus = emb.withColumn("_nrm", norm_expr("embedding"))
     q = query.withColumn("_qnrm", norm_expr("qv"))
     j = corpus.crossJoin(F.broadcast(q))
@@ -500,10 +506,26 @@ def semantic_dedup_pairs(
     from pyspark.storagelevel import StorageLevel
 
     # both sides of the within-cluster self-join read `assigned`; without a
-    # persist the whole O(n*K) codebook-assignment subtree runs twice
+    # persist the whole O(n*K) codebook-assignment subtree runs twice.
+    #
+    # The explicit repartition on the cluster key (round 13, guide §2.5):
+    # the self-join FANS OUT — n input rows become ~n^2/K candidate pairs,
+    # each paying a 64-term fixed-point dot product — so the stage's cost
+    # is CPU per candidate, invisible to AQE's byte-based coalescing,
+    # which saw ~1 MB of cached input and collapsed the whole scoring
+    # stage to ONE task (measured 896 ms single-task CPU, 31 cores idle).
+    # An explicit partition count pins the exchange against coalescing
+    # (user-specified numPartitions is never coalesced); the count is the
+    # session's shuffle grain — the deployment-scaling dial, nothing
+    # local.  Skew is bounded by construction (the family holds
+    # per-cluster work constant by growing K with n — see docstring), so
+    # trading away AQE's skew splitting for guaranteed parallelism is
+    # the right side of the trade here.
+    n_shuf = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     assigned = (
         ivf_assign(emb, n_cent)
         .withColumn("_nrm", norm_expr("embedding"))
+        .repartition(n_shuf, F.col("cluster"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     x = assigned.select(
@@ -716,7 +738,10 @@ def pq_codebook(emb: DataFrame, k: int = PQ_K) -> DataFrame:
             for m in range(PQ_M)
         ]
     )
-    return emb.sparkSession.createDataFrame(out, schema)
+    # LocalRelation, not a Python-RDD plan (round 13): every evaluation
+    # of a createDataFrame(list) relation re-runs pickled slices through
+    # Python workers — see session.local_relation_df
+    return local_relation_df(emb.sparkSession, out, schema)
 
 
 def _cb_lists(cbw: DataFrame | list) -> list[list[list[float]]]:
@@ -750,7 +775,7 @@ def _cb_onerow(spark, cw: list[list[list[float]]]) -> DataFrame:
             )
         ]
     )
-    return spark.createDataFrame([(cw,)], schema)
+    return local_relation_df(spark, [(cw,)], schema)
 
 
 def _fxp_l2_terms_sql(m: int, col: str) -> str:
@@ -1063,7 +1088,7 @@ def pq_train(nv: DataFrame, cbw: DataFrame | list) -> DataFrame:
         }
         for i, r in enumerate(cb_rows)
     ]
-    return spark.createDataFrame(out, cb_schema)
+    return local_relation_df(spark, out, cb_schema)
 
 
 def pq_adc_topk(
@@ -1145,9 +1170,10 @@ def pq_adc_topk(
     q_rows = (
         emb.where(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
     )
-    luts = emb.sparkSession.createDataFrame(
+    luts = local_relation_df(
+        emb.sparkSession,
         _luts_driver(q_rows, cw),
-        schema="query_id bigint, "
+        "query_id bigint, "
         + ", ".join(f"l{m} array<bigint>" for m in range(PQ_M)),
     )
     scored = codes.crossJoin(F.broadcast(luts)).where(
@@ -1226,9 +1252,8 @@ def ivf_pq_topk(
     cross join.  Exact-rerank the survivors where final ordering matters
     (compose with the pq_search rerank shape)."""
     spark = emb.sparkSession
-    cents = spark.createDataFrame(
-        ivf_centroids(emb).collect(), ivf_centroids(emb).schema
-    )
+    _c = ivf_centroids(emb)
+    cents = local_relation_df(spark, _c.collect(), _c.schema)
     clusters = assign_to_centroids(emb, cents).select("vec_id", "cluster")
 
     nv = _normalized(emb)

@@ -43,7 +43,9 @@ PRICE_SCHEMA = "asset_id BIGINT, date INT, ts BIGINT, value DOUBLE"
 
 def golden_prices(spark: SparkSession) -> DataFrame:
     """The reference's inline test fixture as a DataFrame."""
-    return spark.createDataFrame(GOLDEN_ROWS, schema=PRICE_SCHEMA)
+    from findb_spark.session import local_relation_df
+
+    return local_relation_df(spark, GOLDEN_ROWS, PRICE_SCHEMA)
 
 
 def _yyyymmdd_to_iso(d: int) -> str:

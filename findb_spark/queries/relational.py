@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from findb_spark.queries.parity import fxp_avg, fxp_avg_sql, fxp_sum, fxp_sum_sql
 from findb_spark.registry import register
-from findb_spark.session import load_table
+from findb_spark.session import load_table, local_relation_df
 
 # --- aggregation ----------------------------------------------------------
 
@@ -853,7 +853,7 @@ def range_join_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from findb_spark.ops.interval import interval_join
 
     quarters = [(y, q) for y in range(1992, 1999) for q in (1, 2, 3, 4)]
-    w = spark.createDataFrame(quarters, "y INT, q INT").select(
+    w = local_relation_df(spark, quarters, "y INT, q INT").select(
         (F.col("y") * 10 + F.col("q")).alias("window_id"),
         F.make_date("y", F.col("q") * 3 - 2, F.lit(1)).alias("ws"),
         F.add_months(F.make_date("y", F.col("q") * 3 - 2, F.lit(1)), 3).alias("we"),

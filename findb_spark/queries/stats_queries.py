@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from findb_spark.functions.hashing import hash48, hash48_duck
 from findb_spark.queries.parity import fxp_sum, fxp_sum_sql
 from findb_spark.registry import register
-from findb_spark.session import load_table
+from findb_spark.session import load_table, local_relation_df
 
 
 @register(
@@ -1001,8 +1001,8 @@ def stats_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("c").over(wpre), F.lit(0)).cast("bigint").alias("cb"),
     )
     tot = b.agg(F.sum("c").cast("bigint").alias("n"))
-    qs = spark.createDataFrame(
-        [(q,) for q in (0.25, 0.5, 0.75, 0.9, 0.99)], "q double"
+    qs = local_relation_df(
+        spark, [(q,) for q in (0.25, 0.5, 0.75, 0.9, 0.99)], "q double"
     )
     tgt = qs.crossJoin(F.broadcast(tot)).select(
         "q", "n", (F.floor(F.col("q") * F.col("n")).cast("bigint") + 1).alias("target")

@@ -18,7 +18,7 @@ from findb_spark.ops.text import (
 )
 from findb_spark.plans.broadcast import never_broadcast
 from findb_spark.registry import register
-from findb_spark.session import load_table
+from findb_spark.session import load_table, local_relation_df
 
 _TOKS = "string_split(text, ' ')"
 
@@ -923,8 +923,10 @@ def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    return spark.createDataFrame(
-        out_rows, "round int, merge_left string, merge_right string, pair_weight bigint"
+    return local_relation_df(
+        spark,
+        out_rows,
+        "round int, merge_left string, merge_right string, pair_weight bigint",
     )
 
 

@@ -282,6 +282,47 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def local_relation_df(spark: SparkSession, rows, schema):
+    """A SMALL driver-built relation as a true LocalRelation
+    (``LocalTableScan`` in the plan) instead of a Python-RDD-backed plan.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the rows into
+    ``defaultParallelism`` PICKLED slices, and **every** evaluation of
+    the resulting relation — including each broadcast build and each
+    re-execution under AQE — round-trips those slices through Python
+    workers: measured 32 near-empty tasks and ~200 ms of worker latency
+    per evaluation at bench scale (the dominant cost of the PQ codebook
+    / ADC-table relations, whose actual payload is kilobytes).  Routing
+    the same rows through ``createDataFrame(pandas)`` instead serializes
+    them ONCE driver-side over the Arrow channel
+    (``spark.sql.execution.arrow.pyspark.enabled`` — on in this
+    session's defaults), and anything under
+    ``spark.sql.execution.arrow.localRelationThreshold`` lands as a
+    JVM-local ``LocalRelation``: zero tasks, zero Python at evaluation,
+    broadcast builds driver-side.  Values cross as BINARY Arrow buffers,
+    so doubles/int64 (including nested arrays) stay bit-identical to the
+    py4j path this replaces — pinned by the oracle gate over every
+    migrated call site and by test_local_relation_df.
+
+    ``rows``: list of tuples/Rows (positional) or dicts (by name).
+    ``schema``: StructType or DDL string.  Oversized payloads degrade to
+    an Arrow-batch-backed JVM RDD (still no Python at evaluation)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    names = schema.fieldNames()
+    data = {
+        n: [r[n] if isinstance(r, dict) else r[i] for r in rows]
+        for i, n in enumerate(names)
+    }
+    return spark.createDataFrame(pd.DataFrame(data, columns=names), schema=schema)
+
+
 #: (session id, path) -> schema.  spark.read.parquet without a schema fires
 #: a footer-read job per call; at 100 TB that is harmless metadata traffic,
 #: but driver-side it makes every plan construction look like it executed

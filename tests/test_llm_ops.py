@@ -511,6 +511,41 @@ def test_pq_adc_kernels_agree_end_to_end(spark, sf_dir):
     assert a == s
 
 
+def test_local_relation_df(spark):
+    """session.local_relation_df must produce a true LocalRelation
+    (LocalTableScan — zero tasks, no Python-RDD evaluation) with
+    BIT-EXACT values across the Arrow channel, for tuple rows, dict
+    rows, nested double arrays, and the empty-relation edge."""
+    import io
+    import struct
+    from contextlib import redirect_stdout
+
+    from findb_spark.session import local_relation_df
+
+    bits = lambda x: struct.unpack("<q", struct.pack("<d", x))[0]
+    awkward = [0.1 + 0.2, -0.0, 1e-308, 123456789.123456789, 2.0**53 - 1]
+    rows = [(1, awkward, "a"), (2, [x * -1.0 for x in awkward], "b")]
+    df = local_relation_df(
+        spark, rows, "id bigint, v array<double>, s string"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert "LocalTableScan" in buf.getvalue()
+    got = sorted(df.collect(), key=lambda r: r.id)
+    for r, (i, v, s) in zip(got, rows):
+        assert r.id == i and r.s == s
+        assert [bits(x) for x in r.v] == [bits(x) for x in v]
+    # dict rows (the pq_codebook/pq_train shape)
+    d2 = local_relation_df(
+        spark, [{"code": 2, "w": [1.5]}, {"code": 1, "w": [-2.5]}],
+        "code int, w array<double>",
+    )
+    assert sorted(map(tuple, d2.collect())) == [(1, [-2.5]), (2, [1.5])]
+    # empty degrades to a plain empty relation
+    assert local_relation_df(spark, [], "x bigint").count() == 0
+
+
 def test_pq_luts_driver_matches_column_form(spark, sf_dir):
     """The driver-side ADC-table kernel (_luts_driver — what pq_adc_topk
     ships as a literal broadcast relation since round 13) must be

@@ -267,8 +267,11 @@ def test_pq_adc_minimal_plan_shape(spark):
     assert len(scans) == 1, f"expected 1 parquet scan, got {len(scans)}"
     ex = re.findall(r"^\(\d+\) Exchange", p, flags=re.M)
     assert len(ex) == 1, f"expected 1 exchange (ranking window), got {len(ex)}"
-    # the luts side is the driver-built literal relation, broadcast
-    assert "Scan ExistingRDD" in p and "BroadcastExchange" in p
+    # the luts side is the driver-built literal relation — a true
+    # LocalRelation (zero tasks, no Python-RDD evaluation; see
+    # session.local_relation_df), broadcast
+    assert "LocalTableScan" in p and "BroadcastExchange" in p
+    assert "Scan ExistingRDD" not in p
     assert "hashpartitioning(query_id" in p
     assert "SortMergeJoin" not in p
 
