@@ -7,6 +7,13 @@ per-customer-shaped relation, at a dimension size where the builtin's
 single-task sort is visible (default 50M keys ~ a few-hundred-SF
 customer dimension).  Usage: ``python scripts/rank_smoke.py [n_rows]``.
 
+``--mode running_sum`` (round 13, RANK_r13 evidence) times the
+running-sum form instead — the shape under ``pareto_part_revenue``,
+``orders_abc_xyz`` and (since round 13) ``stats_ks_test``'s ECDF:
+builtin ``SUM(v) OVER (ORDER BY k, pk ROWS UNBOUNDED PRECEDING)`` vs
+``ops.rank.global_running_sum`` — same deterministic-sample equality
+witness.
+
 Prints one JSON line with walls and REST stage metrics (peak memory,
 spill, task counts) for each variant, plus a bit-equality check on a
 deterministic sample so the speed comparison is also a correctness
@@ -30,7 +37,12 @@ from findb_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mode = "ntile"
+    for a in sys.argv[1:]:
+        if a.startswith("--mode"):
+            mode = a.split("=", 1)[1] if "=" in a else "running_sum"
+    n = int(args[0]) if args else 50_000_000
     spark = get_spark(
         app_name="rank_smoke",
         extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"},
@@ -44,16 +56,34 @@ def main() -> None:
     sink = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
     sink(dim)  # warm codegen + range generation
 
-    out: dict = {"n_rows": n}
-    w = Window.orderBy(F.col("k").desc(), F.col("pk").asc())
-    variants = {
-        "builtin_single_partition": lambda: dim.select(
-            "pk", F.ntile(4).over(w).alias("band")
-        ),
-        "ops_rank_global_ntile": lambda: global_ntile(
-            dim, 4, "k", ["pk"], descending=True
-        ).select("pk", "band"),
-    }
+    out: dict = {"n_rows": n, "mode": mode}
+    if mode == "running_sum":
+        from findb_spark.ops.rank import global_running_sum
+
+        # value column: bounded ints so 200M-row prefix sums stay far
+        # inside int64 (max ~2e8 * 1e3 = 2e11)
+        dimv = dim.withColumn("v", (F.col("k") % 1000).cast("bigint"))
+        wrs = Window.orderBy(F.col("k").asc(), F.col("pk").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        variants = {
+            "builtin_single_partition": lambda: dimv.select(
+                "pk", F.sum("v").over(wrs).alias("band")
+            ),
+            "ops_rank_global_running_sum": lambda: global_running_sum(
+                dimv, "k", ["pk"], value="v", out="band"
+            ).select("pk", "band"),
+        }
+    else:
+        w = Window.orderBy(F.col("k").desc(), F.col("pk").asc())
+        variants = {
+            "builtin_single_partition": lambda: dim.select(
+                "pk", F.ntile(4).over(w).alias("band")
+            ),
+            "ops_rank_global_ntile": lambda: global_ntile(
+                dim, 4, "k", ["pk"], descending=True
+            ).select("pk", "band"),
+        }
     for name, build in variants.items():
         before, _ = settled_stages_snapshot(spark)
         t0 = time.monotonic()
@@ -63,8 +93,9 @@ def main() -> None:
         out[name] = {"wall_s": wall, "metrics": metrics_delta(before, after)}
 
     # correctness witness: bands agree on a deterministic 1e-5 sample
-    a = variants["builtin_single_partition"]().where(F.col("pk") % 100_000 == 7)
-    b = variants["ops_rank_global_ntile"]().where(F.col("pk") % 100_000 == 7)
+    names = list(variants)
+    a = variants[names[0]]().where(F.col("pk") % 100_000 == 7)
+    b = variants[names[1]]().where(F.col("pk") % 100_000 == 7)
     mismatch = (
         a.alias("a")
         .join(b.alias("b"), "pk")
