@@ -60,6 +60,15 @@ def connected_components(
     # join of two tiny RDD-backed relations (blocks are reclaimed by the
     # ContextCleaner when the DataFrame goes out of scope, the
     # BoundedDFMemo/localCheckpoint contract).
+    #
+    # FAULT-TOLERANCE TRADE (round-14 advisor): localCheckpoint is
+    # NON-RELIABLE — it truncates lineage, so on a multi-executor cluster
+    # losing an executor holding adj blocks mid-iteration fails the
+    # remaining CC rounds unrecoverably (vs a recomputable persist).
+    # Acceptable here (single-process local mode; re-running the operator
+    # re-reads the parquet inputs); a long-lived multi-executor deployment
+    # should use a replicated storage level or a reliable
+    # spark.sparkContext.setCheckpointDir + .checkpoint() instead.
     adj = und.distinct().localCheckpoint(eager=False)
 
     # decimal(38,0): a bigint sum of 64-bit labels overflows (ANSI mode —

@@ -521,7 +521,13 @@ def semantic_dedup_pairs(
     # per-cluster work constant by growing K with n — see docstring), so
     # trading away AQE's skew splitting for guaranteed parallelism is
     # the right side of the trade here.
-    n_shuf = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # 'auto' guard (round-14 advisor): deployments with AQE auto mode set
+    # spark.sql.shuffle.partitions to a non-integer literal; fall back to
+    # defaultParallelism rather than raising at plan-build time
+    try:
+        n_shuf = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        n_shuf = emb.sparkSession.sparkContext.defaultParallelism
     assigned = (
         ivf_assign(emb, n_cent)
         .withColumn("_nrm", norm_expr("embedding"))

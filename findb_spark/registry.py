@@ -172,79 +172,93 @@ _SPECS: dict[str, QuerySpec] = {}
 #: (--write refuses stale entries: a CHANGED name whose latest driver row
 #: is already from the round being built aborts the rotation.)
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # round-13 moment-ACCUMULATOR hardening (advisor: the round-12
-    # double-tree fixes removed the combine overflow, but the int64
-    # SUM(n*n) accumulator itself overflows in the same degenerate
-    # regime — now exact DECIMAL(18,0)->(37,0)->(38,0) on both engines,
-    # pinned in tests/test_scale_defect_pins.py)
-    "events_burstiness",          # sq accumulator -> DECIMAL
-    "events_hourly_anomaly",      # ss accumulator -> DECIMAL
-    # round-13 distributed-global-window completion (the last
-    # SF-proportional unpartitioned window: the ECDF scan's value-grouped
-    # input reaches ~5e7 rows at its price-domain bound — both running
-    # counts now one ops/rank.global_running_sum pass, plan-pinned to
-    # hashpartitioning(_gr_bucket) in tests/test_rank_ops.py)
-    "stats_ks_test",
-    # round-13 intermediate-truncation fix (advisor: each global_ntile
-    # internally multi-evaluates its input, so the later bands re-ran the
-    # earlier bands' window+join plans; now localCheckpoint between bands)
-    "customer_rfm",
+    # round-13 optimization rewrites that landed AFTER the round-13 window
+    # rotation and so were never driver-certified on their NEW
+    # implementations (round-13 verdict item 1; the builder's own 3-SF
+    # bit-exact sweeps attest them, but independent certification is
+    # pending until they enter a window):
+    "asof_join_shifted",          # union+last_value -> one range-frame window
+    "dedup_substring_runs",       # two-consumer stitch -> single-pass window
+    "dedup_cdc_chunks",           # token explode+window -> in-row array assembly
+    "vec_pq_search",              # driver-side ADC LUTs + LocalRelation codebooks
+    "vec_pq_adc",                 # same rewrite, direct ADC surface
+    "dedup_semantic",             # cluster-grain repartition of the scoring stage
+    "ts_rolling_beta",            # shared ri lag subtree persisted once (lazy)
+    "asof_batch",                 # prune_bounds=False for the static batch
+    "dedup_clusters",             # adjacency persist -> lazy localCheckpoint
+    # LocalRelation migration consumers without a post-change driver row
+    # (driver-built relations now cross via the Arrow channel as true
+    # LocalRelations instead of pickled Python-RDD slices):
+    "range_join_quarters",        # quarter table
+    "stats_histogram_quantiles",  # quantile probes
+    "roundtrip_footer_stats",     # manifest path lists (_harvest_files)
+    "text_bpe_train_rounds",      # merge-round output (r13 row exists but the
+                                  # judge asked for an explicit re-cert slot)
+    "vec_pq_recall",              # PQ codebook/LUT path
+    "vec_ivf_pq",                 # IVF-PQ centroids + codebooks
+    "vec_ann_ivf",                # IVF centroid relation
+    "vec_ivf_kmeans",             # k-means centroid relation
+    # connected-components checkpoint rewrite consumers (batch-2 gates):
+    "dedup_clusters_apply",
+    "dedup_select_canonical",
+    "dedup_cluster_stats",
+    "dedup_clusters_semantic",
 )
 
 # --- BEGIN AUTO-GENERATED WINDOW (scripts/rotate_window.py) ---
-#: Round-13 window, computed by `python scripts/rotate_window.py --write`
-#: from CORRECTNESS_r01..r12 + CHANGED_THIS_ROUND (policy above).
+#: Round-14 window, computed by `python scripts/rotate_window.py --write`
+#: from CORRECTNESS_r01..r13 + CHANGED_THIS_ROUND (policy above).
 _CHECK_FIRST: tuple[str, ...] = (
-    "events_burstiness",
-    "events_hourly_anomaly",
-    "stats_ks_test",
-    "customer_rfm",
-    "dedup_split_leakage",
-    "dedup_threshold_sweep",
-    "dp_noisy_histogram",
-    "dq_distribution_drift",
-    "events_markov_stationary",
-    "graph_bfs_contamination",
-    "graph_label_propagation",
-    "multimodal_audio_frames",
-    "multimodal_image_ahash",
-    "multimodal_image_boxblur",
-    "multimodal_image_resize",
-    "pipeline_quality_sweep",
-    "pit_feature_join",
-    "roundtrip_bloom_manifest",
-    "roundtrip_change_feed",
-    "roundtrip_dynamic_overwrite",
-    "roundtrip_hive_partition_pruning",
-    "roundtrip_ivm_delta",
-    "roundtrip_manifest_incremental",
-    "roundtrip_occ_commit",
-    "roundtrip_parquet_codecs",
-    "roundtrip_shallow_clone",
-    "roundtrip_stream_restart",
-    "roundtrip_stream_stateful",
-    "roundtrip_stream_versioned",
-    "roundtrip_stream_watermark",
-    "roundtrip_vacuum_retention",
-    "skew_salted_join",
-    "sql_lateral_topk",
-    "sql_pivot_syntax",
-    "stats_benford",
-    "stats_poisson_bootstrap",
+    "asof_join_shifted",
+    "dedup_substring_runs",
+    "dedup_cdc_chunks",
+    "vec_pq_search",
+    "vec_pq_adc",
+    "dedup_semantic",
+    "ts_rolling_beta",
+    "asof_batch",
+    "dedup_clusters",
+    "range_join_quarters",
+    "stats_histogram_quantiles",
+    "roundtrip_footer_stats",
     "text_bpe_train_rounds",
-    "text_langid_confusion",
-    "text_vocab_growth",
-    "ts_drawdown_duration",
-    "ts_missing_days",
-    "ts_regime_switch",
-    "ts_sharpe",
-    "ts_var_historic",
-    "vec_binary_hamming_topk",
-    "vec_dim_variance",
-    "vec_ivf_balance",
-    "vec_power_iteration",
-    "customer_order_intervals",
-    "dq_referential_integrity",
+    "vec_pq_recall",
+    "vec_ivf_pq",
+    "vec_ann_ivf",
+    "vec_ivf_kmeans",
+    "dedup_clusters_apply",
+    "dedup_select_canonical",
+    "dedup_cluster_stats",
+    "dedup_clusters_semantic",
+    "events_anomaly_mad",
+    "events_attribution_ushape",
+    "events_churn_inactive",
+    "events_dau_wau",
+    "events_l28_histogram",
+    "events_markov2",
+    "events_rate_weekend_test",
+    "events_retention_cohorts",
+    "events_time_in_state",
+    "events_time_to_convert",
+    "graph_clustering_coeff",
+    "graph_neighbor_jaccard",
+    "lineitem_transit_peak",
+    "orders_market_basket",
+    "orders_open_backlog",
+    "orders_repeat_purchase_curve",
+    "orders_seasonal_naive_mae",
+    "part_supplier_hhi",
+    "pii_tcloseness",
+    "sql_recursive_bfs",
+    "stats_kendall_tau",
+    "stats_mannwhitney",
+    "stats_spearman",
+    "stats_theil_sen",
+    "supplier_lead_time",
+    "text_kneser_ney_bigram",
+    "text_rake_keywords",
+    "text_readability_ari",
+    "ts_amihud_illiquidity",
 )
 # --- END AUTO-GENERATED WINDOW ---
 

@@ -306,7 +306,18 @@ def local_relation_df(spark: SparkSession, rows, schema):
 
     ``rows``: list of tuples/Rows (positional) or dicts (by name).
     ``schema``: StructType or DDL string.  Oversized payloads degrade to
-    an Arrow-batch-backed JVM RDD (still no Python at evaluation)."""
+    an Arrow-batch-backed JVM RDD (still no Python at evaluation).
+
+    BIT-EQUALITY CAVEATS (round-14 advisor): the pandas/Arrow channel is
+    bit-identical to ``createDataFrame(list)`` only for FINITE numerics
+    and None-free numeric columns.  A float ``NaN`` becomes SQL NULL
+    (pyarrow ``from_pandas`` treats NaN as missing), and ``None`` in an
+    int column coerces the pandas column to float64 before conversion —
+    both silently change values vs the py4j path.  No current call site
+    passes NaN or a None-holding numeric column (codebooks, LUTs,
+    centroids, paths, prices are all constructed finite and non-null);
+    a NEW call site that might must pre-clean or keep
+    ``createDataFrame(list)``."""
     import pandas as pd
 
     from pyspark.sql import types as T

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for every bench-flagged query into
-plans/r13/<query>_<tag>.txt (round-13 optimization evidence).
+plans/$PLANS_ROUND/<query>_<tag>.txt (per-round optimization evidence;
+PLANS_ROUND defaults to r14).
 
-Usage: python scripts/capture_plans.py <tag> [sf_dir] [query ...]
+Usage: [PLANS_ROUND=rNN] python scripts/capture_plans.py <tag> [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -26,7 +27,9 @@ def main() -> int:
     spark = get_spark(app_name="capture_plans")
     spark.sparkContext.setLogLevel("ERROR")
 
-    out_dir = os.path.join("/root/repo/plans/r13")
+    out_dir = os.path.join(
+        "/root/repo/plans", os.environ.get("PLANS_ROUND", "r14")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     specs = [s for s in registration_order_specs().values() if s.bench]

@@ -37,12 +37,17 @@ from findb_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    mode = "ntile"
-    for a in sys.argv[1:]:
-        if a.startswith("--mode"):
-            mode = a.split("=", 1)[1] if "=" in a else "running_sum"
-    n = int(args[0]) if args else 50_000_000
+    # argparse (round 14, advisor): the hand-rolled loop only supported
+    # the '=' form — '--mode running_sum' left the value in positional
+    # args and crashed on int('running_sum'), while a bare '--mode' or an
+    # unknown value silently selected running_sum
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mode", choices=("ntile", "running_sum"), default="ntile")
+    ap.add_argument("n_rows", nargs="?", type=int, default=50_000_000)
+    ns = ap.parse_args()
+    mode, n = ns.mode, ns.n_rows
     spark = get_spark(
         app_name="rank_smoke",
         extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"},
