@@ -101,9 +101,11 @@ def resample_ffill(daily: DataFrame) -> DataFrame:
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    from findb_spark.functions.dates import yyyymmdd_int
+
     return j.select(
         "asset_id",
-        F.date_format("d", "yyyyMMdd").cast("int").alias("date"),
+        yyyymmdd_int("d").alias("date"),
         F.last("value", ignorenulls=True).over(w).alias("value"),
         F.col("value").isNotNull().cast("int").alias("is_observed"),
     )

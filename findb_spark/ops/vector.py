@@ -1118,6 +1118,7 @@ def pq_adc_topk(
     train: bool = True,
     kernel: str = "arrow",
     codebook: list | None = None,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate top-k for the standard query set (vec_id < 3).
 
@@ -1188,9 +1189,13 @@ def pq_adc_topk(
     # int64 — nothing float ever re-crosses py4j, so the literal luts
     # relation is bit-identical to the old in-plan projection (pinned in
     # tests/test_llm_ops.py against the Column-form specification).
-    q_rows = (
-        emb.where(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
-    )
+    # ``q_rows`` lets a composing caller (pq_search) collect the bounded
+    # query set ONCE and reuse it for both the LUTs and its own rerank
+    # side (round 14 — one fewer scan + broadcast-build job per run).
+    if q_rows is None:
+        q_rows = (
+            emb.where(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+        )
     luts = local_relation_df(
         emb.sparkSession,
         _luts_driver(q_rows, cw),
@@ -1228,14 +1233,29 @@ def pq_search(
     (queries x shortlist)-row join back to the embedding table.  Recall =
     P(true top-k inside the ADC shortlist); tests pin the trained-codebook
     recall floor and the improvement over the untrained sample."""
+    # Collect the bounded query set ONCE (3 rows by construction) and
+    # share it between the ADC LUTs and the rerank's query side (round
+    # 14, guide §1.2/§4): the rerank used to re-scan the embedding table
+    # for the same 3 rows inside a broadcast build — one whole extra
+    # parquet scan + serial broadcast-build job per evaluation.  As a
+    # LocalRelation the broadcast builds driver-side with zero tasks.
+    # Bit-exactness: array<float> values round-trip exactly through
+    # float64 (collect) and back to float32 (Arrow), and _qnrm is
+    # computed in-plan over those identical values.
+    q_rows = (
+        emb.where(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    )
     sl = pq_adc_topk(
-        emb, k=shortlist, train=train, kernel=kernel, codebook=codebook
+        emb, k=shortlist, train=train, kernel=kernel, codebook=codebook,
+        q_rows=q_rows,
     ).select("query_id", "vec_id")
     base = emb.select("vec_id", "embedding").withColumn(
         "_nrm", norm_expr("embedding")
     )
-    q = emb.where(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    q = local_relation_df(
+        emb.sparkSession,
+        [(r["vec_id"], r["embedding"]) for r in q_rows],
+        "query_id bigint, qv array<float>",
     ).withColumn("_qnrm", norm_expr("qv"))
     # broadcast the SHORTLIST, not the base table (round 13, guide §3.1):
     # sl is bounded at queries x shortlist rows by construction, while

@@ -84,9 +84,15 @@ def prices_from_lineitem(
                 F.lit(_yyyymmdd_to_iso(end_date)).cast("timestamp").cast("date"), 1
             ).cast("timestamp")
         )
+    # arithmetic yyyymmdd (round 14, guide §1.2): the date_format form
+    # allocated a string per evaluation, and Catalyst re-evaluates the
+    # expression in every derived filter it pushes below this Project —
+    # see findb_spark.functions.dates (bit-identical, sweep-verified)
+    from findb_spark.functions.dates import yyyymmdd_int
+
     return li.select(
         F.col("l_partkey").alias("asset_id"),
-        F.date_format("l_shipdate", "yyyyMMdd").cast("int").alias("date"),
+        yyyymmdd_int("l_shipdate").alias("date"),
         (F.unix_timestamp("l_shipdate") + F.col("l_linenumber")).cast("bigint").alias("ts"),
         F.col("l_extendedprice").alias("value"),
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from findb_spark.functions.dates import yyyymm_int, yyyymmdd_int
 from findb_spark.queries.parity import fxp_avg, fxp_avg_sql, fxp_sum, fxp_sum_sql
 from findb_spark.registry import register
 from findb_spark.session import load_table, local_relation_df
@@ -105,7 +106,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "revenue",
-            F.date_format("o_orderdate", "yyyyMMdd").cast("int").alias("orderdate"),
+            yyyymmdd_int("o_orderdate").alias("orderdate"),
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -909,7 +910,7 @@ FROM m
 def orders_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (
         load_table(spark, sf_dir, "orders")
-        .groupBy(F.date_format("o_orderdate", "yyyyMM").cast("int").alias("month"))
+        .groupBy(yyyymm_int("o_orderdate").alias("month"))
         .agg(fxp_sum(F.col("o_totalprice"), "revenue"))
     )
     w = Window.orderBy("month")

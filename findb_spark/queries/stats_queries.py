@@ -17,6 +17,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from findb_spark.functions.dates import yyyymm_int, yyyymmdd_int
 from findb_spark.functions.hashing import hash48, hash48_duck
 from findb_spark.queries.parity import fxp_sum, fxp_sum_sql
 from findb_spark.registry import register
@@ -1252,7 +1253,7 @@ def dq_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     k = o.groupBy(
         "o_custkey",
-        F.date_format("o_orderdate", "yyyyMMdd").cast("bigint").alias("order_date"),
+        yyyymmdd_int("o_orderdate").cast("bigint").alias("order_date"),
     ).agg(
         F.count("*").cast("bigint").alias("n"),
         F.min("o_orderkey").cast("bigint").alias("first_key"),
@@ -1857,7 +1858,7 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mq = li.groupBy(
         F.col("l_partkey").alias("part"),
-        F.date_format("l_shipdate", "yyyyMM").cast("int").alias("month"),
+        yyyymm_int("l_shipdate").alias("month"),
     ).agg(
         F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint"))
         .cast("bigint")

@@ -261,9 +261,11 @@ def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from findb_spark.ops.finance import vwap
     from findb_spark.session import load_table
 
+    from findb_spark.functions.dates import yyyymmdd_int
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("asset_id"),
-        F.date_format("l_shipdate", "yyyyMMdd").cast("int").alias("date"),
+        yyyymmdd_int("l_shipdate").alias("date"),
         F.col("l_extendedprice").alias("value"),
         F.col("l_quantity").alias("qty"),
     )

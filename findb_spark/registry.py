@@ -203,6 +203,22 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dedup_select_canonical",
     "dedup_cluster_stats",
     "dedup_clusters_semantic",
+    # round-14 arithmetic-yyyymmdd rewrite (functions/dates.py: the
+    # date_format string derivation replaced by integer field arithmetic
+    # — value-equivalence proven 0-diff on the full lineitem/orders
+    # domain plus 327/327 sweeps).  The change touches every
+    # prices_from_lineitem / daily_series consumer; window slots carry
+    # one REPRESENTATIVE per rewritten call site (the remaining
+    # consumers are certified by the builder's 3-SF sweeps and rotate in
+    # by staleness as usual):
+    "asof_range",                 # prices_from_lineitem date column
+    "asof_snapshot_all_assets",   # same derivation, snapshot path
+    "ts_moving_avg",              # daily_series (ops/finance.py) date
+    "ts_vwap",                    # direct lineitem-site rewrite
+    "q3_top_orders",              # orderdate site (relational.py)
+    "orders_month_over_month",    # yyyyMM groupBy site
+    "dq_duplicate_orders",        # order_date bigint site
+    "orders_abc_xyz",             # yyyyMM month site (stats_queries.py)
 )
 
 # --- BEGIN AUTO-GENERATED WINDOW (scripts/rotate_window.py) ---
@@ -230,6 +246,14 @@ _CHECK_FIRST: tuple[str, ...] = (
     "dedup_select_canonical",
     "dedup_cluster_stats",
     "dedup_clusters_semantic",
+    "asof_range",
+    "asof_snapshot_all_assets",
+    "ts_moving_avg",
+    "ts_vwap",
+    "q3_top_orders",
+    "orders_month_over_month",
+    "dq_duplicate_orders",
+    "orders_abc_xyz",
     "events_anomaly_mad",
     "events_attribution_ushape",
     "events_churn_inactive",
@@ -251,14 +275,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "pii_tcloseness",
     "sql_recursive_bfs",
     "stats_kendall_tau",
-    "stats_mannwhitney",
-    "stats_spearman",
-    "stats_theil_sen",
-    "supplier_lead_time",
-    "text_kneser_ney_bigram",
-    "text_rake_keywords",
-    "text_readability_ari",
-    "ts_amihud_illiquidity",
 )
 # --- END AUTO-GENERATED WINDOW ---
 
