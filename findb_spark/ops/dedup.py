@@ -46,7 +46,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from findb_spark.plans.broadcast import never_broadcast
 
-from findb_spark.functions.hashing import hash48, perm_hash, permutation_params
+from findb_spark.functions.hashing import MERSENNE31, hash48, permutation_params
 from findb_spark.ops.text import shingles_of
 
 N_PERM = 16
@@ -471,9 +471,17 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     them either, and banding must exclude them regardless — see
     :func:`_band_keys`)."""
     harr = hashed_shingle_arrays(docs, n).where(F.size("harr") > 0)
+    # server-parsed SQL strings, not the Column DSL (round 14; the
+    # fxp_dot_expr precedent): 16 x transform(lambda) built ~0.55 s of
+    # py4j round-trip chatter per call — ONE expr string per permutation
+    # parses to the identical affine-transform/array_min tree (integer
+    # ops, bit-equal; CAST pins the a/b literals to BIGINT exactly as
+    # F.lit promoted them against the bigint hash).
     mins = [
-        F.array_min(
-            F.transform(F.col("harr"), lambda h: perm_hash(h, a, b))
+        F.expr(
+            f"array_min(transform(harr, h -> "
+            f"(CAST({a} AS BIGINT) * (h % {MERSENNE31}) + CAST({b} AS BIGINT))"
+            f" % {MERSENNE31}))"
         ).alias(f"mh{i}")
         for i, (a, b) in enumerate(PERM_PARAMS)
     ]
@@ -559,18 +567,27 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).select("doc_id", hash48(F.col("tok")).alias("h"))
+    # server-parsed SQL strings, not the Column DSL (round 14; the
+    # fxp_dot_expr / minhash_signatures precedent): 48 when/shiftright
+    # Column builds plus the 48-term sig chain cost ~1.0 s of py4j
+    # round-trip chatter per call — the expr strings parse to the
+    # identical CASE/shiftright/sum trees (integer ops, bit-equal).
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"SUM(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"b{b}")
         for b in range(SIMHASH_BITS)
     ]
     sums = toks.groupBy("doc_id").agg(*bit_sums)
-    sig = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return sums.select("doc_id", sig.cast("bigint").alias("simhash")).persist(
+    sig = F.expr(
+        "CAST(("
+        + " + ".join(
+            f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(SIMHASH_BITS)
+        )
+        + ") AS BIGINT)"
+    )
+    return sums.select("doc_id", sig.alias("simhash")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
 

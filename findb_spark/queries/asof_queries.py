@@ -89,12 +89,22 @@ def q_asof_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices = prices_from_lineitem(spark, sf_dir, 19950101, 19981231).where(
         F.col("ts") <= F.lit(ASOF_2000 + 19)
     )
-    queries = spark.range(20).select(
-        F.col("id").alias("query_id"),
-        (F.col("id") + 1).alias("asset_id"),
-        F.lit(19950101).alias("start_date"),
-        F.lit(19981231).alias("end_date"),
-        (F.lit(ASOF_2000) + F.col("id")).alias("asof_ts"),
+    # the 20-row static batch as a true LocalRelation (round 14, guide
+    # §1.2): spark.range(20) split the broadcast build into
+    # defaultParallelism tasks (32 tasks for 20 literal rows, one whole
+    # Spark job per evaluation) — as a LocalRelation the broadcast builds
+    # driver-side with zero tasks.  Values are plain int64 literals,
+    # bit-identical by construction.
+    from findb_spark.session import local_relation_df
+
+    queries = local_relation_df(
+        spark,
+        [
+            (i, i + 1, 19950101, 19981231, ASOF_2000 + i)
+            for i in range(20)
+        ],
+        "query_id bigint, asset_id bigint, start_date int, end_date int,"
+        " asof_ts bigint",
     )
     return asof_batch(prices, queries, prune_bounds=False)
 

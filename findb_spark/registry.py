@@ -219,6 +219,12 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "orders_month_over_month",    # yyyyMM groupBy site
     "dq_duplicate_orders",        # order_date bigint site
     "orders_abc_xyz",             # yyyyMM month site (stats_queries.py)
+    # round-14 driver-latency rewrite of the signature builders (the
+    # Column-DSL construction replaced by server-parsed SQL strings —
+    # bit-equal, 0-diff pinned; plan trees identical modulo literal
+    # casts).  dedup_clusters/apply/... already hold slots above:
+    "dedup_minhash_lsh",          # minhash_signatures expr-string form
+    "dedup_simhash_pairs",        # simhash_signatures expr-string form
 )
 
 # --- BEGIN AUTO-GENERATED WINDOW (scripts/rotate_window.py) ---
@@ -254,6 +260,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "orders_month_over_month",
     "dq_duplicate_orders",
     "orders_abc_xyz",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
     "events_anomaly_mad",
     "events_attribution_ushape",
     "events_churn_inactive",
@@ -273,8 +281,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "orders_seasonal_naive_mae",
     "part_supplier_hhi",
     "pii_tcloseness",
-    "sql_recursive_bfs",
-    "stats_kendall_tau",
 )
 # --- END AUTO-GENERATED WINDOW ---
 
