@@ -517,10 +517,15 @@ def semantic_dedup_pairs(
     # An explicit partition count pins the exchange against coalescing
     # (user-specified numPartitions is never coalesced); the count is the
     # session's shuffle grain — the deployment-scaling dial, nothing
-    # local.  Skew is bounded by construction (the family holds
-    # per-cluster work constant by growing K with n — see docstring), so
-    # trading away AQE's skew splitting for guaranteed parallelism is
-    # the right side of the trade here.
+    # local.  Skew MEASURED at a factor-16 octave (SCALE_SEMSKEW_r14.json):
+    # at the family's operating point (K grown with n) the scoring
+    # stage's straggle is max/p50 = 2.5 (cluster-size variance, bounded);
+    # a deliberately injected identical-content mega-cluster (4.6k rows,
+    # the K-grows-with-n violation) is ONE join key that neither this
+    # repartition nor AQE skew-join can split — straggle 5.8, stage wall
+    # pinned to the hot task.  The fallback for that regime is recursive
+    # re-clustering of oversized clusters (salting a self-join still
+    # computes every hot pair), documented in the artifact.
     # 'auto' guard (round-14 advisor): deployments with AQE auto mode set
     # spark.sql.shuffle.partitions to a non-integer literal; fall back to
     # defaultParallelism rather than raising at plan-build time

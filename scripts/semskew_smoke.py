@@ -42,14 +42,25 @@ from pyspark.sql import functions as F  # noqa: E402
 TARGET_CLUSTER = 512
 
 
-def stage_quantiles(spark) -> dict:
-    """Task-run quantiles of the heaviest completed stage."""
+def _stage_ids(spark) -> set:
     ui = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
     with urllib.request.urlopen(
         f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=30
     ) as r:
-        stages = json.load(r)
+        return {s["stageId"] for s in json.load(r)}
+
+
+def stage_quantiles(spark, exclude: set) -> dict:
+    """Task-run quantiles of the heaviest completed stage NOT in
+    ``exclude`` (i.e. of the span since the exclude snapshot was taken —
+    the steady run of the current tag, not the session's heaviest)."""
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=30
+    ) as r:
+        stages = [s for s in json.load(r) if s["stageId"] not in exclude]
     big = max(stages, key=lambda s: s.get("executorRunTime", 0))
     sid = big["stageId"]
     with urllib.request.urlopen(
@@ -117,14 +128,18 @@ def main() -> int:
                  "n_cent": n_cent}
     for tag, emb in (("balanced", balanced), ("hot", hot)):
         spark.catalog.clearCache()
-        walls, rows = [], None
-        for _ in range(2):
-            spark.sparkContext.setJobDescription(f"semskew {tag}")
+        walls = []
+        seen: set = set()
+        for i in range(2):
+            spark.sparkContext.setJobDescription(f"semskew {tag} run{i}")
             pairs = semantic_dedup_pairs(emb, threshold=0.4, n_cent=n_cent)
+            if i == 1:
+                seen = _stage_ids(spark)  # isolate the steady run's stages
             t0 = time.perf_counter()
             sink(pairs)
             walls.append(round(time.perf_counter() - t0, 3))
-        out[tag] = {"wall_s": walls, **stage_quantiles(spark)}
+        time.sleep(1.0)
+        out[tag] = {"wall_s": walls, **stage_quantiles(spark, seen)}
     print(json.dumps(out))
     return 0
 
